@@ -1,0 +1,277 @@
+"""Similarity kernels and sketches.
+
+Pure, deterministic functions used both by the serial parity oracle and inside
+Ray Data ``map_batches`` stages (the heavy callers batch them over numpy
+arrays). No third-party fuzzy-matching dependency: the token-sort / indel
+ratio reproduces the scoring semantics of the reference engine's
+``token_sort_ratio`` (reference ``normalizers/name_normalizer.py:29-32``,
+i.e. ``fuzz.token_sort_ratio/100`` = normalized indel similarity over
+whitespace-sorted tokens), implemented here with a bit-parallel LCS.
+
+Sketches (MinHash, SimHash) use deterministic multiply-shift hashing seeded by
+fixed constants so every worker computes identical signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Indel ratio / token-sort ratio (reference scoring semantics)
+# ---------------------------------------------------------------------------
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Length of the longest common subsequence, bit-parallel (CIPR 2001).
+
+    O(ceil(m/word) * n) using Python big-int bit vectors.
+    """
+    m = len(a)
+    if m == 0 or len(b) == 0:
+        return 0
+    pm: dict[str, int] = defaultdict(int)
+    for i, ch in enumerate(a):
+        pm[ch] |= 1 << i
+    mask = (1 << m) - 1
+    v = mask
+    for ch in b:
+        p = pm.get(ch, 0)
+        u = v & p
+        v = (v + u) | (v & ~p)
+    # LCS = number of zero bits in the low m bits of v
+    return m - bin(v & mask).count("1")
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """Normalized indel similarity in [0, 1]: ``2*LCS/(|a|+|b|)``.
+
+    Matches ``rapidfuzz.fuzz.ratio/100`` (indel distance = |a|+|b|-2*LCS).
+    Both empty → 1.0 (rapidfuzz convention).
+    """
+    total = len(a) + len(b)
+    if total == 0:
+        return 1.0
+    return 2.0 * lcs_length(a, b) / total
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    """Reference ``token_sort_ratio`` semantics: 0.0 if either side is empty,
+    else indel ratio over whitespace-split, lexicographically sorted tokens."""
+    if not a or not b:
+        return 0.0
+    sa = " ".join(sorted(a.split()))
+    sb = " ".join(sorted(b.split()))
+    return indel_ratio(sa, sb)
+
+
+def simple_ratio(a: str, b: str) -> float:
+    """Reference ``simple_ratio``: plain indel ratio with the empty guard."""
+    if not a or not b:
+        return 0.0
+    return indel_ratio(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (used by the pages pair scorer)
+# ---------------------------------------------------------------------------
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = True
+                b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions / 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
+    jaro = jaro_similarity(a, b)
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+# ---------------------------------------------------------------------------
+# Token sets / Jaccard
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard(a_tokens: set[str] | frozenset[str], b_tokens: set[str] | frozenset[str]) -> float:
+    if not a_tokens and not b_tokens:
+        return 1.0
+    if not a_tokens or not b_tokens:
+        return 0.0
+    inter = len(a_tokens & b_tokens)
+    union = len(a_tokens) + len(b_tokens) - inter
+    return inter / union
+
+
+def ngram_set(text: str, n: int = 3) -> frozenset[str]:
+    """Character n-gram set (over the raw string, no padding)."""
+    if len(text) < n:
+        return frozenset((text,)) if text else frozenset()
+    return frozenset(text[i : i + n] for i in range(len(text) - n + 1))
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    return token_jaccard(ngram_set(a, n), ngram_set(b, n))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 64-bit hashing
+# ---------------------------------------------------------------------------
+
+_U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def stable_hash64(text: str) -> int:
+    """Deterministic 64-bit hash of a string (blake2b, not process-salted)."""
+    return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def hash_tokens(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
+    """Stable uint64 hash per token; optional cache amortizes across batches
+    (held in scorer-actor state)."""
+    if cache is None:
+        return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = stable_hash64(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH bands
+# ---------------------------------------------------------------------------
+
+# Multiply-shift hash family: h_i(x) = (a_i * x + b_i) mod 2^64, a_i odd.
+# Seeded RNG → identical coefficient tables on every worker.
+_MINHASH_SEED = 0x5EED_CAFE
+
+
+def minhash_coefficients(num_perm: int, seed: int = _MINHASH_SEED) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """uint64 hashes of consecutive k-token shingles via polynomial combine.
+
+    A document with fewer than k tokens contributes its single combined hash.
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    # polynomial rolling combine: H_j = sum_i token[j+i] * C^(k-1-i)  (mod 2^64)
+    c = _U64(0x9E3779B97F4A7C15)  # odd constant (golden-ratio based)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+        for i in range(k):
+            acc = acc * c + token_hashes[i : n - k + 1 + i]
+    return acc
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set.
+
+    Empty shingle set → all-max sentinel signature (never matches a non-empty
+    doc except another empty doc).
+    """
+    if len(shingles) == 0:
+        return np.full(len(a), _MASK64, dtype=np.uint64)
+    # (num_perm, n) multiply-shift, wraparound mod 2^64
+    with np.errstate(over="ignore"):
+        hashed = a[:, None] * shingles[None, :] + b[:, None]
+    return hashed.min(axis=1)
+
+
+def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
+    """Split the signature into ``bands`` equal row-groups; one stable uint64
+    key per band (band index mixed in so bands don't collide)."""
+    rows = len(signature) // bands
+    keys = []
+    c = _U64(0xC2B2AE3D27D4EB4F)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+        for bi in range(bands):
+            chunk = signature[bi * rows : (bi + 1) * rows]
+            acc = _U64(bi + 1)
+            for v in chunk:
+                acc = (acc * c) + v
+            keys.append(int(acc))
+    return keys
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash over token hashes (optionally weighted)."""
+    if len(token_hashes) == 0:
+        return 0
+    bits = np.unpackbits(token_hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    if weights is None:
+        sums = bits.sum(axis=0, dtype=np.int64) * 2 - len(token_hashes)
+    else:
+        w = weights.astype(np.float64)
+        sums = (bits * w[:, None]).sum(axis=0) * 2 - w.sum()
+    out = np.uint64(0)
+    for i in range(64):
+        if sums[i] > 0:
+            out |= _U64(1) << _U64(i)
+    return int(out)
+
+
+def hamming_similarity64(a: int, b: int) -> float:
+    """1 - hamming_distance/64 between two 64-bit fingerprints."""
+    return 1.0 - bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") / 64.0
