@@ -1,0 +1,110 @@
+"""Engine configuration.
+
+Dataclass analogs of the reference's YAML config surface
+(``config/thresholds.yml``, ``llm_validation.yml``, ``quality_gates.yml`` —
+see SURVEY.md §2.2/§2.4/§2.6), plus the pages-ER pipeline parameters the
+reference has no equivalent for (blocking / shuffle / skew knobs).
+
+Everything is a plain frozen dataclass so configs hash deterministically into
+checkpoint manifests (resume invalidates when parameters change).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+def config_hash(cfg) -> str:
+    """Stable hash of a (nested) dataclass config for checkpoint manifests."""
+    return hashlib.md5(json.dumps(asdict(cfg), sort_keys=True, default=str).encode()).hexdigest()[:12]
+
+
+@dataclass(frozen=True)
+class GrayZone:
+    low: float
+    high: float
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    """Three-way gate + optional LLM routing (reference llm_validation.yml +
+    validation/router.py:97-256). LLM disabled by default; the pipeline is
+    fully correct without it."""
+
+    enabled: bool = False
+    max_calls_per_entity_type_per_run: int = 200
+    circuit_breaker_window: int = 50
+    circuit_breaker_max_fail_rate: float = 0.20
+    circuit_breaker_max_invalid_json_rate: float = 0.10
+    fallback_mode_when_llm_unhealthy: str = "auto_approve"  # or "review"
+    gray_zones: dict = field(
+        default_factory=lambda: {
+            "team": GrayZone(0.78, 0.88),
+            "player": GrayZone(0.75, 0.90),
+            "competition": GrayZone(0.76, 0.86),
+            "season": GrayZone(0.70, 0.90),
+            "match": GrayZone(0.70, 0.90),
+            "page": GrayZone(0.70, 0.85),
+        }
+    )
+
+    def threshold_for(self, entity_type: str) -> GrayZone:
+        return self.gray_zones[entity_type]
+
+
+@dataclass(frozen=True)
+class Thresholds:
+    """Reference config/thresholds.yml."""
+
+    team_sim_threshold: float = 0.70
+    comp_sim_threshold: float = 0.75
+    dob_partial_score: float = 0.6
+    confidence_autopass: float = 0.85
+    confidence_review: float = 0.60
+
+
+@dataclass(frozen=True)
+class QualityGateConfig:
+    """Reference config/quality_gates.yml + qa/quality_gates.py:53-127."""
+
+    max_llm_review_rate: float = 0.15
+    max_gray_zone_rate: float = 0.35
+    fail_on_high_severity_anomalies: bool = True
+    max_llm_error_rate: float = 0.05
+
+
+@dataclass(frozen=True)
+class PagesERConfig:
+    """Flagship pages record-linkage pipeline parameters.
+
+    Blocking: normalized-token k-shingles → MinHash(num_perm) → LSH bands.
+    Candidate pairs within a band bucket; hot buckets capped at
+    ``max_block_size`` via deterministic sampling with logged drops.
+    Scoring: weighted token-Jaccard + SimHash + Jaro-Winkler(title).
+    Gate: three-way (reject < low ≤ gray < high ≤ approve); gray resolves via
+    ``fallback_mode`` (auto_approve default, mirroring the reference router's
+    LLM-disabled path, validation/router.py:81-94).
+    Clustering: distributed min-label propagation over approved edges.
+    """
+
+    shingle_k: int = 3
+    num_perm: int = 63
+    bands: int = 21                   # 21 bands × 3 rows: ~99.9% recall at J=0.65
+    max_block_size: int = 64          # cap on bucket membership before salting/splitting
+    pair_sample_cap: int = 2048       # max pairs emitted per (possibly split) bucket
+    weight_jaccard: float = 0.5
+    weight_simhash: float = 0.3
+    weight_title: float = 0.2
+    # calibrated on the seeded fixture: negative candidate pairs top out ≈0.68,
+    # positives bottom out ≈0.71 (see tests/test_oracle.py score-separation pin)
+    gate_low: float = 0.70
+    gate_high: float = 0.85
+    fallback_mode: str = "auto_approve"
+    # "auto": driver union-find when the approved-edge list is provably small
+    # (≪ object-store budget), distributed label propagation otherwise.
+    cluster_method: str = "auto"  # "labelprop" | "local" | "auto"
+    max_cc_iterations: int = 12
+    score_batch_size: int = 4096
+    score_concurrency: int | None = None  # None → let Ray autoscale the pool

@@ -162,23 +162,28 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def stable_hash64(text: str) -> int:
-    """Deterministic 64-bit hash of a string (blake2b, not process-salted)."""
-    return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little")
+    """Deterministic 64-bit hash of a string (blake2b, not process-salted),
+    returned as a SIGNED int64 value so it round-trips through every engine
+    (Arrow/pandas/parquet/DuckDB) without object fallback."""
+    v = int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def hash_tokens(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
-    """Stable uint64 hash per token; optional cache amortizes across batches
-    (held in scorer-actor state)."""
+    """Stable uint64 hash per token (numpy-internal form of stable_hash64);
+    optional cache amortizes across batches (held in scorer-actor state)."""
     if cache is None:
-        return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
-    out = np.empty(len(tokens), dtype=np.uint64)
+        return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.int64, count=len(tokens)).astype(
+            np.uint64
+        )
+    out = np.empty(len(tokens), dtype=np.int64)
     for i, t in enumerate(tokens):
         h = cache.get(t)
         if h is None:
             h = stable_hash64(t)
             cache[t] = h
         out[i] = h
-    return out
+    return out.astype(np.uint64)
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +236,9 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
-    """Split the signature into ``bands`` equal row-groups; one stable uint64
-    key per band (band index mixed in so bands don't collide)."""
+    """Split the signature into ``bands`` equal row-groups; one stable 64-bit
+    key per band (band index mixed in so bands don't collide). Keys are
+    SIGNED int64 values (see stable_hash64)."""
     rows = len(signature) // bands
     keys = []
     c = _U64(0xC2B2AE3D27D4EB4F)
@@ -242,7 +248,7 @@ def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
             acc = _U64(bi + 1)
             for v in chunk:
                 acc = (acc * c) + v
-            keys.append(int(acc))
+            keys.append(int(acc.astype(np.int64)))
     return keys
 
 
@@ -269,7 +275,7 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     for i in range(64):
         if sums[i] > 0:
             out |= _U64(1) << _U64(i)
-    return int(out)
+    return int(out.astype(np.int64))  # signed int64 representation
 
 
 def hamming_similarity64(a: int, b: int) -> float:

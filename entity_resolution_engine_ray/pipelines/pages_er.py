@@ -1,0 +1,136 @@
+"""Flagship pages ER pipeline: extract → block → pairs → score/gate →
+cluster → merge, each stage checkpointed to Parquet with a ``_DONE``
+manifest (resume from the last completed stage — north rule).
+
+Lifecycle mirror of SURVEY.md §3.4. The reference's single-process
+five-entity loop (cli/run_mapping.py:37-188) becomes a streaming Dataset
+DAG; its driver-held dict "joins" become Dataset hash joins; its
+``writer.reset()`` full-restart becomes checkpoint resume.
+
+Usage::
+
+    result = run_pages_er(pages_path, out_dir, cfg)
+    # result: dict with entities/lineage/edges paths + run metrics
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray.data as rd
+
+from entity_resolution_engine_ray.config import PagesERConfig, config_hash
+from entity_resolution_engine_ray.stages.block import block_rows_stage, feature_stage
+from entity_resolution_engine_ray.stages.cluster import cluster_edges
+from entity_resolution_engine_ray.stages.extract import extract_stage
+from entity_resolution_engine_ray.stages.merge import merge_stage
+from entity_resolution_engine_ray.stages.pairs import candidate_pairs_stage
+from entity_resolution_engine_ray.stages.score import gate_metrics, score_stage
+from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
+
+
+def run_pages_er(
+    pages,
+    out_dir: str,
+    cfg: PagesERConfig | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,  # None → scale with cluster CPUs
+) -> dict:
+    """Run the full pipeline.
+
+    ``pages``: a parquet path/dir or an existing Dataset with the input_hint
+    schema (url, warc_ts, html, text, lang).
+    """
+    cfg = cfg or PagesERConfig()
+    phash = config_hash(cfg)
+    store = CheckpointStore(out_dir, enabled=True)
+    timings: dict[str, float] = {}
+    t_start = time.perf_counter()
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # ---- stage 1+2: extract + features (checkpointed together: "block")
+    if resume and store.is_done("features", phash):
+        features = store.read("features")
+    else:
+        with timed("features"):
+            ds = rd.read_parquet(pages) if isinstance(pages, str) else pages
+            extracted = extract_stage(ds)
+            features = feature_stage(extracted, cfg)
+            features = store.write(features, "features", phash)
+
+    # ---- stage 3: candidate pairs (salted groupby + dedup)
+    if resume and store.is_done("pairs", phash):
+        pairs = store.read("pairs")
+        dropped = store.manifest("pairs").get("dropped_pairs", 0)
+    else:
+        with timed("pairs"):
+            block_rows = block_rows_stage(features)
+            pairs, dropped = candidate_pairs_stage(block_rows, cfg)
+            pairs = store.write(pairs, "pairs", phash, extra={"dropped_pairs": dropped})
+
+    # ---- stage 4: score + gate
+    if resume and store.is_done("edges", phash):
+        edges = store.read("edges")
+    else:
+        with timed("edges"):
+            edges = score_stage(pairs, features, cfg, num_partitions=num_partitions)
+            edges = store.write(edges, "edges", phash)
+
+    # ---- stage 5: cluster approved edges
+    if resume and store.is_done("labels", phash):
+        labels = store.read("labels")
+    else:
+        with timed("labels"):
+            approved = edges.filter(
+                expr="decision == 'auto_approve' or decision == 'gray_approve'"
+            )
+            labels = cluster_edges(
+                approved,
+                method=cfg.cluster_method,
+                num_partitions=num_partitions,
+                max_iterations=cfg.max_cc_iterations,
+            )
+            labels = store.write(labels, "labels", phash)
+
+    # ---- stage 6: survivorship merge + lineage
+    if resume and store.is_done("entities", phash) and store.is_done("lineage", phash):
+        entities = store.read("entities")
+        lineage = store.read("lineage")
+    else:
+        with timed("entities"):
+            entities, lineage = merge_stage(features, labels, num_partitions=num_partitions)
+            entities = store.write(entities, "entities", phash)
+            lineage = store.write(lineage, "lineage", phash)
+
+    # ---- run metrics (small, driver-side — reference pipeline_run_metrics)
+    with timed("metrics"):
+        metrics = gate_metrics(edges)
+        metrics.update(
+            {
+                "entity_type": "page",
+                "dropped_pairs": dropped,
+                "n_entities": entities.count(),
+                "wall_s": round(time.perf_counter() - t_start, 3),
+            }
+        )
+        mtbl = pa.table({k: [v] for k, v in metrics.items() if not isinstance(v, dict)})
+        store.write_table(mtbl, "metrics", phash, extra={"timings": timings})
+
+    return {
+        "out_dir": out_dir,
+        "entities": entities,
+        "lineage": lineage,
+        "edges": edges,
+        "metrics": metrics,
+        "timings": timings,
+    }

@@ -1,0 +1,231 @@
+"""Deterministic synthetic Common-Crawl-style pages fixture.
+
+Generates the exact ``input_hint`` schema (url:string, warc_ts:timestamp[us],
+html:binary, text:string, lang:string) plus a ground-truth table
+(url, doc_id, variant_idx) with exact cluster labels.
+
+Recipe (FIXTURES.md §1, the web analog of the reference's seeded
+shared-but-mutated fixtures, synthetic/generate_beta_data.py:36-61): a base
+corpus of K distinct documents drawn from a fixed vocabulary; each document
+emitted as 1..C near-duplicate variants under deterministic mutations (token
+drop/swap, case/punctuation noise, boilerplate prefix/suffix, url variants).
+Mutation identity is a pure function of (seed, doc_id, variant_idx).
+
+One hot document ("boilerplate cluster") owns ``hot_frac`` of all pages to
+exercise skew splitting of hot LSH buckets.
+
+The ``text`` column is filled by running the engine's canonical extractor
+over the generated html — the byte-identical contract column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from entity_resolution_engine_ray.stages.extract import extract_text_column
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_BOILERPLATES = [
+    "subscribe to our newsletter for weekly updates and exclusive member offers today",
+    "all rights reserved terms of service privacy policy cookie settings contact us",
+    "breaking news latest headlines trending stories top picks editors choice daily brief",
+    "sign in register account settings help center community guidelines report issue",
+    "related articles you may also like recommended for you more from this author",
+    "share this story on social media follow us for realtime alerts and updates",
+]
+
+_BASE_TS = int(datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+
+def _make_vocab(rng: np.random.Generator, size: int = 1200) -> list[str]:
+    syll = ["ba", "co", "di", "fu", "ga", "he", "ki", "lo", "mu", "ne", "po", "qa",
+            "ri", "su", "ta", "ve", "wo", "xi", "yu", "ze", "an", "or", "el", "in"]
+    vocab = []
+    seen = set()
+    while len(vocab) < size:
+        n = rng.integers(2, 5)
+        w = "".join(syll[i] for i in rng.integers(0, len(syll), size=n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
+
+def _doc_tokens(rng: np.random.Generator, vocab: list[str]) -> list[str]:
+    length = int(rng.integers(60, 240))
+    # mild Zipf over the vocabulary for realistic token-frequency skew
+    ranks = rng.zipf(1.4, size=length * 2)
+    ranks = ranks[ranks <= len(vocab)][:length]
+    while len(ranks) < length:
+        extra = rng.zipf(1.4, size=length)
+        ranks = np.concatenate([ranks, extra[extra <= len(vocab)]])[:length]
+    return [vocab[r - 1] for r in ranks]
+
+
+def _mutate(tokens: list[str], rng: np.random.Generator) -> list[str]:
+    toks = list(tokens)
+    if rng.random() < 0.5:  # token drops
+        keep = rng.random(len(toks)) > 0.04
+        toks = [t for t, k in zip(toks, keep) if k] or toks[:1]
+    if rng.random() < 0.3:  # adjacent swaps
+        for _ in range(2):
+            if len(toks) > 2:
+                i = int(rng.integers(0, len(toks) - 1))
+                toks[i], toks[i + 1] = toks[i + 1], toks[i]
+    if rng.random() < 0.4:  # case noise
+        mask = rng.random(len(toks)) < 0.03
+        toks = [t.upper() if m else t for t, m in zip(toks, mask)]
+    if rng.random() < 0.4:  # punctuation noise
+        mask = rng.random(len(toks)) < 0.03
+        puncts = [",", ".", ";"]
+        toks = [t + puncts[int(rng.integers(0, 3))] if m else t for t, m in zip(toks, mask)]
+    if rng.random() < 0.5:  # boilerplate prefix
+        toks = _BOILERPLATES[int(rng.integers(0, len(_BOILERPLATES)))].split() + toks
+    if rng.random() < 0.5:  # boilerplate suffix
+        toks = toks + _BOILERPLATES[int(rng.integers(0, len(_BOILERPLATES)))].split()
+    return toks
+
+
+def _render_html(title: str, body_tokens: list[str], domain: str) -> bytes:
+    paras = []
+    for i in range(0, len(body_tokens), 40):
+        chunk = " ".join(body_tokens[i : i + 40]).replace("&", "&amp;")
+        paras.append(f"<p>{chunk}</p>")
+    nav = f"<nav>home news about {domain.split('.')[0]}</nav>"
+    html = (
+        f"<html><head><title>{title}</title>"
+        f"<style>body {{ margin: 0 }}</style>"
+        f"<script>var x = 1 &amp;&amp; 2;</script></head>"
+        f"<body>{nav}{''.join(paras)}"
+        f"<footer>copyright {domain} &amp; partners</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def generate_pages(
+    n_pages: int, seed: int = 42, hot_frac: float = 0.05
+) -> tuple[pa.Table, pa.Table]:
+    """Build (pages_table, truth_table) deterministically in memory."""
+    rng = np.random.default_rng(seed)
+    vocab = _make_vocab(rng)
+    n_hot = max(0, int(n_pages * hot_frac))
+    n_regular = n_pages - n_hot
+    # regular docs get 1..6 variants (mean 3.5)
+    n_docs = max(1, int(round(n_regular / 3.5)))
+    variant_counts = rng.integers(1, 7, size=n_docs)
+    # trim/extend so totals are exact
+    while variant_counts.sum() > n_regular:
+        i = int(rng.integers(0, n_docs))
+        if variant_counts[i] > 1:
+            variant_counts[i] -= 1
+    while variant_counts.sum() < n_regular:
+        variant_counts[int(rng.integers(0, n_docs))] += 1
+
+    n_domains = max(4, n_docs // 20)
+    domains = [f"site{d:04d}.example.com" for d in range(n_domains)]
+    doc_domains = rng.integers(0, n_domains, size=n_docs + 1)
+
+    doc_token_lists: list[list[str]] = []
+    for doc_id in range(n_docs):
+        doc_rng = np.random.default_rng([seed, 1000 + doc_id])
+        doc_token_lists.append(_doc_tokens(doc_rng, vocab))
+    # the hot document (doc_id == n_docs) — short boilerplate-ish page
+    hot_rng = np.random.default_rng([seed, 999_999])
+    hot_tokens = _doc_tokens(hot_rng, vocab)[:80]
+
+    doc_langs = np.where(
+        rng.random(n_docs + 1) < 0.9, "en", np.where(rng.random(n_docs + 1) < 0.5, "de", "fr")
+    )
+
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    langs: list[str] = []
+    doc_ids: list[int] = []
+    variants: list[int] = []
+
+    def emit(doc_id: int, variant: int, tokens: list[str]) -> None:
+        v_rng = np.random.default_rng([seed, doc_id, variant, 7])
+        toks = tokens if variant == 0 else _mutate(tokens, v_rng)
+        home = domains[doc_domains[doc_id]]
+        domain = home if v_rng.random() < 0.6 else domains[int(v_rng.integers(0, n_domains))]
+        url = f"https://{domain}/w{doc_id}/v{variant}"
+        title = " ".join(tokens[:6]).title()
+        urls.append(url)
+        htmls.append(_render_html(title, toks, domain))
+        langs.append(str(doc_langs[doc_id]))
+        doc_ids.append(doc_id)
+        variants.append(variant)
+
+    for doc_id in range(n_docs):
+        for variant in range(int(variant_counts[doc_id])):
+            emit(doc_id, variant, doc_token_lists[doc_id])
+    for variant in range(n_hot):
+        emit(n_docs, variant, hot_tokens)
+
+    ts = pa.array(_BASE_TS + np.arange(len(urls), dtype=np.int64) * 17_000_000, type=pa.timestamp("us"))
+    html_arr = pa.array(htmls, type=pa.binary())
+    text_arr, _title_arr = extract_text_column(html_arr)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": ts,
+            "html": html_arr,
+            "text": text_arr,
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    truth = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "variant_idx": pa.array(variants, type=pa.int64()),
+        }
+    )
+    return pages, truth
+
+
+def write_pages_fixture(
+    out_dir: str,
+    n_pages: int,
+    seed: int = 42,
+    hot_frac: float = 0.05,
+    shard_rows: int = 20_000,
+) -> dict[str, str]:
+    """Write (or reuse) a cached fixture: ``pages/`` parquet shards + truth.
+
+    Sharded so Ray reads get natural input parallelism; a manifest guards
+    cache reuse against parameter changes.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    params = {"n_pages": n_pages, "seed": seed, "hot_frac": hot_frac, "v": 3}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == params:
+                return {"pages": os.path.join(out_dir, "pages"), "truth": os.path.join(out_dir, "truth.parquet")}
+    pages, truth = generate_pages(n_pages, seed=seed, hot_frac=hot_frac)
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    for old in os.listdir(pages_dir):
+        os.remove(os.path.join(pages_dir, old))
+    for shard, start in enumerate(range(0, pages.num_rows, shard_rows)):
+        pq.write_table(pages.slice(start, shard_rows), os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
+    pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
+    with open(manifest_path, "w") as f:
+        json.dump(params, f)
+    return {"pages": pages_dir, "truth": os.path.join(out_dir, "truth.parquet")}

@@ -1,0 +1,119 @@
+"""Stage 2 — page features + MinHash-LSH blocking keys.
+
+``FeatureExtractor`` is a stateful actor-pool ``map_batches`` class: the
+MinHash coefficient tables and the token-hash cache are built once per actor
+in ``__init__`` (the reference's module-level config loads, e.g.
+matchers/teams_matcher.py:23-26, become actor state per SURVEY.md §7.2), then
+every batch is processed with shared state. All hashing is deterministic
+(multiply-shift with fixed seeds), so every actor computes identical keys.
+
+Outputs one features Dataset:
+
+    url:string, warc_ts:timestamp, lang:string, title_norm:string,
+    tokens:string (unique sorted tokens, "\\x1f"-joined — a plain string
+    because Arrow hash-joins don't support list payload columns),
+    simhash:int64, band_keys:list<int64>
+
+``explode_block_rows`` then derives the lightweight (url, block_key) shuffle
+rows with a vectorized Arrow list-flatten — features are NOT duplicated per
+band (the heavy columns ship exactly once, into the score-stage join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from entity_resolution_engine_ray.config import PagesERConfig
+from entity_resolution_engine_ray.functions.similarity import (
+    hash_tokens,
+    lsh_band_keys,
+    minhash_coefficients,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from entity_resolution_engine_ray.oracle.serial import canonical_tokens
+
+
+class FeatureExtractor:
+    """Actor-pool batch transform: (url, warc_ts, lang, text, title) →
+    features. Token-hash cache amortizes hashing across batches."""
+
+    def __init__(self, cfg: PagesERConfig | None = None):
+        self.cfg = cfg or PagesERConfig()
+        self.coeffs = minhash_coefficients(self.cfg.num_perm)
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch["text"].to_pylist()
+        titles = batch["title"].to_pylist()
+        n = len(texts)
+        tokens_col: list[str] = []
+        simhashes = np.zeros(n, dtype=np.int64)
+        band_keys_col: list[list[int]] = []
+        title_norms: list[str] = []
+        for i in range(n):
+            toks = canonical_tokens(texts[i])
+            th = hash_tokens(toks, self.cache)
+            sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *self.coeffs)
+            tokens_col.append("\x1f".join(sorted(set(toks))))
+            simhashes[i] = simhash64(th)
+            band_keys_col.append(lsh_band_keys(sig, cfg.bands))
+            title_norms.append(" ".join(canonical_tokens(titles[i])))
+        # cache growth guard for long-lived actors
+        if len(self.cache) > 2_000_000:
+            self.cache.clear()
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "title_norm": pa.array(title_norms, type=pa.string()),
+                "tokens": pa.array(tokens_col, type=pa.string()),
+                "simhash": pa.array(simhashes, type=pa.int64()),
+                "band_keys": pa.array(band_keys_col, type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster CPUs (leave head
+    room for the read/write stages so the pool doesn't starve the pipeline)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, cpus - 2))
+
+
+def feature_stage(extracted_ds, cfg: PagesERConfig | None = None, concurrency=None, batch_size: int = 2048):
+    cfg = cfg or PagesERConfig()
+    return extracted_ds.map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_pool_size(),
+    )
+
+
+def explode_block_rows(batch: pa.Table) -> pa.Table:
+    """(url, band_keys:list) → one (url, block_key) row per band, vectorized
+    via Arrow list offsets (no per-row Python)."""
+    keys = batch["band_keys"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    urls = batch["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    flat = keys.flatten()
+    counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
+    url_rep = urls.take(pa.array(np.repeat(np.arange(len(urls)), counts), type=pa.int64()))
+    return pa.table({"url": url_rep, "block_key": flat})
+
+
+def block_rows_stage(features_ds):
+    return features_ds.select_columns(["url", "band_keys"]).map_batches(
+        explode_block_rows, batch_format="pyarrow", zero_copy_batch=True
+    )

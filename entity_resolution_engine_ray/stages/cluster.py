@@ -1,0 +1,182 @@
+"""Stage 5 — transitive clustering: distributed connected components.
+
+Iterative hash-partitioned min-label propagation over the approved-edge
+Dataset (the north rule's "distributed union-find"; cf. PAPERS.md "BTS:
+Load-Balanced Distributed Union-Find", ICDE 2024 — we use the simpler
+label-propagation formulation, which converges in O(diameter) rounds; near-dup
+clusters are dense, so typically 2-4 rounds):
+
+    labels(v) ← min(labels(v), min_{(u,v) ∈ E∪Eᵀ} labels(u))   until fixpoint
+
+Nodes are 64-bit stable hashes of urls (numeric min-aggregates shuffle far
+cheaper than strings); the url↔hash mapping rides along and is re-joined at
+the end. Entity ids downstream are content hashes of sorted member urls
+(functions/ids.cluster_entity_id), so label internals never leak.
+
+``cluster_edges(..., method=)``:
+- ``"labelprop"`` — the distributed path (default in the pipeline).
+- ``"local"``     — driver-side union-find; only valid when the edge list is
+  provably small (it is bounded by candidate pairs, not input rows).
+- ``"auto"``      — local below ``local_edge_threshold`` edges, else labelprop.
+
+Each round is checkpoint-free but bounded: `max_iterations` guards
+pathological chains, and convergence is detected with a changed-label count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from entity_resolution_engine_ray.functions.similarity import stable_hash64
+from entity_resolution_engine_ray.oracle.serial import UnionFind
+from entity_resolution_engine_ray.stages.joins import safe_join
+
+
+def _hash_urls_batch(batch: pa.Table) -> pa.Table:
+    l = batch["left_url"].to_pylist()
+    r = batch["right_url"].to_pylist()
+    return pa.table(
+        {
+            "left_url": batch["left_url"],
+            "right_url": batch["right_url"],
+            "src": pa.array([stable_hash64(u) for u in l], type=pa.int64()),
+            "dst": pa.array([stable_hash64(u) for u in r], type=pa.int64()),
+        }
+    )
+
+
+def _swap(batch: pa.Table) -> pa.Table:
+    return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+
+def connected_components_labelprop(
+    edges_ds, num_partitions=None, max_iterations: int = 12
+):
+    """edges (left_url, right_url) → labels (url, cluster_label:int64).
+
+    Only urls that appear in an edge are labeled (singletons are handled by
+    the merge stage's outer join)."""
+    hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
+
+    # url ↔ hash mapping (deduped)
+    url_map = (
+        hashed.select_columns(["left_url", "src"])
+        .rename_columns({"left_url": "url", "src": "node"})
+        .union(
+            hashed.select_columns(["right_url", "dst"]).rename_columns(
+                {"right_url": "url", "dst": "node"}
+            )
+        )
+        .groupby("url")
+        .aggregate(Min("node", alias_name="node"))
+        .materialize()
+    )
+
+    directed = (
+        hashed.select_columns(["src", "dst"])
+        .union(hashed.select_columns(["src", "dst"]).map_batches(_swap, batch_format="pyarrow"))
+        .materialize()
+    )
+
+    # init labels: label(v) = min(v, min neighbor) — first round for free
+    labels = (
+        directed.groupby("dst")
+        .aggregate(Min("src", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "label": pa.array(
+                        np.minimum(
+                            t["dst"].to_numpy(zero_copy_only=False),
+                            t["nbr_min"].to_numpy(zero_copy_only=False),
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iterations):
+        # propagate current labels across edges: candidate(v) = label(u)
+        prop = safe_join(
+            directed, labels, on=("src",), right_on=("node",), num_partitions=num_partitions
+        )
+        cand = prop.select_columns(["dst", "label"]).groupby("dst").aggregate(
+            Min("label", alias_name="cand")
+        )
+        new_labels = safe_join(
+            labels, cand, join_type="left_outer", on=("node",), right_on=("dst",),
+            num_partitions=num_partitions,
+        ).map_batches(_merge_labels, batch_format="pyarrow").materialize()
+        changed = new_labels.sum("changed") or 0
+        labels = new_labels.select_columns(["node", "label"]).materialize()
+        if changed == 0:
+            break
+
+    out = safe_join(url_map, labels, on=("node",), right_on=("node",), num_partitions=num_partitions)
+    return out.select_columns(["url", "label"]).rename_columns({"label": "cluster_label"})
+
+
+def _merge_labels(t: pa.Table) -> pa.Table:
+    old = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cand = t["cand"].to_numpy(zero_copy_only=False)
+    cand = np.where(pd.isna(cand), old, cand).astype(np.int64)
+    new = np.minimum(old, cand)
+    return pa.table(
+        {
+            "node": t["node"],
+            "label": pa.array(new, type=pa.int64()),
+            "changed": pa.array((new != old).astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def connected_components_local(edges_ds):
+    """Driver-side union-find fallback for provably-small edge sets."""
+    uf = UnionFind()
+    urls = set()
+    for batch in edges_ds.select_columns(["left_url", "right_url"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for l, r in zip(batch["left_url"].to_pylist(), batch["right_url"].to_pylist()):
+            uf.union(l, r)
+            urls.add(l)
+            urls.add(r)
+    rows_url = sorted(urls)
+    labels = [stable_hash64(uf.find(u)) for u in rows_url]
+    # label = hash of component-min url — same label space as labelprop? No:
+    # labelprop labels are min node hashes. Downstream only needs *grouping*,
+    # and entity ids are content hashes of members, so the label value is
+    # opaque either way.
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(rows_url, type=pa.string()),
+                "cluster_label": pa.array(labels, type=pa.int64()),
+            }
+        )
+    )
+
+
+def cluster_edges(
+    edges_ds,
+    method: str = "labelprop",
+    num_partitions=None,
+    max_iterations: int = 12,
+    local_edge_threshold: int = 2_000_000,
+):
+    if method == "auto":
+        method = "local" if edges_ds.count() <= local_edge_threshold else "labelprop"
+    if method == "local":
+        return connected_components_local(edges_ds)
+    return connected_components_labelprop(
+        edges_ds, num_partitions=num_partitions, max_iterations=max_iterations
+    )

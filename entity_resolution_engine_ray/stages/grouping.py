@@ -1,0 +1,48 @@
+"""Partition-grouped processing — the engine's scalable groupby pattern.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per group; with
+millions of tiny groups (LSH buckets, entity clusters) the per-group Python
+overhead dominates. This helper hash-partitions rows into ``num_partitions``
+coarse groups instead (same key → same partition), runs ONE vectorized
+function per partition, and lets that function do in-memory pandas/numpy
+grouping over its (bounded) slice. Results are identical to per-group
+processing for any per-group-pure ``fn`` — partitioning only changes
+distribution, never semantics.
+
+Scale note: ``num_partitions`` should grow with the data (cluster_cpus × k
+locally; thousands on a real cluster) so each partition stays ~object-store
+block sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _add_partition_col(batch: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.DataFrame:
+    with np.errstate(over="ignore"):  # wraparound is fine for a partitioner
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                batch[c].to_numpy(), hash_key="0123456789abcdef"
+            )
+        pg = (h % np.uint64(num_partitions)).astype(np.int32)
+    batch = batch.copy()
+    batch["__pg"] = pg
+    return batch
+
+
+def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
+    """Apply ``fn(pdf)`` once per hash partition of ``key_cols``; ``fn`` must
+    itself group by ``key_cols`` (vectorized) and return a DataFrame."""
+
+    def _wrapped(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns="__pg"))
+
+    parted = ds.map_batches(
+        _add_partition_col,
+        fn_kwargs={"key_cols": key_cols, "num_partitions": num_partitions},
+        batch_format="pandas",
+    )
+    return parted.groupby("__pg").map_groups(_wrapped, batch_format="pandas")

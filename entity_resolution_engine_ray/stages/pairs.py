@@ -1,0 +1,141 @@
+"""Stage 3 — candidate-pair generation with explicit skew handling.
+
+Shuffle plan (SURVEY.md §7.3):
+
+1. ``block_rows.groupby(block_key).count()`` — cheap count aggregate to find
+   hot buckets (count > max_block_size). Only hot keys (a tiny set) come back
+   to the driver and are shipped into the salting tasks.
+2. A vectorized ``map_batches`` salts hot keys:
+   ``salt = stable_hash64(url) % n_splits`` (0 for cold keys) — the same
+   deterministic assignment as the serial oracle's ``split_block``, so pair
+   semantics are identical. The hot bucket is never materialized in one task.
+3. ``groupby([block_key, salt]).map_groups(pairgen)`` emits within-sub-block
+   pairs, members sorted by url, capped at ``pair_sample_cap`` per sub-block
+   with dropped pairs counted in a ``dropped`` column (never silent).
+4. Global pair dedup: ``groupby([left_url, right_url]).aggregate(Min(block_key))``
+   keeps the minimum block key per pair (matches the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from entity_resolution_engine_ray.config import PagesERConfig
+from entity_resolution_engine_ray.functions.similarity import stable_hash64
+from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+from entity_resolution_engine_ray.oracle.serial import n_splits_for
+
+
+def hot_key_splits(block_rows_ds, cap: int) -> dict[int, int]:
+    """block_key → n_splits for buckets over the cap (driver-side small dict)."""
+    counts = block_rows_ds.groupby("block_key").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), cap)), batch_format="pyarrow"
+    )
+    out: dict[int, int] = {}
+    for batch in hot.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(batch["block_key"].to_pylist(), batch["count()"].to_pylist()):
+            out[k] = n_splits_for(n, cap)
+    return out
+
+
+def _salt_batch(batch: pa.Table, hot: dict[int, int]) -> pa.Table:
+    keys = batch["block_key"].to_numpy(zero_copy_only=False)
+    salts = np.zeros(len(keys), dtype=np.int32)
+    if hot:
+        urls = batch["url"].to_pylist()
+        for i, k in enumerate(keys):
+            ns = hot.get(int(k))
+            if ns:
+                salts[i] = stable_hash64(urls[i]) % ns
+    return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+
+
+def _pairgen_partition(pdf: pd.DataFrame, pair_cap: int) -> pd.DataFrame:
+    """One hash partition of (block_key, salt) sub-blocks → pairs.
+
+    Vectorized: sort once, slice per sub-block, emit pairs with
+    ``np.triu_indices`` in the oracle's (i asc, j asc) order; pairs beyond
+    ``pair_cap`` per sub-block are dropped and counted."""
+    pdf = pdf.sort_values(["block_key", "salt", "url"], kind="mergesort")
+    keys = pdf["block_key"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    urls = pdf["url"].to_numpy()
+    # sub-block boundaries
+    change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, len(pdf)]
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    out_keys: list[np.ndarray] = []
+    dropped = 0
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        if len(ii) > pair_cap:
+            dropped += len(ii) - pair_cap
+            ii, jj = ii[:pair_cap], jj[:pair_cap]
+        sub = urls[s:e]
+        lefts.append(sub[ii])
+        rights.append(sub[jj])
+        out_keys.append(np.full(len(ii), keys[s], dtype=np.int64))
+    if not lefts:
+        return pd.DataFrame(
+            {
+                "left_url": pd.Series([], dtype=object),
+                "right_url": pd.Series([], dtype=object),
+                "block_key": pd.Series([], dtype=np.int64),
+                "dropped": pd.Series([], dtype=np.int64),
+            }
+        )
+    left = np.concatenate(lefts)
+    drops = np.zeros(len(left), dtype=np.int64)
+    drops[0] = dropped
+    return pd.DataFrame(
+        {
+            "left_url": left,
+            "right_url": np.concatenate(rights),
+            "block_key": np.concatenate(out_keys),
+            "dropped": drops,
+        }
+    )
+
+
+def candidate_pairs_stage(
+    block_rows_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64
+):
+    """block_rows (url, block_key) → (deduped pairs Dataset, dropped count)."""
+    cfg = cfg or PagesERConfig()
+    block_rows_ds = block_rows_ds.materialize()  # consumed by counts + pairgen
+    hot = hot_key_splits(block_rows_ds, cfg.max_block_size)
+    cap = cfg.pair_sample_cap
+    salted = block_rows_ds.map_batches(
+        _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
+    )
+    raw_pairs = partition_map_groups(
+        salted, ["block_key", "salt"], lambda pdf: _pairgen_partition(pdf, cap), num_partitions
+    )
+    # materialize once: both the dropped-count aggregate and the dedup consume
+    # raw_pairs; without this the groupby lineage would execute twice
+    raw_pairs = raw_pairs.materialize()
+    dropped = raw_pairs.sum("dropped") or 0
+    deduped = partition_map_groups(
+        raw_pairs.select_columns(["left_url", "right_url", "block_key"]),
+        ["left_url", "right_url"],
+        _dedup_partition,
+        num_partitions,
+    )
+    return deduped, int(dropped)
+
+
+def _dedup_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Within one hash partition of pairs: keep min block_key per pair."""
+    return (
+        pdf.groupby(["left_url", "right_url"], sort=False, as_index=False)["block_key"]
+        .min()
+    )

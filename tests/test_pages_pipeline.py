@@ -1,0 +1,170 @@
+"""Distributed-vs-serial parity for the flagship pages ER pipeline.
+
+Contracts (BASELINE.md targets):
+- byte-identical extracted text per url, across batch sizes (input_hint)
+- engine candidate pairs / scores / gate decisions == serial oracle exactly
+  (⇒ pairwise F1 = 1.0 ≥ 0.99 at the same blocking key)
+- cluster partitions identical to the oracle's union-find
+- label-based F1 ≥ 0.99 on the fixture ground truth
+- resume: a later stage's checkpoint is reused; a deleted checkpoint is
+  rebuilt to identical content
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from entity_resolution_engine_ray.config import PagesERConfig
+from entity_resolution_engine_ray.oracle.serial import labeled_pairs, run_serial_er
+from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+N_PAGES = 500
+SEED = 42
+FIXDIR = "/tmp/er_test_fixture"
+OUTDIR = "/tmp/er_test_out"
+
+
+@pytest.fixture(scope="module")
+def fixture_paths():
+    return write_pages_fixture(FIXDIR, N_PAGES, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_paths):
+    pages = pq.read_table(fixture_paths["pages"])
+    return pages, run_serial_er(pages)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, fixture_paths):
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+
+    shutil.rmtree(OUTDIR, ignore_errors=True)
+    return run_pages_er(fixture_paths["pages"], OUTDIR)
+
+
+def test_extract_parity_across_batch_sizes(ray_session, fixture_paths, oracle):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.extract import extract_stage, extract_text
+
+    pages, _ = oracle
+    expected = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    # scalar oracle kernel agrees with the stored text column
+    for url, html in list(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))[:20]:
+        assert extract_text(html) == expected[url]
+    # distributed extraction is byte-identical at two batch sizes
+    for bs in (64, 977):
+        ds = rd.read_parquet(fixture_paths["pages"])
+        out = extract_stage(ds, batch_size=bs)
+        got = {}
+        for b in out.iter_batches(batch_format="pyarrow"):
+            got.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
+        assert got == expected
+
+
+def test_edge_parity_exact(pipeline_result, oracle):
+    _, ores = oracle
+    edges = pipeline_result["edges"].to_pandas()
+    got = {
+        (r.left_url, r.right_url): (r.block_key, round(r.score, 12), r.decision)
+        for r in edges.itertuples()
+    }
+    want = {
+        (e["left_url"], e["right_url"]): (e["block_key"], round(e["score"], 12), e["decision"])
+        for e in ores.edges
+    }
+    assert set(got) == set(want), (
+        f"pair sets differ: engine-only {list(set(got)-set(want))[:3]}, "
+        f"oracle-only {list(set(want)-set(got))[:3]}"
+    )
+    mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mism, f"{len(mism)} mismatched edges, e.g. {list(mism.items())[:3]}"
+
+
+def test_cluster_partition_parity(pipeline_result, oracle):
+    pages, ores = oracle
+    lineage = pipeline_result["lineage"].to_pandas()
+    # engine partition: url -> entity_id; oracle partition: url -> root
+    eng = dict(zip(lineage["url"], lineage["entity_id"]))
+    assert set(eng) == set(ores.clusters)
+    # same partition ⇔ same co-membership
+    from collections import defaultdict
+
+    eng_groups = defaultdict(frozenset)
+    by_eid = defaultdict(set)
+    for u, e in eng.items():
+        by_eid[e].add(u)
+    ora_groups = defaultdict(set)
+    for u, r in ores.clusters.items():
+        ora_groups[r].add(u)
+    assert sorted(map(sorted, by_eid.values())) == sorted(map(sorted, ora_groups.values()))
+
+
+def test_label_f1(pipeline_result, fixture_paths, oracle):
+    pages, _ = oracle
+    truth = pq.read_table(fixture_paths["truth"])
+    lp = labeled_pairs(pages, truth)
+    labels = {
+        (l, r): m
+        for l, r, m in zip(
+            lp["left_url"].to_pylist(), lp["right_url"].to_pylist(), lp["is_match"].to_pylist()
+        )
+    }
+    edges = pipeline_result["edges"].to_pandas()
+    tp = fp = fn = 0
+    for r in edges.itertuples():
+        is_match = labels[(r.left_url, r.right_url)]
+        approved = r.decision in ("auto_approve", "gray_approve")
+        if approved and is_match:
+            tp += 1
+        elif approved and not is_match:
+            fp += 1
+        elif not approved and is_match:
+            fn += 1
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (P={prec:.4f}, R={rec:.4f})"
+
+
+def test_entities_cover_all_pages(pipeline_result, oracle):
+    pages, _ = oracle
+    ents = pipeline_result["entities"].to_pandas()
+    assert ents["n_members"].sum() == pages.num_rows
+    assert ents["entity_id"].is_unique
+
+
+def test_resume_skips_completed_stages(ray_session, fixture_paths, pipeline_result):
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+
+    res2 = run_pages_er(fixture_paths["pages"], OUTDIR)
+    # all heavy stages skipped — only the metrics step re-runs
+    assert set(res2["timings"]) == {"metrics"}
+
+
+def test_resume_rebuilds_deleted_stage(ray_session, fixture_paths, pipeline_result):
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+
+    before = pipeline_result["entities"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    shutil.rmtree(os.path.join(OUTDIR, "entities"))
+    shutil.rmtree(os.path.join(OUTDIR, "lineage"))
+    res2 = run_pages_er(fixture_paths["pages"], OUTDIR)
+    assert "entities" in res2["timings"] and "features" not in res2["timings"]
+    after = res2["entities"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    pa_before = pa.Table.from_pandas(before)
+    pa_after = pa.Table.from_pandas(after)
+    assert pa_before.equals(pa_after)
+
+
+def test_config_change_invalidates_checkpoints(ray_session, fixture_paths, pipeline_result):
+    from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
+    from entity_resolution_engine_ray.config import config_hash
+
+    cfg2 = PagesERConfig(gate_low=0.71)
+    store = CheckpointStore(OUTDIR)
+    assert not store.is_done("edges", config_hash(cfg2))
+    assert store.is_done("edges", config_hash(PagesERConfig()))
