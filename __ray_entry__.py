@@ -4,41 +4,48 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library code these functions use) calls ``ray.init()`` /
+``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pages-ER pipeline on a deterministic synthetic fixture sized
+    for the sf0.001 smoke tier; returns the entities Dataset."""
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+    fix = write_pages_fixture("/tmp/er_fixture_entry", 1000, seed=42)
+    res = run_pages_er(fix["pages"], "/tmp/er_entry_out")
+    return res["entities"].select_columns(
+        ["entity_id", "canonical_url", "domain", "lang", "n_members"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 and the
+    training-data-pipeline operator set (dedup / similarity search / text
+    analysis / windows / joins / argmax / top-k / flagship ER)."""
+    from entity_resolution_engine_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (column names/dtypes match exactly);
+    sketch/heuristic/ER queries are intentionally absent → rows-only check."""
+    from entity_resolution_engine_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,560 @@
+"""Driver-graded query registry over the testdata tables.
+
+Each entry implements one operator family from SURVEY.md §2 (plus the
+training-data-pipeline operators) as an idiomatic Ray Data pipeline over
+``{sf_dir}/*.parquet``, paired with an ANSI-SQL oracle DuckDB runs on the
+same tables. Column names and dtypes match the oracle exactly (the driver
+hashes values column-name-sorted).
+
+Scale idioms demonstrated and used throughout:
+- column pruning at the read (``read_parquet(columns=[...])``)
+- partial per-batch aggregation before the global groupby shuffle
+- broadcast lookup joins for small dimension tables
+- hash joins (isolated via stages/joins.safe_join) for large-large
+- partition-grouped vectorized processing (stages/grouping) for argmax /
+  sessionization / dedup instead of per-group Python
+- per-batch top-k before a tiny global top-k
+
+Rounding: DuckDB ``ROUND`` is round-half-away-from-zero; numpy/pyarrow round
+half-to-even. ``round_half_away`` reproduces DuckDB's ``std::round(x*p)/p``
+bit-for-bit so value hashes match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from entity_resolution_engine_ray.functions.textstats import (
+    PUNCT_PATTERN,
+    TOKEN_PATTERN,
+    detect_language,
+    md5_fingerprint,
+)
+from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+from entity_resolution_engine_ray.stages.joins import safe_join
+
+
+def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    p = 10.0**decimals
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.round(np.abs(x) * p) / p, x)  # np.round of .5 on abs
+
+
+def _rha(x, decimals):
+    """round-half-away matching DuckDB's std::round(x*p)/p."""
+    p = 10.0**decimals
+    x = np.asarray(x, dtype=np.float64)
+    scaled = x * p
+    return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup on text: representative doc_id + duplicate count per
+    distinct text. Hash-partition + per-group first (SURVEY.md §2.7).
+
+    Grouping is on a 64-bit stable content hash (collision-free at any
+    realistic scale) so the shuffle moves 8-byte keys, not full documents."""
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pa.array([stable_hash64(x) for x in t["text"].to_pylist()], type=pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "h": h})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes"))
+        .select_columns(["doc_id", "n_dupes"])
+    )
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    """Per-language corpus stats with partial per-batch pre-aggregation
+    before the (tiny) global groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        tmp = pa.table({"lang": t["lang"], "toks": toks, "chars": chars}).to_pandas()
+        g = tmp.groupby("lang", as_index=False).agg(
+            n_docs=("toks", "size"), total_tokens=("toks", "sum"), sum_chars=("chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    ).to_pandas()
+    agg["avg_chars"] = _rha(agg["sum_chars"] / agg["n_docs"], 2)
+    out = agg[["lang", "n_docs", "total_tokens", "avg_chars"]].copy()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out
+
+
+def q_doc_quality(sf_dir: str):
+    """Per-document quality features (length / punctuation ratios) with a
+    quality filter — vectorized Arrow kernels, no Python row loop."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(t["text"], PUNCT_PATTERN), pa.float64())
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        punct_ratio = _rha(np.where(nc > 0, n_punct.to_numpy(zero_copy_only=False) / nc, 0.0), 4)
+        mean_token_len = _rha(np.where(nt > 0, nc / nt, 0.0), 4)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+                "mean_token_len": pa.array(mean_token_len, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_tokens"], 10))
+
+    return ds.map_batches(features, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Deterministic md5 document fingerprint (DuckDB-identical)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp": pa.array(md5_fingerprint(t["text"].to_pylist()), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language id (no SQL oracle — heuristic model)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def lid(t: pa.Table) -> pa.Table:
+        pred = detect_language(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(list(pred), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def q_near_dup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clustering of documents (shingle → minhash →
+    band → bucket groupby → verified pairs → connected components).
+    No SQL oracle (sketch-based)."""
+    from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
+
+    return minhash_near_dup_clusters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+def q_simhash_fingerprint(sf_dir: str):
+    """64-bit SimHash per document (no SQL oracle)."""
+    from entity_resolution_engine_ray.stages.dedup import simhash_stage
+
+    return simhash_stage(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational: aggregates / joins / argmax / anti-join
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: filter at the read, partial per-batch
+    aggregation, tiny global groupby."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"), type=t["l_shipdate"].type))
+        t = t.filter(mask)
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        pdf = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base": t["l_extendedprice"],
+                "disc": disc_price,
+            }
+        ).to_pandas()
+        g = pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base=("base", "sum"), sum_disc=("disc", "sum"), n=("qty", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base", alias_name="sum_base"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n", alias_name="n"),
+        )
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": _rha(agg["sum_qty"], 2),
+            "sum_base_price": _rha(agg["sum_base"], 2),
+            "sum_disc_price": _rha(agg["sum_disc"], 2),
+            "avg_qty": _rha(agg["sum_qty"] / agg["n"], 2),
+            "n_rows": agg["n"].astype(np.int64),
+        }
+    )
+    return out
+
+
+def q_top_customer_order(sf_dir: str):
+    """Argmax-per-key (the reference's top-1-per-left-key matcher selection,
+    SURVEY.md §2.3): each customer's highest-value order, ties → min
+    orderkey. Partition-grouped vectorized sort + first."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pdf.drop_duplicates("o_custkey", keep="first")
+
+    return partition_map_groups(ds, ["o_custkey"], top1, 32)
+
+
+def q_nation_revenue(sf_dir: str):
+    """customer ⋈ orders revenue per nation: large-large hash join +
+    broadcast dimension lookup (nation is tiny → shipped once, not shuffled)."""
+    import pyarrow.parquet as pq
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation_tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+
+    joined = safe_join(orders, customer, on=("o_custkey",), right_on=("c_custkey",))
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        names = [nation_map[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, type=pa.string()), "o_totalprice": t["o_totalprice"]}
+        )
+
+    agg = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    ).to_pandas()
+    agg["revenue"] = _rha(agg["revenue"], 2)
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    return agg[["n_name", "revenue", "n_orders"]]
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti join: customers with no FINISHED ('F') order — predicate pushed
+    to the read, then left outer hash join + null filter (scales as a hash
+    join; a Bloom-filter broadcast is the alternative for small key sets)."""
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    order_keys = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus"],
+            filter=(pc.field("o_orderstatus") == "F"),
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    joined = safe_join(
+        customer, order_keys, join_type="left_outer", on=("c_custkey",), right_on=("o_custkey",)
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["n"])).select(["c_custkey"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessionization / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: (event_type, hour) counts + value sums.
+    Partial per-batch pre-agg, global groupby on the partials."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        pdf = pa.table({"event_type": t["event_type"], "hour": hour, "value": t["value"]}).to_pandas()
+        g = pdf.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    ).to_pandas()
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["sum_value"] = _rha(agg["sum_value"], 2)
+    agg["hour"] = agg["hour"].astype("datetime64[us]")  # match DuckDB TIMESTAMP
+    return agg[["event_type", "hour", "n_events", "sum_value"]]
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization (30-minute inactivity gap) per user — the streaming-
+    window analog (ray_guide 'Streaming-shaped workloads'): partition by key,
+    sort by ts within the partition group, vectorized gap detection."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = pdf["user_id"].ne(pdf["user_id"].shift())
+        gap = pdf["ts"].diff() > pd.Timedelta(minutes=30)
+        new_session = (new_user | gap).astype(np.int64)
+        out = pdf.assign(ns=new_session).groupby("user_id", as_index=False).agg(
+            n_sessions=("ns", "sum"), n_events=("ns", "size")
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return partition_map_groups(ds, ["user_id"], sessions, 32)
+
+
+def q_top_events(sf_dir: str):
+    """Global top-k: per-batch partial top-k, tiny driver-side final merge."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    k = 20
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, k, [("value", "descending"), ("event_id", "ascending")])
+        return t.take(idx)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort").head(k)
+    partials["value"] = _rha(partials["value"], 2)
+    return partials.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine_top10(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector: per-batch
+    numpy matmul + partial top-k, tiny global merge (the IVF/LSH variant is
+    stages/knn.py)."""
+    from entity_resolution_engine_ray.stages.knn import knn_brute_force
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    out = knn_brute_force(ds, q, k=10, id_col="vec_id", exclude_ids={0})
+    out["cos"] = _rha(out["cos"], 4)
+    return out
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (no SQL oracle — uses the
+    LSH-bucketed scale path with exact verification)."""
+    from entity_resolution_engine_ray.stages.knn import cosine_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # the synthetic embeddings top out ≈0.51 pairwise cosine; 0.4 with short
+    # 4-bit bands (16 bands → ~94% bucket recall at cos 0.4) keeps the
+    # operator exercised end-to-end
+    return cosine_near_dup_pairs(ds, id_col="vec_id", threshold=0.4, band_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# flagship ER over synthesized pages (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_er_pages_entities(sf_dir: str):
+    """Flagship pages ER end-to-end on the deterministic synthetic pages
+    fixture (2k pages, seed 42) — entities table out. Rows-only check."""
+    import os
+
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+    fix = write_pages_fixture("/tmp/er_fixture_q2000", 2000, seed=42)
+    out_dir = "/tmp/er_query_out"
+    res = run_pages_er(fix["pages"], out_dir)
+    return res["entities"].select_columns(
+        ["entity_id", "canonical_url", "domain", "lang", "n_members"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "near_dup_minhash": q_near_dup_minhash,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "lineitem_pricing": q_lineitem_pricing,
+    "top_customer_order": q_top_customer_order,
+    "nation_revenue": q_nation_revenue,
+    "customers_no_orders": q_customers_no_orders,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "top_events": q_top_events,
+    "knn_cosine_top10": q_knn_cosine_top10,
+    "embedding_near_dup": q_embedding_near_dup,
+    "er_pages_entities": q_er_pages_entities,
+}
+
+_TOK = TOKEN_PATTERN
+_PUN = PUNCT_PATTERN
+
+ORACLE_SQL = {
+    "exact_dedup_docs": (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text"
+    ),
+    "doc_stats_by_lang": f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_TOK}'))) AS BIGINT) AS total_tokens,
+               ROUND(SUM(length(text)) * 1.0 / COUNT(*), 2) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_quality": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{_TOK}')) AS n_tokens,
+               ROUND(CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '{_PUN}')) * 1.0 / length(text)
+                     ELSE 0 END, 4) AS punct_ratio,
+               ROUND(CASE WHEN len(regexp_extract_all(text, '{_TOK}')) > 0
+                     THEN length(text) * 1.0 / len(regexp_extract_all(text, '{_TOK}'))
+                     ELSE 0 END, 4) AS mean_token_len
+        FROM documents
+        WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customer_order": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "nation_revenue": """
+        SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "user_sessions": """
+        WITH gaps AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM gaps GROUP BY user_id
+    """,
+    "top_events": """
+        SELECT event_id, ROUND(value, 2) AS value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+    "knn_cosine_top10": """
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+        FROM embeddings
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """,
+    # lang_id, near_dup_minhash, simhash_fingerprint, embedding_near_dup,
+    # er_pages_entities: non-SQL-expressible (sketches / heuristics / ER) —
+    # rows-only checks by design.
+}
