@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Headline: the flagship pages-ER pipeline (extract → block → pairs → score →
+cluster → merge) over a deterministic synthetic Common-Crawl-style pages
+fixture sized to the scale factor (500k pages/sf-unit ⇒ sf0.1 → 50k pages),
+plus every queries() operator over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "pages_er_e2e", "value": <headline sec>, "unit": "sec",
+   "pages_per_sec": ..., "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the SAME fixture and reports both throughputs and
+the scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import uuid
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_pages = max(500, int(1_000_000 * sf))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+    from entity_resolution_engine_ray.pipelines.queries import QUERIES
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+    # fixture generation is cached and untimed; one untimed read warms the
+    # page cache so the timed run measures compute + shuffle, not cold disk
+    fix = write_pages_fixture(f"/tmp/er_bench_fixture_{n_pages}", n_pages, seed=42)
+    import ray.data as rd
+
+    rd.read_parquet(fix["pages"]).count()
+
+    out_dir = f"/tmp/er_bench_out_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    res = run_pages_er(fix["pages"], out_dir)
+    headline = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name, fn in QUERIES.items():
+            if name == "er_pages_entities":
+                continue  # the headline already covers the flagship
+            t0 = time.perf_counter()
+            out = fn(sf_dir)
+            # force execution for lazy Datasets
+            if hasattr(out, "count") and not hasattr(out, "columns"):
+                out.count()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "pages_er_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "pages_per_sec": round(n_pages / headline, 1),
+        "n_pages": n_pages,
+        "stage_timings": res["timings"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same fixture + pipeline at 8 and 32 CPUs in fresh processes."""
+    times = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        rec = json.loads(out.strip().splitlines()[-1])
+        times[ncpu] = rec
+    t8, t32 = times[8]["value"], times[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "pages_er_scaling",
+        "sec_8": t8,
+        "sec_32": t32,
+        "pages_per_sec_8": times[8]["pages_per_sec"],
+        "pages_per_sec_32": times[32]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": times[32]["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -120,10 +120,18 @@ def n_splits_for(n_members: int, cap: int) -> int:
     return 1 if n_members <= cap else -(-n_members // cap)
 
 
-def split_block(urls_sorted: list[str], cap: int) -> list[list[str]]:
-    """Deterministic hash-based skew capping: ``stable_hash64(url) % n_splits``
-    sub-blocks. Order-free, so the engine can salt the shuffle key with the
-    same assignment. Sub-blocks returned with members sorted."""
+def salt_of(url_hash: int, block_key: int, n_splits: int) -> int:
+    """Sub-block assignment for hot-bucket splitting. The block key is mixed
+    in so DIFFERENT bands of the same hot cluster split along different
+    lines — with url-only salting every band would partition the cluster
+    identically and cross-sub-block members would never meet on any band."""
+    return ((url_hash ^ block_key) & 0x7FFFFFFFFFFFFFFF) % n_splits
+
+
+def split_block(urls_sorted: list[str], cap: int, block_key: int = 0) -> list[list[str]]:
+    """Deterministic hash-based skew capping into ``ceil(n/cap)`` sub-blocks.
+    Order-free, so the engine can salt the shuffle key with the same
+    assignment. Sub-blocks returned with members sorted."""
     from entity_resolution_engine_ray.functions.similarity import stable_hash64
 
     n_splits = n_splits_for(len(urls_sorted), cap)
@@ -131,7 +139,7 @@ def split_block(urls_sorted: list[str], cap: int) -> list[list[str]]:
         return [urls_sorted]
     subs: list[list[str]] = [[] for _ in range(n_splits)]
     for u in urls_sorted:
-        subs[stable_hash64(u) % n_splits].append(u)
+        subs[salt_of(stable_hash64(u), block_key, n_splits)].append(u)
     return [s for s in subs if s]
 
 
@@ -186,7 +194,7 @@ def run_serial_er(pages: pa.Table, cfg: PagesERConfig | None = None) -> OracleRe
         if len(members) < 2:
             continue
         members_sorted = sorted(members)
-        runs = split_block(members_sorted, cfg.max_block_size)
+        runs = split_block(members_sorted, cfg.max_block_size, block_key=key)
         if len(runs) > 1:
             n = len(members_sorted)
             total = n * (n - 1) // 2

@@ -21,13 +21,13 @@ import pyarrow as pa
 import ray.data as rd
 
 from entity_resolution_engine_ray.config import PagesERConfig, config_hash
-from entity_resolution_engine_ray.stages.block import block_rows_stage, feature_stage
+from entity_resolution_engine_ray.stages.block import feature_stage
 from entity_resolution_engine_ray.stages.cluster import cluster_edges
 from entity_resolution_engine_ray.stages.extract import extract_stage
-from entity_resolution_engine_ray.stages.merge import merge_stage
-from entity_resolution_engine_ray.stages.pairs import candidate_pairs_stage
-from entity_resolution_engine_ray.stages.score import gate_metrics, score_stage
+from entity_resolution_engine_ray.stages.score import fused_edges_stage, gate_metrics
 from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
+
+PIPELINE_VERSION = 2
 
 
 def run_pages_er(
@@ -43,7 +43,10 @@ def run_pages_er(
     schema (url, warc_ts, html, text, lang).
     """
     cfg = cfg or PagesERConfig()
-    phash = config_hash(cfg)
+    # the code version is part of the checkpoint identity: stage semantics /
+    # schema changes must invalidate old checkpoints even when the config
+    # dataclass is unchanged
+    phash = f"{config_hash(cfg)}-v{PIPELINE_VERSION}"
     store = CheckpointStore(out_dir, enabled=True)
     timings: dict[str, float] = {}
     t_start = time.perf_counter()
@@ -68,39 +71,52 @@ def run_pages_er(
             features = feature_stage(extracted, cfg)
             features = store.write(features, "features", phash)
 
-    # ---- stage 3: candidate pairs (salted groupby + dedup)
-    if resume and store.is_done("pairs", phash):
-        pairs = store.read("pairs")
-        dropped = store.manifest("pairs").get("dropped_pairs", 0)
-    else:
-        with timed("pairs"):
-            block_rows = block_rows_stage(features)
-            pairs, dropped = candidate_pairs_stage(block_rows, cfg)
-            pairs = store.write(pairs, "pairs", phash, extra={"dropped_pairs": dropped})
-
-    # ---- stage 4: score + gate
+    # ---- stage 3+4: candidate pairs + score + gate, fused into one
+    # fat-block shuffle (stages/score.fused_edges_stage — identical pair and
+    # score semantics to the slim pairgen + join + PairScorer chain, ~4×
+    # less shuffle traffic)
     if resume and store.is_done("edges", phash):
         edges = store.read("edges")
+        dropped = store.manifest("edges").get("dropped_pairs", 0)
     else:
         with timed("edges"):
-            edges = score_stage(pairs, features, cfg, num_partitions=num_partitions)
-            edges = store.write(edges, "edges", phash)
+            with timed("edges_compute"):
+                edges, dropped = fused_edges_stage(features, cfg)
+            with timed("edges_write"):
+                edges = store.write(edges, "edges", phash, extra={"dropped_pairs": dropped})
 
-    # ---- stage 5: cluster approved edges
-    if resume and store.is_done("labels", phash):
-        labels = store.read("labels")
+    # ---- stage 5: cluster approved edges → fully-labeled pages checkpoint.
+    # "auto"/"local": distributed contraction (partition-local union-find →
+    # small spanning forest) + driver union + broadcast label map — zero
+    # joins, one slim shuffle. "labelprop": fully-distributed min-label
+    # propagation for inputs whose connected-node set exceeds driver memory.
+    if resume and store.is_done("labeled", phash):
+        labeled = store.read("labeled")
     else:
         with timed("labels"):
+            import ray
+
+            from entity_resolution_engine_ray.stages.cluster import cluster_label_map
+            from entity_resolution_engine_ray.stages.merge import (
+                build_labeled,
+                label_features_broadcast,
+            )
+
             approved = edges.filter(
                 expr="decision == 'auto_approve' or decision == 'gray_approve'"
             )
-            labels = cluster_edges(
-                approved,
-                method=cfg.cluster_method,
-                num_partitions=num_partitions,
-                max_iterations=cfg.max_cc_iterations,
-            )
-            labels = store.write(labels, "labels", phash)
+            if cfg.cluster_method in ("auto", "local"):
+                label_map = cluster_label_map(approved)
+                labeled = label_features_broadcast(features, ray.put(label_map))
+            else:
+                labels = cluster_edges(
+                    approved,
+                    method=cfg.cluster_method,
+                    num_partitions=num_partitions,
+                    max_iterations=cfg.max_cc_iterations,
+                )
+                labeled = build_labeled(features, labels, num_partitions)
+            labeled = store.write(labeled, "labeled", phash)
 
     # ---- stage 6: survivorship merge + lineage
     if resume and store.is_done("entities", phash) and store.is_done("lineage", phash):
@@ -108,8 +124,15 @@ def run_pages_er(
         lineage = store.read("lineage")
     else:
         with timed("entities"):
-            entities, lineage = merge_stage(features, labels, num_partitions=num_partitions)
+            from entity_resolution_engine_ray.stages.merge import (
+                entities_from_labeled,
+                lineage_from_labeled,
+            )
+
+            labeled = labeled.materialize()
+            entities = entities_from_labeled(labeled)
             entities = store.write(entities, "entities", phash)
+            lineage = lineage_from_labeled(labeled)
             lineage = store.write(lineage, "lineage", phash)
 
     # ---- run metrics (small, driver-side — reference pipeline_run_metrics)

@@ -204,16 +204,20 @@ def write_pages_fixture(
     n_pages: int,
     seed: int = 42,
     hot_frac: float = 0.05,
-    shard_rows: int = 20_000,
+    shard_rows: int | None = None,
 ) -> dict[str, str]:
     """Write (or reuse) a cached fixture: ``pages/`` parquet shards + truth.
 
-    Sharded so Ray reads get natural input parallelism; a manifest guards
-    cache reuse against parameter changes.
+    Sharded into ≥64 files with small row groups: Ray Data parallelism before
+    the first shuffle is bounded by input block count, so a 5-shard layout
+    would cap every map stage at 5 tasks regardless of cluster CPUs. A
+    manifest guards cache reuse against parameter changes.
     """
+    if shard_rows is None:
+        shard_rows = max(512, n_pages // 64)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
-    params = {"n_pages": n_pages, "seed": seed, "hot_frac": hot_frac, "v": 3}
+    params = {"n_pages": n_pages, "seed": seed, "hot_frac": hot_frac, "shard_rows": shard_rows, "v": 4}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == params:
@@ -224,7 +228,11 @@ def write_pages_fixture(
     for old in os.listdir(pages_dir):
         os.remove(os.path.join(pages_dir, old))
     for shard, start in enumerate(range(0, pages.num_rows, shard_rows)):
-        pq.write_table(pages.slice(start, shard_rows), os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
+        pq.write_table(
+            pages.slice(start, shard_rows),
+            os.path.join(pages_dir, f"part-{shard:05d}.parquet"),
+            row_group_size=max(256, shard_rows // 8),
+        )
     pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
     with open(manifest_path, "w") as f:
         json.dump(params, f)

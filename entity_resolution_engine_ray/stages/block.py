@@ -27,6 +27,7 @@ import pyarrow as pa
 from entity_resolution_engine_ray.config import PagesERConfig
 from entity_resolution_engine_ray.functions.similarity import (
     hash_tokens,
+    stable_hash64,
     lsh_band_keys,
     minhash_coefficients,
     minhash_signature,
@@ -51,10 +52,13 @@ class FeatureExtractor:
         titles = batch["title"].to_pylist()
         n = len(texts)
         tokens_col: list[str] = []
+        url_hashes = np.zeros(n, dtype=np.int64)
         simhashes = np.zeros(n, dtype=np.int64)
         band_keys_col: list[list[int]] = []
         title_norms: list[str] = []
+        urls_py = batch["url"].to_pylist()
         for i in range(n):
+            url_hashes[i] = stable_hash64(urls_py[i])
             toks = canonical_tokens(texts[i])
             th = hash_tokens(toks, self.cache)
             sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *self.coeffs)
@@ -68,6 +72,7 @@ class FeatureExtractor:
         return pa.table(
             {
                 "url": batch["url"],
+                "url_hash": pa.array(url_hashes, type=pa.int64()),
                 "warc_ts": batch["warc_ts"],
                 "lang": batch["lang"],
                 "title_norm": pa.array(title_norms, type=pa.string()),
@@ -87,14 +92,28 @@ def default_pool_size() -> tuple[int, int]:
     return (1, max(2, cpus - 2))
 
 
-def feature_stage(extracted_ds, cfg: PagesERConfig | None = None, concurrency=None, batch_size: int = 2048):
+# process-global featureizer cache: plain-function map_batches tasks are
+# elastically scheduled (no actor-pool ramp-up), while each worker process
+# still builds coefficient tables / token caches exactly once per config.
+_FEATURE_STATE: dict[tuple, FeatureExtractor] = {}
+
+
+def featurize_batch(batch: pa.Table, cfg: PagesERConfig) -> pa.Table:
+    key = (cfg.num_perm, cfg.bands, cfg.shingle_k)
+    state = _FEATURE_STATE.get(key)
+    if state is None:
+        state = FeatureExtractor(cfg)
+        _FEATURE_STATE[key] = state
+    return state(batch)
+
+
+def feature_stage(extracted_ds, cfg: PagesERConfig | None = None, concurrency=None, batch_size: int = 1024):
     cfg = cfg or PagesERConfig()
     return extracted_ds.map_batches(
-        FeatureExtractor,
-        fn_constructor_kwargs={"cfg": cfg},
+        featurize_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_pool_size(),
     )
 
 
@@ -117,3 +136,30 @@ def block_rows_stage(features_ds):
     return features_ds.select_columns(["url", "band_keys"]).map_batches(
         explode_block_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
+    """Fat explode: one (url, block_key, tokens, simhash, title_norm) row per
+    band. Ships each page's features ``bands`` times through ONE sort
+    shuffle — cheaper in total than joining features onto the pair list
+    twice (the join path moves the payload once per PAIR side, and pairs
+    outnumber pages ~30:1 on web near-dup workloads)."""
+    keys = batch["band_keys"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    flat = keys.flatten()
+    counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
+    idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
+    cols = {"block_key": flat}
+    for name in ("url", "url_hash", "tokens", "simhash", "title_norm"):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[name] = col.take(idx)
+    return pa.table(cols)
+
+
+def fat_block_rows_stage(features_ds):
+    return features_ds.select_columns(
+        ["url", "url_hash", "band_keys", "tokens", "simhash", "title_norm"]
+    ).map_batches(explode_block_rows_with_features, batch_format="pyarrow", zero_copy_batch=True)

@@ -139,6 +139,84 @@ def _merge_labels(t: pa.Table) -> pa.Table:
     )
 
 
+def _forest_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Local union-find over one hash partition of (src, dst) edges → the
+    partition's spanning forest as (node, root) pairs. The union of
+    per-partition forests preserves global connectivity with ≤ Σ_p |V_p|
+    edges — typically ≪ |E| for dense near-dup graphs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent.setdefault(p, p)
+            x = p
+            p = parent[x]
+        return x
+
+    for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
+    keep = nodes != roots
+    return pd.DataFrame({"src": nodes[keep], "dst": roots[keep]})
+
+
+def cluster_label_map(edges_ds, num_partitions: int = 64, contraction_rounds: int = 2) -> dict[int, int]:
+    """Distributed-contraction connected components → driver-side label map
+    {node_hash: component_root_hash} (root = min member hash).
+
+    Each round: hash-partition the edge list, run union-find LOCALLY per
+    partition, keep only the spanning forest (≈|V| rows). One round
+    typically shrinks web-dedup edge lists 10-30×; the final forest is
+    unioned on the driver. The map's size is O(|V_connected|) — for inputs
+    where that exceeds driver memory use ``connected_components_labelprop``
+    (the fully-distributed path) instead."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    def to_int_edges(t: pa.Table) -> pa.Table:
+        # prefer the precomputed id columns (fused edges carry them);
+        # fall back to hashing urls for arbitrary edge Datasets
+        if "left_id" in t.schema.names:
+            return pa.table({"src": t["left_id"], "dst": t["right_id"]})
+        return pa.table(
+            {
+                "src": pa.array(
+                    [stable_hash64(u) for u in t["left_url"].to_pylist()], type=pa.int64()
+                ),
+                "dst": pa.array(
+                    [stable_hash64(u) for u in t["right_url"].to_pylist()], type=pa.int64()
+                ),
+            }
+        )
+
+    hashed = edges_ds.map_batches(to_int_edges, batch_format="pyarrow")
+    forest = hashed
+    for _ in range(contraction_rounds):
+        forest = partition_map_groups(forest, ["src", "dst"], _forest_partition, num_partitions)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent.setdefault(p, p)
+            x = p
+            p = parent[x]
+        return x
+
+    for batch in forest.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        for u, v in zip(batch["src"].to_numpy(), batch["dst"].to_numpy()):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+    return {n: find(n) for n in list(parent)}
+
+
 def connected_components_local(edges_ds):
     """Driver-side union-find fallback for provably-small edge sets."""
     uf = UnionFind()

@@ -27,6 +27,7 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from entity_resolution_engine_ray.functions.ids import cluster_entity_id
 from entity_resolution_engine_ray.functions.similarity import stable_hash64
@@ -67,48 +68,122 @@ def _survivor_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def merge_stage(features_ds, labels_ds, num_partitions=None):
-    """features (url, warc_ts, lang, title_norm) + labels (url,
-    cluster_label) → (entities_ds, lineage_ds)."""
-    from entity_resolution_engine_ray.stages.joins import default_join_partitions, safe_join
+def _lineage_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition of clusters → one lineage row per member url
+    (the reference's ``source_lineage`` explode), entity ids recomputed from
+    cluster contents (pure function — no join needed)."""
+    pdf = pdf.sort_values(["cluster_label", "url"], kind="mergesort")
+    ids = pdf.groupby("cluster_label", sort=False)["url"].transform(
+        lambda u: cluster_entity_id("PAGE", list(u))
+    )
+    return pd.DataFrame(
+        {
+            "url": pdf["url"].to_numpy(),
+            "entity_id": ids.to_numpy(),
+            "source_domain": [normalize_domain(u) for u in pdf["url"]],
+        }
+    )
+
+
+def label_features_broadcast(features_ds, label_map_ref):
+    """Fast path: attach cluster labels to every page in ONE map_batches
+    pass against a broadcast {node_hash: root_hash} map (``ray.put`` once,
+    read per task — never re-shipped per batch). Singletons label with their
+    own url hash."""
+    import ray
+
+    def add_label(t: pa.Table) -> pa.Table:
+        label_map = ray.get(label_map_ref) if not isinstance(label_map_ref, dict) else label_map_ref
+        if "url_hash" in t.schema.names:
+            hashes = t["url_hash"].to_numpy(zero_copy_only=False)
+        else:
+            hashes = np.fromiter(
+                (stable_hash64(u) for u in t["url"].to_pylist()), dtype=np.int64, count=t.num_rows
+            )
+        labels = np.empty(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            h = int(h)
+            labels[i] = label_map.get(h, h)
+        out = t.append_column("cluster_label", pa.array(labels, type=pa.int64()))
+        return out.select(["url", "warc_ts", "lang", "title_norm", "cluster_label"])
+
+    cols = ["url", "warc_ts", "lang", "title_norm"]
+    if "url_hash" in features_ds.schema().names:
+        cols.append("url_hash")
+    return features_ds.select_columns(cols).map_batches(add_label, batch_format="pyarrow")
+
+
+def build_labeled(features_ds, labels_ds, num_partitions=None):
+    """Scale path: align page metadata with a labels *Dataset* (labelprop
+    output) via a tagged union + one hash-partition pass — no hash-join
+    aggregator actors, one sort shuffle."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
 
     num_partitions = num_partitions or default_join_partitions()
-    pages_meta = features_ds.select_columns(["url", "warc_ts", "lang", "title_norm"])
-    joined = safe_join(
-        pages_meta, labels_ds, join_type="left_outer", on=("url",), right_on=("url",),
-        num_partitions=num_partitions,
-    )
 
-    def fill_singletons(batch: pd.DataFrame) -> pd.DataFrame:
-        missing = batch["cluster_label"].isna()
+    def meta_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "lang": t["lang"],
+                "title_norm": t["title_norm"],
+                "cluster_label": pa.nulls(t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def label_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": pa.nulls(t.num_rows, type=pa.timestamp("us")),
+                "lang": pa.nulls(t.num_rows, type=pa.string()),
+                "title_norm": pa.nulls(t.num_rows, type=pa.string()),
+                "cluster_label": t["cluster_label"],
+            }
+        )
+
+    tagged = features_ds.select_columns(["url", "warc_ts", "lang", "title_norm"]).map_batches(
+        meta_side, batch_format="pyarrow"
+    ).union(labels_ds.map_batches(label_side, batch_format="pyarrow"))
+
+    def merge_url_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "cluster_label"], kind="mergesort")
+        meta = pdf[pdf["cluster_label"].isna()]
+        lbl = pdf[pdf["cluster_label"].notna()][["url", "cluster_label"]]
+        out = meta.drop(columns="cluster_label").merge(lbl, on="url", how="left")
+        missing = out["cluster_label"].isna()
         if missing.any():
-            batch = batch.copy()
-            batch.loc[missing, "cluster_label"] = [
-                np.int64(stable_hash64(u)) for u in batch.loc[missing, "url"]
+            out.loc[missing, "cluster_label"] = [
+                np.int64(stable_hash64(u)) for u in out.loc[missing, "url"]
             ]
-        batch["cluster_label"] = batch["cluster_label"].astype(np.int64)
-        return batch
+        out["cluster_label"] = out["cluster_label"].astype(np.int64)
+        return out
 
+    return partition_map_groups(tagged, ["url"], merge_url_partition, num_partitions)
+
+
+def entities_from_labeled(labeled_ds, num_partitions: int = 64):
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
-    labeled = joined.map_batches(fill_singletons, batch_format="pandas").materialize()
-    entities = partition_map_groups(
-        labeled, ["cluster_label"], _survivor_partition, num_partitions
-    ).materialize()
+    return partition_map_groups(labeled_ds, ["cluster_label"], _survivor_partition, num_partitions)
 
-    # flat lineage: url → entity_id (the source_lineage explode analog)
-    lineage = (
-        safe_join(
-            labeled.select_columns(["url", "cluster_label"]),
-            entities.select_columns(["cluster_label", "entity_id"]),
-            on=("cluster_label",),
-            right_on=("cluster_label",),
-            num_partitions=num_partitions,
-        )
-        .map_batches(
-            lambda b: b.assign(source_domain=[normalize_domain(u) for u in b["url"]]),
-            batch_format="pandas",
-        )
-        .select_columns(["url", "entity_id", "source_domain"])
+
+def lineage_from_labeled(labeled_ds, num_partitions: int = 64):
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    return partition_map_groups(
+        labeled_ds.select_columns(["url", "cluster_label"]),
+        ["cluster_label"],
+        _lineage_partition,
+        num_partitions,
     )
-    return entities, lineage
+
+
+def merge_stage(features_ds, labels_ds, num_partitions=None):
+    """features + labels Dataset → (entities, lineage). Library wrapper over
+    build_labeled → entities_from_labeled / lineage_from_labeled."""
+    labeled = build_labeled(features_ds, labels_ds, num_partitions).materialize()
+    np_ = num_partitions or 64
+    return entities_from_labeled(labeled, np_), lineage_from_labeled(labeled, np_)

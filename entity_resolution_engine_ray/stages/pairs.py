@@ -29,8 +29,34 @@ from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 from entity_resolution_engine_ray.oracle.serial import n_splits_for
 
 
-def hot_key_splits(block_rows_ds, cap: int) -> dict[int, int]:
-    """block_key → n_splits for buckets over the cap (driver-side small dict)."""
+def hot_key_splits(block_rows_ds, cap: int, driver_row_limit: int = 100_000_000) -> dict[int, int]:
+    """block_key → n_splits for buckets over the cap (driver-side small dict).
+
+    Fast path: stream per-batch ``value_counts`` partials to a driver dict —
+    one pass, no shuffle. Above ``driver_row_limit`` distinct-key rows the
+    exact count groupby takes over (multi-node scale path)."""
+    import numpy as np
+
+    n_rows = block_rows_ds.count()
+    if n_rows <= driver_row_limit:
+        totals: dict[int, int] = {}
+
+        def partial(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(t["block_key"])
+            return pa.table(
+                {"k": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+            )
+
+        for batch in block_rows_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            ks = batch["k"].to_numpy(zero_copy_only=False)
+            ns = batch["n"].to_numpy(zero_copy_only=False)
+            for k, n in zip(ks, ns):
+                key = int(k)
+                totals[key] = totals.get(key, 0) + int(n)
+        return {k: n_splits_for(n, cap) for k, n in totals.items() if n > cap}
+
     counts = block_rows_ds.groupby("block_key").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), cap)), batch_format="pyarrow"
@@ -43,14 +69,23 @@ def hot_key_splits(block_rows_ds, cap: int) -> dict[int, int]:
 
 
 def _salt_batch(batch: pa.Table, hot: dict[int, int]) -> pa.Table:
+    from entity_resolution_engine_ray.oracle.serial import salt_of
+
     keys = batch["block_key"].to_numpy(zero_copy_only=False)
     salts = np.zeros(len(keys), dtype=np.int32)
     if hot:
-        urls = batch["url"].to_pylist()
+        if "url_hash" in batch.schema.names:
+            uhash = batch["url_hash"].to_numpy(zero_copy_only=False)
+        else:
+            uhash = np.fromiter(
+                (stable_hash64(u) for u in batch["url"].to_pylist()),
+                dtype=np.int64,
+                count=batch.num_rows,
+            )
         for i, k in enumerate(keys):
             ns = hot.get(int(k))
             if ns:
-                salts[i] = stable_hash64(urls[i]) % ns
+                salts[i] = salt_of(int(uhash[i]), int(k), ns)
     return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
 

@@ -36,6 +36,27 @@ class PairScorer:
 
     def __init__(self, cfg: PagesERConfig | None = None):
         self.cfg = cfg or PagesERConfig()
+        # actor-lifetime caches: near-dup workloads repeat the same urls and
+        # titles across many pairs (variants share titles), so token-set
+        # construction and Jaro-Winkler hit these caches far more than they
+        # miss. Bounded — cleared when oversized.
+        self._set_cache: dict[str, frozenset] = {}
+        self._jw_cache: dict[tuple[str, str], float] = {}
+
+    def _tokset(self, joined: str) -> frozenset:
+        s = self._set_cache.get(joined)
+        if s is None:
+            s = frozenset(joined.split("\x1f")) if joined else frozenset()
+            self._set_cache[joined] = s
+        return s
+
+    def _jw(self, a: str, b: str) -> float:
+        key = (a, b)
+        v = self._jw_cache.get(key)
+        if v is None:
+            v = jaro_winkler(a, b)
+            self._jw_cache[key] = v
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -53,17 +74,20 @@ class PairScorer:
         jw = np.empty(n, dtype=np.float64)
         for i in range(n):
             # tokens are "\x1f"-joined unique sorted token strings
-            a = lt[i].split("\x1f") if lt[i] else []
-            b = rt[i].split("\x1f") if rt[i] else []
-            if not a and not b:
+            sa = self._tokset(lt[i])
+            sb = self._tokset(rt[i])
+            if not sa and not sb:
                 jac[i] = 1.0
-            elif not a or not b:
+            elif not sa or not sb:
                 jac[i] = 0.0
             else:
-                sa = set(a)
-                inter = sum(1 for t in b if t in sa)
-                jac[i] = inter / (len(sa) + len(b) - inter)
-            jw[i] = jaro_winkler(ltit[i], rtit[i])
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+            jw[i] = self._jw(ltit[i], rtit[i])
+        if len(self._set_cache) > 500_000:
+            self._set_cache.clear()
+        if len(self._jw_cache) > 2_000_000:
+            self._jw_cache.clear()
 
         score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
 
@@ -117,10 +141,173 @@ def score_stage(pairs_ds, features_ds, cfg: PagesERConfig | None = None, num_par
     )
 
 
+def _pair_score_partition(pdf, cfg: PagesERConfig):
+    """One hash partition of fat (block_key, salt) sub-blocks → scored,
+    gated edges. Pair order/cap semantics identical to the slim pairgen
+    (oracle-parity); scoring identical to PairScorer."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["block_key", "salt", "url"], kind="mergesort")
+    keys = pdf["block_key"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    urls = pdf["url"].to_numpy()
+    url_hashes = pdf["url_hash"].to_numpy().astype(np.int64)
+    toks = pdf["tokens"].to_numpy()
+    sims = pdf["simhash"].to_numpy().astype(np.int64)
+    titles = pdf["title_norm"].to_numpy()
+    change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, len(pdf)]
+    li, ri, okeys = [], [], []
+    dropped = 0
+    cap = cfg.pair_sample_cap
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        if len(ii) > cap:
+            dropped += len(ii) - cap
+            ii, jj = ii[:cap], jj[:cap]
+        li.append(ii + s)
+        ri.append(jj + s)
+        okeys.append(np.full(len(ii), keys[s], dtype=np.int64))
+    cols = [
+        "left_url", "right_url", "left_id", "right_id", "block_key", "score",
+        "jaccard", "simhash_sim", "title_sim", "decision", "dropped",
+    ]
+    if not li:
+        return pd.DataFrame(
+            {
+                c: pd.Series(
+                    [],
+                    dtype=(
+                        np.int64
+                        if c in ("block_key", "dropped", "left_id", "right_id")
+                        else (np.float64 if c in ("score", "jaccard", "simhash_sim", "title_sim") else object)
+                    ),
+                )
+                for c in cols
+            }
+        )
+    lidx = np.concatenate(li)
+    ridx = np.concatenate(ri)
+    # partition-local pre-dedup (same pair emitted by several bands that
+    # hashed into this partition): keep min block_key, skip re-scoring.
+    # The global cross-partition dedup still runs downstream.
+    okey = np.concatenate(okeys)
+    pre = pd.DataFrame({"l": urls[lidx], "r": urls[ridx], "k": okey, "li": lidx, "ri": ridx})
+    pre = pre.sort_values(["l", "r", "k"], kind="mergesort").drop_duplicates(["l", "r"], keep="first")
+    lidx = pre["li"].to_numpy()
+    ridx = pre["ri"].to_numpy()
+    okeys = [pre["k"].to_numpy()]
+    n = len(lidx)
+    sim_sim = 1.0 - _popcount64(
+        np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
+    ) / 64.0
+    set_cache: dict[str, frozenset] = {}
+    jw_cache: dict[tuple[str, str], float] = {}
+
+    def tokset(joined: str) -> frozenset:
+        v = set_cache.get(joined)
+        if v is None:
+            v = frozenset(joined.split("\x1f")) if joined else frozenset()
+            set_cache[joined] = v
+        return v
+
+    jac = np.empty(n, dtype=np.float64)
+    jw = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sa = tokset(toks[lidx[i]])
+        sb = tokset(toks[ridx[i]])
+        if not sa and not sb:
+            jac[i] = 1.0
+        elif not sa or not sb:
+            jac[i] = 0.0
+        else:
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        key = (titles[lidx[i]], titles[ridx[i]])
+        v = jw_cache.get(key)
+        if v is None:
+            v = jaro_winkler(key[0], key[1])
+            jw_cache[key] = v
+        jw[i] = v
+
+    score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
+    gray_label = "gray_approve" if cfg.fallback_mode == "auto_approve" else "review"
+    decision = np.where(
+        score < cfg.gate_low, "reject", np.where(score >= cfg.gate_high, "auto_approve", gray_label)
+    )
+    drops = np.zeros(n, dtype=np.int64)
+    drops[0] = dropped
+    return pd.DataFrame(
+        {
+            "left_url": urls[lidx],
+            "right_url": urls[ridx],
+            "left_id": url_hashes[lidx],
+            "right_id": url_hashes[ridx],
+            "block_key": np.concatenate(okeys),
+            "score": score,
+            "jaccard": jac,
+            "simhash_sim": sim_sim,
+            "title_sim": jw,
+            "decision": decision,
+            "dropped": drops,
+        }
+    )
+
+
+def _dedup_edges_partition(pdf):
+    """Keep the min-block_key instance of each scored pair (scores of
+    duplicate instances are identical by construction)."""
+    pdf = pdf.sort_values(["left_url", "right_url", "block_key"], kind="mergesort")
+    return pdf.drop_duplicates(["left_url", "right_url"], keep="first")
+
+
+def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64):
+    """features → scored+gated edge Dataset in two shuffles (fat-block
+    sort shuffle + slim edge dedup), replacing the pairgen + 2-join + score
+    chain. Returns (edges_ds, dropped_pair_count)."""
+    from entity_resolution_engine_ray.stages.block import block_rows_stage, fat_block_rows_stage
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
+
+    cfg = cfg or PagesERConfig()
+    features_ds = features_ds.materialize()
+    hot = hot_key_splits(block_rows_stage(features_ds), cfg.max_block_size)
+    fat = fat_block_rows_stage(features_ds).map_batches(
+        _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
+    )
+    raw = partition_map_groups(
+        fat, ["block_key", "salt"], lambda p: _pair_score_partition(p, cfg), num_partitions
+    ).materialize()
+    dropped = int(raw.sum("dropped") or 0)
+    edges = partition_map_groups(
+        raw.drop_columns(["dropped"]), ["left_url", "right_url"], _dedup_edges_partition, num_partitions
+    )
+    return edges, dropped
+
+
 def gate_metrics(edges_ds) -> dict:
     """Per-run routing metrics mirroring the reference's
-    pipeline_run_metrics fields (validation/router.py:227-245)."""
-    counts = {row["decision"]: row["count()"] for row in edges_ds.groupby("decision").count().iter_rows()}
+    pipeline_run_metrics fields (validation/router.py:227-245).
+
+    One streaming pass with per-batch partial counts (no shuffle)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["decision"])
+        return pa.table(
+            {
+                "decision": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts: dict[str, int] = {}
+    for row in edges_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[row["decision"]] = counts.get(row["decision"], 0) + row["n"]
     approved = counts.get("auto_approve", 0) + counts.get("gray_approve", 0)
     review = counts.get("review", 0)
     rejected = counts.get("reject", 0)
