@@ -163,8 +163,12 @@ def test_resume_rebuilds_deleted_stage(ray_session, fixture_paths, pipeline_resu
 def test_config_change_invalidates_checkpoints(ray_session, fixture_paths, pipeline_result):
     from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
     from entity_resolution_engine_ray.config import config_hash
+    from entity_resolution_engine_ray.pipelines.pages_er import PIPELINE_VERSION
 
-    cfg2 = PagesERConfig(gate_low=0.71)
     store = CheckpointStore(OUTDIR)
-    assert not store.is_done("edges", config_hash(cfg2))
-    assert store.is_done("edges", config_hash(PagesERConfig()))
+    cfg2_hash = f"{config_hash(PagesERConfig(gate_low=0.71))}-v{PIPELINE_VERSION}"
+    cur_hash = f"{config_hash(PagesERConfig())}-v{PIPELINE_VERSION}"
+    old_version_hash = f"{config_hash(PagesERConfig())}-v{PIPELINE_VERSION - 1}"
+    assert not store.is_done("edges", cfg2_hash)
+    assert not store.is_done("edges", old_version_hash)
+    assert store.is_done("edges", cur_hash)
