@@ -1,0 +1,260 @@
+"""Reference-parity tests for the relational two-source ER pipeline.
+
+Pins carried over from the reference test suite (SURVEY.md §5):
+- John Doe / Jon Doe player match ≥ 0.85 (tests/test_basic_mapping.py:26-61)
+- misaligned team maps ⇒ zero match matches (tests/test_matches_matcher.py:8-43)
+- seasons FK fallback alpha→beta (tests/test_seasons_matcher.py:4-43)
+- router gray-zone partitioning / call cap / circuit breaker
+  (tests/test_validation_router.py:13-180)
+- end-to-end overlap recovery on the seeded fixtures (30 teams, 9 comps,
+  1600 players ground truth)
+"""
+
+from datetime import date
+
+import pyarrow as pa
+import pytest
+
+from entity_resolution_engine_ray.config import GrayZone, ValidationConfig
+from entity_resolution_engine_ray.sources.relational import generate_relational_fixtures
+from entity_resolution_engine_ray.state.router import ValidationResult, route_matches
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return generate_relational_fixtures()
+
+
+def test_fixture_determinism(fixtures):
+    again = generate_relational_fixtures()
+    assert fixtures["alpha"]["players"].equals(again["alpha"]["players"])
+    assert fixtures["beta"]["teams"].equals(again["beta"]["teams"])
+
+
+def test_player_match_basic_pin(ray_session):
+    from entity_resolution_engine_ray.pipelines.relational_er import match_players
+
+    alpha_players = pa.table(
+        {
+            "player_id": pa.array([1], type=pa.int64()),
+            "name": ["John Doe"],
+            "dob": pa.array([date(1995, 4, 1)], type=pa.date32()),
+            "nationality": ["England"],
+            "height_cm": pa.array([180], type=pa.int32()),
+            "foot": ["right"],
+            "team_id": pa.array([10], type=pa.int64()),
+        }
+    )
+    beta_players = pa.table(
+        {
+            "id": pa.array([99], type=pa.int64()),
+            "full_name": ["Jon Doe"],
+            "birth_year": pa.array([1995], type=pa.int32()),
+            "nationality": ["England"],
+            "height_cm": pa.array([181], type=pa.int32()),
+            "footedness": ["right-footed"],
+            "team_name": ["City FC"],
+        }
+    )
+    beta_teams = pa.table({"id": pa.array([77], type=pa.int64()), "display_name": ["City FC"]})
+    matches = match_players(alpha_players, beta_players, {10: 77}, beta_teams)
+    assert len(matches) == 1
+    assert matches[0]["alpha_player_id"] == 1
+    assert matches[0]["beta_player_id"] == 99
+    assert matches[0]["confidence"] >= 0.85
+
+
+def test_matches_matcher_misaligned_teams(ray_session, fixtures):
+    from entity_resolution_engine_ray.pipelines.relational_er import match_matches
+
+    alpha_matches = pa.table(
+        {
+            "match_id": pa.array([1], type=pa.int64()),
+            "home_team_id": pa.array([1], type=pa.int64()),
+            "away_team_id": pa.array([2], type=pa.int64()),
+            "season_id": pa.array([1], type=pa.int64()),
+            "competition_id": pa.array([1], type=pa.int64()),
+            "match_date": pa.array([date(2021, 5, 1)], type=pa.date32()),
+        }
+    )
+    beta_matches = pa.table(
+        {
+            "id": pa.array([50], type=pa.int64()),
+            "home_team_id": pa.array([101], type=pa.int64()),
+            "away_team_id": pa.array([102], type=pa.int64()),
+            "season_id": pa.array([301], type=pa.int64()),
+            "competition_id": pa.array([201], type=pa.int64()),
+            "match_date": pa.array([date(2021, 5, 1)], type=pa.date32()),
+        }
+    )
+    # misaligned team map (home maps to the wrong beta team) ⇒ no match
+    out = match_matches(alpha_matches, beta_matches, {1: 102, 2: 101}, {1: 201}, {1: 301})
+    assert out == []
+    # aligned ⇒ exact-date match with confidence 1.0
+    out = match_matches(alpha_matches, beta_matches, {1: 101, 2: 102}, {1: 201}, {1: 301})
+    assert len(out) == 1 and out[0]["confidence"] == pytest.approx(1.0)
+
+
+def test_season_entities_fk_fallback():
+    from entity_resolution_engine_ray.pipelines.relational_er import build_season_entities
+
+    matches = [
+        {
+            "alpha_season_id": 1,
+            "beta_season_id": 301,
+            "confidence": 1.0,
+            "start_year": 2020,
+            "end_year": 2021,
+            "alpha_competition_id": 1,
+            "beta_competition_id": 201,
+        }
+    ]
+    # alpha comp id present → used
+    ents, _, _ = build_season_entities(matches, {1: "UESC-xxx"})
+    assert ents[0]["competition_ues_id"] == "UESC-xxx"
+    # alpha missing → beta fallback
+    ents, _, _ = build_season_entities(matches, {201: "UESC-yyy"})
+    assert ents[0]["competition_ues_id"] == "UESC-yyy"
+
+
+# ---------------------------------------------------------------- router
+
+
+def _mk(score):
+    return {"confidence": score, "conflict_flags": []}
+
+
+def test_router_gray_zone_partition_pin():
+    # reference tests/test_validation_router.py:13-53 — scores (0.95, 0.8,
+    # 0.6) vs low=0.7/high=0.9 ⇒ 2 approved / 1 rejected / 0 review with
+    # LLM disabled + auto_approve fallback
+    cfg = ValidationConfig(gray_zones={"t": GrayZone(0.7, 0.9)})
+    out = route_matches("t", [_mk(0.95), _mk(0.8), _mk(0.6)], cfg)
+    assert len(out.approved) == 2
+    assert len(out.rejected) == 1
+    assert len(out.review_items) == 0
+    assert out.metrics["llm_disabled_reason"] == "llm_unavailable"
+    # reference semantics: auto_match_count = approved - llm_match, so the
+    # gray fallback approval counts as auto too (validation/router.py:232)
+    assert out.metrics["auto_match_count"] == 2
+    assert out.metrics["gray_zone_sent_count"] == 0  # disabled → nothing sent
+    assert out.metrics["total_candidates"] == 3
+
+
+def test_router_conflict_blocks_auto_approve():
+    cfg = ValidationConfig(gray_zones={"t": GrayZone(0.7, 0.9)})
+    m = {"confidence": 0.95, "conflict_flags": ["country_mismatch"]}
+    out = route_matches("t", [m], cfg)
+    # falls into the gray/fallback path instead of direct auto-approve
+    assert len(out.approved) == 1
+    assert out.metrics["llm_match_count"] == 0
+
+
+def test_router_review_fallback_mode():
+    cfg = ValidationConfig(
+        gray_zones={"t": GrayZone(0.7, 0.9)}, fallback_mode_when_llm_unhealthy="review"
+    )
+    out = route_matches("t", [_mk(0.8)], cfg)
+    assert len(out.approved) == 0
+    assert len(out.review_items) == 1
+    assert out.metrics["llm_review_count"] == 1
+
+
+def test_router_max_calls_cap():
+    cfg = ValidationConfig(
+        enabled=True, max_calls_per_entity_type_per_run=2, gray_zones={"t": GrayZone(0.7, 0.9)}
+    )
+    calls = []
+
+    def validator(m):
+        calls.append(m)
+        return ValidationResult("MATCH", 0.9)
+
+    out = route_matches("t", [_mk(0.8)] * 5, cfg, validator)
+    assert len(calls) == 2
+    assert out.metrics["llm_call_count"] == 2
+    assert out.metrics["llm_disabled_reason"] == "max_calls_exceeded"
+    assert len(out.approved) == 5  # 2 via validator + 3 via fallback
+
+
+def test_router_circuit_breaker_opens():
+    cfg = ValidationConfig(
+        enabled=True,
+        circuit_breaker_window=4,
+        circuit_breaker_max_fail_rate=0.5,
+        gray_zones={"t": GrayZone(0.7, 0.9)},
+    )
+
+    def failing(m):
+        return ValidationResult("REVIEW", 0.0, risk_flags=["llm_error"])
+
+    out = route_matches("t", [_mk(0.8)] * 10, cfg, failing)
+    assert out.metrics["llm_disabled_reason"] == "circuit_breaker_open"
+    assert out.metrics["llm_call_count"] == 4  # window fills, then opens
+    assert out.metrics["llm_error_count"] == 4
+
+
+# ---------------------------------------------------------------- end-to-end
+
+
+@pytest.fixture(scope="module")
+def er_result(ray_session, fixtures):
+    from entity_resolution_engine_ray.pipelines.relational_er import run_relational_er
+
+    return run_relational_er(fixtures["alpha"], fixtures["beta"])
+
+
+def test_team_overlap_recovered(er_result, fixtures, ray_session):
+    from entity_resolution_engine_ray.pipelines.relational_er import match_teams
+
+    # matcher level: 30 shared teams with FC/Club/SC mutations; the
+    # fc-alias + token-sort scorer recovers ≥ 27 of them correctly
+    raw = match_teams(fixtures["alpha"]["teams"], fixtures["beta"]["teams"])
+    correct_raw = sum(
+        1 for m in raw if m["beta_team_id"] - 101 == m["alpha_team_id"] - 1 and m["alpha_team_id"] <= 30
+    )
+    assert correct_raw >= 27
+    # post-gate (gray low=0.78 rejects sub-0.78 true matches — reference
+    # three-way gate semantics): entity count bounded, mostly correct
+    teams = er_result["entities"]["teams"]
+    assert 15 <= len(teams) <= 40
+    correct = sum(
+        1
+        for m in er_result["outcomes"]["team"].approved
+        if m["beta_team_id"] - 101 == m["alpha_team_id"] - 1 and m["alpha_team_id"] <= 30
+    )
+    assert correct >= len(teams) * 0.8
+
+
+def test_player_overlap_recovered(er_result):
+    approved = er_result["outcomes"]["player"].approved
+    # 1600 shared players with mutated names; expect high precision on the
+    # ground-truth alignment (alpha i+1 ↔ beta 5001+i for i < 1600)
+    correct = sum(1 for m in approved if m["beta_player_id"] - 5001 == m["alpha_player_id"] - 1)
+    assert len(approved) > 0
+    precision = correct / len(approved)
+    assert precision >= 0.95, f"precision {precision:.3f} over {len(approved)} approved"
+    assert correct >= 1000  # recall floor given name-mutation severity
+
+
+def test_metrics_shape(er_result):
+    for metrics in er_result["metrics"]:
+        assert {"total_candidates", "auto_match_count", "gray_zone_sent_count",
+                "llm_call_count", "llm_disabled_reason"} <= set(metrics)
+
+
+def test_entity_ids_deterministic(er_result, fixtures):
+    from entity_resolution_engine_ray.pipelines.relational_er import run_relational_er
+
+    again = run_relational_er(fixtures["alpha"], fixtures["beta"])
+    ids1 = sorted(t["ues_team_id"] for t in er_result["entities"]["teams"])
+    ids2 = sorted(t["ues_team_id"] for t in again["entities"]["teams"])
+    assert ids1 == ids2
+
+
+def test_source_lineage_explode(er_result):
+    lineage = er_result["source_lineage"]
+    teams = er_result["entities"]["teams"]
+    team_rows = [l for l in lineage if l["ues_entity_type"] == "team"]
+    assert len(team_rows) == 2 * len(teams)  # one ALPHA + one BETA row each
+    assert {l["source_system"] for l in team_rows} == {"ALPHA", "BETA"}
