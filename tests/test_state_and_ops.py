@@ -1,0 +1,312 @@
+"""Tests for metrics/gates/anomalies, lookups, multimodal plumbing, dedup
+operators, knn, and the distributed connected-components paths."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from entity_resolution_engine_ray.config import QualityGateConfig
+from entity_resolution_engine_ray.state.metrics import (
+    MetricsStore,
+    build_quality_report,
+    detect_anomalies,
+    evaluate_quality_gates,
+)
+
+
+def _metric_row(entity="page", total=100, gray=10, review=2, calls=10, errors=0, auto_match=80, auto_reject=10):
+    return {
+        "entity_type": entity,
+        "total_candidates": total,
+        "gray_zone_sent_count": gray,
+        "llm_review_count": review,
+        "llm_call_count": calls,
+        "llm_error_count": errors,
+        "auto_match_count": auto_match,
+        "auto_reject_count": auto_reject,
+    }
+
+
+# ---------------------------------------------------------------- gates
+
+
+def test_quality_gates_pass():
+    res = evaluate_quality_gates([_metric_row()], high_severity_count=0)
+    assert res["status"] == "PASS"
+    assert res["failed_gates"] == []
+    assert res["gate_values"]["gray_zone_rate"] == pytest.approx(0.1)
+
+
+def test_quality_gates_fail_each_gate():
+    # gray zone over 0.35
+    res = evaluate_quality_gates([_metric_row(gray=40)])
+    assert "max_gray_zone_rate" in res["failed_gates"]
+    # review rate over 0.15
+    res = evaluate_quality_gates([_metric_row(review=20)])
+    assert "max_llm_review_rate" in res["failed_gates"]
+    # error rate over 0.05
+    res = evaluate_quality_gates([_metric_row(errors=5)])
+    assert "max_llm_error_rate" in res["failed_gates"]
+    # HIGH anomaly
+    res = evaluate_quality_gates([_metric_row()], high_severity_count=1)
+    assert res["status"] == "FAIL" and "high_severity_anomalies" in res["failed_gates"]
+    # configurable off
+    res = evaluate_quality_gates(
+        [_metric_row()], high_severity_count=1,
+        config=QualityGateConfig(fail_on_high_severity_anomalies=False),
+    )
+    assert res["status"] == "PASS"
+
+
+def test_quality_gates_empty_metrics():
+    res = evaluate_quality_gates([])
+    assert res["status"] == "PASS"
+    assert res["gate_values"]["total_candidates"] == 0
+
+
+# ---------------------------------------------------------------- anomalies
+
+
+def test_anomaly_detection(tmp_path):
+    store = MetricsStore(str(tmp_path))
+    # 8 baseline runs with steady rates
+    for i in range(8):
+        store.append_run_metrics(f"run{i}", [_metric_row(gray=10 + (i % 2))])
+    # anomalous run: gray zone rate jumps 10→60
+    store.append_run_metrics("runX", [_metric_row(gray=60)])
+    anomalies = detect_anomalies(store, "runX", "page")
+    names = {a["metric_name"] for a in anomalies}
+    assert "gray_zone_rate" in names
+    g = next(a for a in anomalies if a["metric_name"] == "gray_zone_rate")
+    assert g["severity"] == "HIGH"  # huge z-score
+    # fewer than 2 baseline rows → no anomalies
+    store2 = MetricsStore(str(tmp_path / "s2"))
+    store2.append_run_metrics("only", [_metric_row(gray=60)])
+    assert detect_anomalies(store2, "only", "page") == []
+
+
+def test_quality_report(tmp_path):
+    store = MetricsStore(str(tmp_path))
+    for i in range(3):
+        store.append_run_metrics(f"r{i}", [_metric_row()])
+    store.append_run_metrics("rX", [_metric_row(gray=90)])
+    detect_anomalies(store, "rX", "page")
+    report = build_quality_report(store, "rX")
+    assert report["run_id"] == "rX"
+    assert len(report["metrics"]) == 1
+
+
+# ---------------------------------------------------------------- lookups
+
+
+def test_lookups_and_review_queue(ray_session):
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+    from entity_resolution_engine_ray.state.lookups import (
+        ReviewQueue,
+        entity_by_id,
+        entity_by_url,
+        lineage_of_entity,
+    )
+
+    fix = write_pages_fixture("/tmp/er_test_fixture", 500, seed=42)
+    out = "/tmp/er_lookup_out"
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_pages_er(fix["pages"], out)
+    ent = res["entities"].take(1)[0]
+    got = entity_by_id(out, ent["entity_id"])
+    assert got and got["canonical_url"] == ent["canonical_url"]
+    via_url = entity_by_url(out, ent["canonical_url"])
+    assert via_url and via_url["entity_id"] == ent["entity_id"]
+    lin = lineage_of_entity(out, ent["entity_id"])
+    assert len(lin) == ent["n_members"]
+
+    rq = ReviewQueue(out)
+    rq.add("item1", {"entity_type": "page", "candidate": {"x": 1}})
+    assert rq.list(status="PENDING")[0]["id"] == "item1"
+    rq.approve("item1")
+    assert rq.list(status="APPROVED")[0]["id"] == "item1"
+    with pytest.raises(KeyError):
+        rq.reject("nope")
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_image_feature_stage(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import (
+        ImageFeatureExtractor,
+        image_feature_stage,
+    )
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "image": pa.array([b"fakepng1", b"fakepng2", b"fakepng1"], type=pa.binary()),
+        }
+    )
+    out = image_feature_stage(rd.from_arrow(tbl), dim=16).to_pandas()
+    assert list(out.columns) == ["id", "width", "height", "embedding"]
+    assert all(len(e) == 16 for e in out["embedding"])
+    # deterministic: same payload → same features
+    e1 = out[out["id"] == 1]["embedding"].iloc[0]
+    e3 = out[out["id"] == 3]["embedding"].iloc[0]
+    assert np.allclose(list(e1), list(e3))
+    # the real-decoder path is explicitly not implemented here
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(decoder="pillow")
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import frame_sample_stage
+
+    tbl = pa.table(
+        {
+            "id": pa.array([7], type=pa.int64()),
+            "video": pa.array([b"x" * 50_000], type=pa.binary()),
+        }
+    )
+    out = frame_sample_stage(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 5  # 50 "frames" sampled every 10
+    assert set(out["id"]) == {7}
+    assert out["frame_index"].tolist() == [0, 10, 20, 30, 40]
+
+
+# ---------------------------------------------------------------- dedup ops
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["same", "same", "different", "same"],
+        }
+    )
+    out = exact_dedup(rd.from_arrow(tbl), "doc_id", "text").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_dupes"].tolist() == [3, 1]
+
+
+def test_near_dup_clusters_token_and_ngram(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import (
+        minhash_near_dup_clusters,
+        ngram_near_dup_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " extra", "completely different words entirely here now", base.replace("quick", "swift")]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()), "text": texts})
+    out = minhash_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).sort_values("doc_id")
+    # docs 0,1,3 cluster together; doc 2 is alone
+    assert out[out["doc_id"] == 0]["cluster_id"].iloc[0] == out[out["doc_id"] == 1]["cluster_id"].iloc[0]
+    assert out[out["doc_id"] == 2]["cluster_size"].iloc[0] == 1
+    out2 = ngram_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).sort_values("doc_id")
+    assert out2[out2["doc_id"] == 0]["cluster_id"].iloc[0] == out2[out2["doc_id"] == 1]["cluster_id"].iloc[0]
+
+
+def test_simhash_stage(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.functions.similarity import hamming_similarity64
+    from entity_resolution_engine_ray.stages.dedup import simhash_stage
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["alpha beta gamma delta epsilon zeta eta theta", "alpha beta gamma delta epsilon zeta eta iota"],
+        }
+    )
+    out = simhash_stage(rd.from_arrow(tbl)).to_pandas()
+    sim = hamming_similarity64(int(out["simhash"][0]), int(out["simhash"][1]))
+    assert sim > 0.8
+
+
+# ---------------------------------------------------------------- knn
+
+
+def test_knn_brute_force_and_ivf(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16))
+    query = vecs[5] + rng.standard_normal(16) * 0.01  # near-match for id 5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = knn_brute_force(ds, query, k=5)
+    assert out.iloc[0]["vec_id"] == 5
+    assert out.iloc[0]["cos"] > 0.99
+    # IVF with full probing is exact
+    ivf_full = knn_ivf(ds, query, k=5, n_centroids=8, n_probe=8)
+    assert ivf_full.iloc[0]["vec_id"] == 5
+    # partial probing still finds the near-identical vector
+    ivf = knn_ivf(ds, query, k=5, n_centroids=8, n_probe=3)
+    assert 5 in set(ivf["vec_id"])
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def test_labelprop_matches_local_unionfind(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.cluster import (
+        cluster_label_map,
+        connected_components_labelprop,
+        connected_components_local,
+    )
+
+    # two chains + one triangle + isolated pair
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),          # chain of 4
+        ("x", "y"), ("y", "z"), ("z", "x"),          # triangle
+        ("p", "q"),                                   # pair
+    ]
+    tbl = pa.table(
+        {
+            "left_url": pa.array([e[0] for e in edges]),
+            "right_url": pa.array([e[1] for e in edges]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+
+    def partitions(pairs: dict[str, object]) -> set[frozenset]:
+        groups: dict[object, set] = {}
+        for k, v in pairs.items():
+            groups.setdefault(v, set()).add(k)
+        return {frozenset(g) for g in groups.values()}
+
+    lp = connected_components_labelprop(ds, num_partitions=4).to_pandas()
+    lp_parts = partitions(dict(zip(lp["url"], lp["cluster_label"])))
+    loc = connected_components_local(ds).to_pandas()
+    loc_parts = partitions(dict(zip(loc["url"], loc["cluster_label"])))
+    expected = {frozenset("abcd"), frozenset("xyz"), frozenset("pq")}
+    assert lp_parts == expected
+    assert loc_parts == expected
+
+    # contraction label map groups hashes identically
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
+    lm = cluster_label_map(ds, num_partitions=4)
+    cm_parts = partitions({u: lm.get(stable_hash64(u), stable_hash64(u)) for u in "abcdxyzpq"})
+    assert cm_parts == expected
