@@ -15,6 +15,7 @@ Usage::
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -135,8 +136,20 @@ def run_pages_er(
             lineage = lineage_from_labeled(labeled)
             lineage = store.write(lineage, "lineage", phash)
 
-    # ---- run metrics (small, driver-side — reference pipeline_run_metrics)
+    # ---- run metrics + anomaly detection + quality gates (driver-side,
+    # tiny — reference pipeline_run_metrics / anomaly_events /
+    # quality_gate_results lifecycle, cli/run_mapping.py:57-60,184-185)
     with timed("metrics"):
+        import uuid
+
+        from entity_resolution_engine_ray.state.metrics import (
+            MetricsStore,
+            detect_anomalies,
+            evaluate_quality_gates,
+            write_quality_gate_result,
+        )
+
+        run_id = str(uuid.uuid4())
         metrics = gate_metrics(edges)
         metrics.update(
             {
@@ -149,11 +162,21 @@ def run_pages_er(
         mtbl = pa.table({k: [v] for k, v in metrics.items() if not isinstance(v, dict)})
         store.write_table(mtbl, "metrics", phash, extra={"timings": timings})
 
+        mstore = MetricsStore(os.path.join(out_dir, "history"))
+        mstore.append_run_metrics(run_id, [metrics])
+        anomalies = detect_anomalies(mstore, run_id, "page")
+        high = sum(1 for a in anomalies if a["severity"] == "HIGH")
+        gate_result = evaluate_quality_gates([metrics], high_severity_count=high, run_id=run_id)
+        write_quality_gate_result(os.path.join(out_dir, "history"), gate_result)
+
     return {
         "out_dir": out_dir,
+        "run_id": run_id,
         "entities": entities,
         "lineage": lineage,
         "edges": edges,
         "metrics": metrics,
+        "anomalies": anomalies,
+        "quality_gate": gate_result,
         "timings": timings,
     }

@@ -442,6 +442,40 @@ def q_er_pages_entities(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_relational_er_entities(sf_dir: str):
+    """Reference-parity relational two-source ER over the seeded Alpha/Beta
+    fixtures: per-entity-type match+route+merge counts plus routing metrics
+    (rows-only — the pipeline the reference runs today, on Ray)."""
+    import pandas as pd
+
+    from entity_resolution_engine_ray.pipelines.relational_er import run_relational_er
+    from entity_resolution_engine_ray.sources.relational import generate_relational_fixtures
+
+    fx = generate_relational_fixtures()
+    res = run_relational_er(fx["alpha"], fx["beta"])
+    singular = {
+        "teams": "team",
+        "competitions": "competition",
+        "seasons": "season",
+        "players": "player",
+        "matches": "match",
+    }
+    rows = []
+    for etype, ents in res["entities"].items():
+        m = next(x for x in res["metrics"] if x["entity_type"] == singular[etype])
+        rows.append(
+            {
+                "entity_type": etype,
+                "n_entities": len(ents),
+                "total_candidates": m["total_candidates"],
+                "auto_match_count": m["auto_match_count"],
+                "auto_reject_count": m["auto_reject_count"],
+                "gray_zone_sent_count": m["gray_zone_sent_count"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -460,6 +494,7 @@ QUERIES = {
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "er_pages_entities": q_er_pages_entities,
+    "relational_er_entities": q_relational_er_entities,
 }
 
 _TOK = TOKEN_PATTERN
