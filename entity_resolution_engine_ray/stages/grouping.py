@@ -20,17 +20,19 @@ import numpy as np
 import pandas as pd
 
 
-def _add_partition_col(batch: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.DataFrame:
+def _add_partition_col(batch, key_cols: list[str], num_partitions: int):
+    """Arrow-native: only the key columns are pulled to numpy; the partition
+    id is appended zero-copy (no pandas conversion of the full batch)."""
+    import pyarrow as pa
+
     with np.errstate(over="ignore"):  # wraparound is fine for a partitioner
-        h = np.zeros(len(batch), dtype=np.uint64)
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
         for c in key_cols:
             h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                batch[c].to_numpy(), hash_key="0123456789abcdef"
+                batch[c].to_numpy(zero_copy_only=False), hash_key="0123456789abcdef"
             )
         pg = (h % np.uint64(num_partitions)).astype(np.int32)
-    batch = batch.copy()
-    batch["__pg"] = pg
-    return batch
+    return batch.append_column("__pg", pa.array(pg, type=pa.int32()))
 
 
 def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
@@ -43,6 +45,6 @@ def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
     parted = ds.map_batches(
         _add_partition_col,
         fn_kwargs={"key_cols": key_cols, "num_partitions": num_partitions},
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     return parted.groupby("__pg").map_groups(_wrapped, batch_format="pandas")

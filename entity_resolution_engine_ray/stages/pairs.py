@@ -39,7 +39,6 @@ def hot_key_splits(block_rows_ds, cap: int, driver_row_limit: int = 100_000_000)
 
     n_rows = block_rows_ds.count()
     if n_rows <= driver_row_limit:
-        totals: dict[int, int] = {}
 
         def partial(t: pa.Table) -> pa.Table:
             vc = pc.value_counts(t["block_key"])
@@ -47,15 +46,18 @@ def hot_key_splits(block_rows_ds, cap: int, driver_row_limit: int = 100_000_000)
                 {"k": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
             )
 
+        parts = []
         for batch in block_rows_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"
         ):
-            ks = batch["k"].to_numpy(zero_copy_only=False)
-            ns = batch["n"].to_numpy(zero_copy_only=False)
-            for k, n in zip(ks, ns):
-                key = int(k)
-                totals[key] = totals.get(key, 0) + int(n)
-        return {k: n_splits_for(n, cap) for k, n in totals.items() if n > cap}
+            parts.append(batch)
+        if not parts:
+            return {}
+        # vectorized driver reduce: concat partials, pandas groupby-sum
+        all_parts = pa.concat_tables(parts).to_pandas()
+        totals = all_parts.groupby("k", sort=False)["n"].sum()
+        hot = totals[totals > cap]
+        return {int(k): n_splits_for(int(n), cap) for k, n in hot.items()}
 
     counts = block_rows_ds.groupby("block_key").count()
     hot = counts.map_batches(
