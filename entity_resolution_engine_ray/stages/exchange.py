@@ -1,0 +1,100 @@
+"""Task-based hash exchange — a map/reduce shuffle without sorting.
+
+``Dataset.groupby`` implements exchange via a sort-based AllToAll: every
+block is sorted, range-partitioned, and merged — O(n log n) work and two
+full materializations for what hash partitioning does in O(n). This module
+implements the classic two-stage MR exchange with raw Ray tasks (the one
+place the Dataset API cannot express the physical plan we need —
+hash-partition-without-sort; see the builder brief's escape hatch):
+
+  stage 1 (one task per input block):   split the block into P sub-tables
+                                        by key hash → P object refs
+  stage 2 (one task per partition p):   concat the p-th sub-table of every
+                                        block → apply the user's vectorized
+                                        per-partition function
+
+Results are identical to ``grouping.partition_map_groups`` for any
+per-group-pure function (same partitioner hash). Deterministic: partition
+assignment depends only on key values.
+
+Scale note: B blocks × P partitions intermediate objects; both B and P grow
+with data/cluster size, so sub-tables stay block-sized. Empty sub-tables
+ship as zero-row tables (cheap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_FNV = np.uint64(1099511628211)
+
+
+def _partition_hash(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = h * _FNV + pd.util.hash_array(
+                tbl[c].to_numpy(zero_copy_only=False), hash_key="0123456789abcdef"
+            )
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+@ray.remote
+def _split_block(tbl: pa.Table, key_cols: list[str], num_partitions: int):
+    pg = _partition_hash(tbl, key_cols, num_partitions)
+    order = np.argsort(pg, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    sorted_pg = pg[order]
+    bounds = np.searchsorted(sorted_pg, np.arange(num_partitions + 1))
+    out = []
+    for p in range(num_partitions):
+        out.append(sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p]))
+    return tuple(out) if num_partitions > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _reduce_partition(fn, *subtables: pa.Table):
+    parts = [t for t in subtables if t.num_rows > 0]
+    merged = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else subtables[0]  # zero-row table, keeps the input schema
+    )
+    result = fn(merged.to_pandas())
+    # strip pandas metadata (schema-identity noise downstream)
+    out = pa.Table.from_pandas(result, preserve_index=False).replace_schema_metadata(None)
+    return out, out.num_rows
+
+
+def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
+    """Raw-task hash exchange: apply ``fn(pdf)`` once per hash partition of
+    ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),
+    handle an empty input frame, and be per-group-pure — the same contract
+    as grouping.partition_map_groups."""
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_items([])
+    splits = [
+        _split_block.options(num_returns=num_partitions).remote(ref, key_cols, num_partitions)
+        for ref in block_refs
+    ]
+    # splits[b][p] = sub-table of block b for partition p
+    reduced, counts = [], []
+    for p in range(num_partitions):
+        subs = [s[p] for s in splits] if num_partitions > 1 else list(splits)
+        table_ref, count_ref = _reduce_partition.remote(fn, *subs)
+        reduced.append(table_ref)
+        counts.append(count_ref)
+    # drop empty partitions (Ray's hash join mishandles some empty-block
+    # layouts); only the tiny row counts round-trip to the driver — result
+    # tables stay in the object store. Keep one empty block if ALL are
+    # empty so the schema survives.
+    n_rows = ray.get(counts)
+    keep = [r for r, n in zip(reduced, n_rows) if n > 0]
+    if not keep:
+        keep = [reduced[0]]
+    return rd.from_arrow_refs(keep)

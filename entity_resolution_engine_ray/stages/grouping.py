@@ -35,9 +35,18 @@ def _add_partition_col(batch, key_cols: list[str], num_partitions: int):
     return batch.append_column("__pg", pa.array(pg, type=pa.int32()))
 
 
-def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
+def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int, impl: str = "exchange"):
     """Apply ``fn(pdf)`` once per hash partition of ``key_cols``; ``fn`` must
-    itself group by ``key_cols`` (vectorized) and return a DataFrame."""
+    itself group by ``key_cols`` (vectorized), tolerate an empty frame, and
+    return a DataFrame.
+
+    impl="exchange" (default): task-based hash exchange (stages/exchange) —
+    no sort, one pass. impl="sort": Dataset.groupby sort shuffle (kept for
+    comparison and as a fallback)."""
+    if impl == "exchange":
+        from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
+
+        return hash_exchange_map_groups(ds, key_cols, fn, num_partitions)
 
     def _wrapped(group: pd.DataFrame) -> pd.DataFrame:
         return fn(group.drop(columns="__pg"))
