@@ -369,6 +369,19 @@ def q_user_sessions(sf_dir: str):
     return partition_map_groups(ds, ["user_id"], sessions, 32)
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding window (size 2h, slide 1h) per user over events — the
+    overlapping-window operator (stages/windows.sliding_window)."""
+    from entity_resolution_engine_ray.stages.windows import sliding_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = sliding_window(ds, "user_id", "ts", "value", size_s=7200, slide_s=3600).to_pandas()
+    out["sum_value"] = _rha(out["sum_value"], 2)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out[["user_id", "window_start", "n_events", "sum_value"]]
+
+
 def q_top_events(sf_dir: str):
     """Global top-k: per-batch partial top-k, tiny driver-side final merge."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
@@ -490,6 +503,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "sliding_window": q_sliding_window,
     "top_events": q_top_events,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
@@ -573,6 +587,16 @@ ORACLE_SQL = {
         SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM gaps GROUP BY user_id
+    """,
+    "sliding_window": """
+        SELECT user_id, window_start, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (
+            SELECT user_id, value,
+                   date_trunc('hour', ts) - to_hours(offs.h) AS window_start
+            FROM events, (VALUES (0), (1)) AS offs(h)
+        )
+        GROUP BY user_id, window_start
     """,
     "top_events": """
         SELECT event_id, ROUND(value, 2) AS value FROM events

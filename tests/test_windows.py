@@ -1,0 +1,75 @@
+"""Window operator tests (tumbling / sliding / session)."""
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events():
+    # key 1: events at 00:10, 00:50, 02:30; key 2: events at 00:05, 03:05
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 1.0),
+        (1, datetime(2024, 1, 1, 0, 50), 2.0),
+        (1, datetime(2024, 1, 1, 2, 30), 4.0),
+        (2, datetime(2024, 1, 1, 0, 5), 8.0),
+        (2, datetime(2024, 1, 1, 3, 5), 16.0),
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import tumbling_window
+
+    out = tumbling_window(rd.from_arrow(_events()), "user_id", "ts", "value", size_s=3600).to_pandas()
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    k1 = out[out["user_id"] == 1]
+    assert len(k1) == 2  # hour 0 (two events) and hour 2 (one)
+    assert k1.iloc[0]["n_events"] == 2 and k1.iloc[0]["sum_value"] == 3.0
+    assert k1.iloc[1]["sum_value"] == 4.0
+    assert out[out["user_id"] == 2]["n_events"].tolist() == [1, 1]
+
+
+def test_sliding_window_overlap(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import sliding_window
+
+    out = sliding_window(
+        rd.from_arrow(_events()), "user_id", "ts", "value", size_s=7200, slide_s=3600
+    ).to_pandas()
+    k1 = out[out["user_id"] == 1].sort_values("window_start").reset_index(drop=True)
+    # event at 00:10 lands in windows starting 23:00(prev day) and 00:00; etc.
+    w0 = k1[k1["window_start"] == pd.Timestamp("2024-01-01 00:00")]
+    assert w0["n_events"].iloc[0] == 2  # 00:10 + 00:50
+    w2 = k1[k1["window_start"] == pd.Timestamp("2024-01-01 02:00")]
+    assert w2["sum_value"].iloc[0] == 4.0
+    w1 = k1[k1["window_start"] == pd.Timestamp("2024-01-01 01:00")]
+    assert w1["sum_value"].iloc[0] == 4.0  # the 02:30 event covered by [01:00,03:00)
+
+
+def test_session_window(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import session_window
+
+    out = session_window(
+        rd.from_arrow(_events()), "user_id", "ts", "value", gap_s=3600
+    ).to_pandas()
+    k1 = out[out["user_id"] == 1].sort_values("session_start").reset_index(drop=True)
+    # 00:10+00:50 in one session (40min gap), 02:30 alone (100min gap)
+    assert len(k1) == 2
+    assert k1.iloc[0]["n_events"] == 2 and k1.iloc[0]["sum_value"] == 3.0
+    assert k1.iloc[1]["n_events"] == 1
+    k2 = out[out["user_id"] == 2]
+    assert len(k2) == 2  # 3h gap splits
