@@ -102,6 +102,10 @@ class PagesERConfig:
     gate_low: float = 0.70
     gate_high: float = 0.85
     fallback_mode: str = "auto_approve"
+    # optional distributed gray-zone validation (stages/validate) over
+    # decision == "review" edges; off by default (reference parity: the
+    # pipeline must be fully correct without it)
+    enable_llm_validation: bool = False
     # "auto": driver union-find when the approved-edge list is provably small
     # (≪ object-store budget), distributed label propagation otherwise.
     cluster_method: str = "auto"  # "labelprop" | "local" | "auto"

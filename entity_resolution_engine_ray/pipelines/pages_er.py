@@ -86,6 +86,17 @@ def run_pages_er(
             with timed("edges_write"):
                 edges = store.write(edges, "edges", phash, extra={"dropped_pairs": dropped})
 
+    # ---- optional stage 4b: distributed gray-zone validation (actor pool
+    # over review-decision edges; stages/validate). Off by default.
+    if cfg.enable_llm_validation:
+        if resume and store.is_done("validated", phash):
+            edges = store.read("validated")
+        else:
+            with timed("validated"):
+                from entity_resolution_engine_ray.stages.validate import validate_gray_zone
+
+                edges = store.write(validate_gray_zone(edges), "validated", phash)
+
     # ---- stage 5: cluster approved edges → fully-labeled pages checkpoint.
     # "auto"/"local": distributed contraction (partition-local union-find →
     # small spanning forest) + driver union + broadcast label map — zero
@@ -105,6 +116,7 @@ def run_pages_er(
 
             approved = edges.filter(
                 expr="decision == 'auto_approve' or decision == 'gray_approve'"
+                " or decision == 'llm_approve'"
             )
             if cfg.cluster_method in ("auto", "local"):
                 label_map = cluster_label_map(approved)

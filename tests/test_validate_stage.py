@@ -1,0 +1,74 @@
+"""Distributed gray-zone validation stage tests."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from entity_resolution_engine_ray.config import PagesERConfig
+from entity_resolution_engine_ray.stages.validate import (
+    DeterministicStubValidator,
+    EdgeCandidate,
+    GrayZoneValidatorPool,
+    validate_gray_zone,
+)
+
+
+def _edges_table():
+    return pa.table(
+        {
+            "left_url": ["a", "b", "c", "d"],
+            "right_url": ["w", "x", "y", "z"],
+            "score": pa.array([0.95, 0.75, 0.74, 0.3], type=pa.float64()),
+            "jaccard": pa.array([0.9, 0.7, 0.4, 0.1], type=pa.float64()),
+            "simhash_sim": pa.array([0.9, 0.8, 0.8, 0.5], type=pa.float64()),
+            "title_sim": pa.array([1.0, 0.9, 0.9, 0.2], type=pa.float64()),
+            "decision": ["auto_approve", "review", "review", "reject"],
+        }
+    )
+
+
+def test_validator_pool_batch_semantics():
+    pool = GrayZoneValidatorPool()
+    out = pool(_edges_table())
+    assert out["decision"].to_pylist() == ["llm_approve", "llm_approve", "review", "llm_reject"]
+    # wait: rows 0 and 3 were not review — the pool validates whatever it is
+    # given; slicing to the review subset is validate_gray_zone's job
+
+
+def test_validate_gray_zone_only_touches_review(ray_session):
+    import ray.data as rd
+
+    out = validate_gray_zone(rd.from_arrow(_edges_table())).to_pandas()
+    by_left = dict(zip(out["left_url"], out["decision"]))
+    assert by_left["a"] == "auto_approve"  # untouched
+    assert by_left["d"] == "reject"        # untouched
+    assert by_left["b"] == "llm_approve"   # jaccard 0.7 ≥ 0.6
+    assert by_left["c"] == "review"        # 0.3 ≤ jaccard 0.4 < 0.6
+
+
+def test_breaker_opens_on_crashing_validator():
+    class Crashing:
+        def __call__(self, c: EdgeCandidate) -> str:
+            raise RuntimeError("boom")
+
+    pool = GrayZoneValidatorPool(validator_factory=Crashing, breaker_window=4, breaker_max_fail_rate=0.5)
+    big = pa.concat_tables([_edges_table()] * 5)
+    out = pool(big)
+    assert set(out["decision"].to_pylist()) == {"review"}
+    assert pool.open  # breaker latched
+
+
+def test_pipeline_with_validation(ray_session):
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+    fix = write_pages_fixture("/tmp/er_test_fixture", 500, seed=42)
+    out = "/tmp/er_validate_out"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = PagesERConfig(fallback_mode="review", enable_llm_validation=True)
+    res = run_pages_er(fix["pages"], out, cfg=cfg)
+    decisions = set(res["edges"].unique("decision"))
+    assert "gray_approve" not in decisions  # review mode: no silent approvals
+    assert decisions & {"llm_approve", "llm_reject", "review", "auto_approve"}
+    assert res["entities"].count() > 0
