@@ -189,6 +189,45 @@ def build_quality_report(store: MetricsStore, run_id: str) -> dict:
     }
 
 
+def generate_triage_report(store: MetricsStore, run_id: str, entity_type: str) -> dict:
+    """Anomaly triage report (reference monitoring/llm_triage.py:52-135).
+
+    The reference asks an LLM to summarize anomalies and falls back to a
+    deterministic template when the LLM is unavailable (:32-49); this
+    engine ships the deterministic path (no network), with the same shape:
+    run/entity scope, per-metric deltas, and a severity-ranked summary."""
+    anomalies = store.anomalies()
+    if not anomalies.empty:
+        anomalies = anomalies[
+            anomalies["run_id"].str.startswith(run_id) & (anomalies["entity_type"] == entity_type)
+        ]
+    lines = []
+    sev_rank = {"HIGH": 0, "MEDIUM": 1}
+    rows = (
+        sorted(anomalies.to_dict("records"), key=lambda r: (sev_rank.get(r["severity"], 9), r["metric_name"]))
+        if not anomalies.empty
+        else []
+    )
+    for r in rows:
+        delta = r["current_value"] - r["baseline_value"]
+        lines.append(
+            f"[{r['severity']}] {r['metric_name']}: {r['current_value']:.3f} "
+            f"(baseline {r['baseline_value']:.3f}, Δ{delta:+.3f}, z={r['z_score']:.2f})"
+        )
+    report = {
+        "run_id": run_id,
+        "entity_type": entity_type,
+        "anomaly_count": len(rows),
+        "summary": "; ".join(lines) if lines else "no anomalies detected",
+        "generated_by": "deterministic_fallback",
+    }
+    out_dir = os.path.join(store.dir, "triage_reports")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{run_id}-{entity_type}.json"), "w") as f:
+        json.dump(report, f)
+    return report
+
+
 def write_quality_gate_result(history_dir: str, result: dict) -> None:
     os.makedirs(os.path.join(history_dir, "quality_gates"), exist_ok=True)
     path = os.path.join(history_dir, "quality_gates", f"{result['run_id']}.json")

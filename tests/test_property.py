@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the byte-identical kernels."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_engine_ray.functions.similarity import (
+    indel_ratio,
+    jaro_winkler,
+    minhash_coefficients,
+    minhash_signature,
+    shingle_hashes,
+    hash_tokens,
+    token_jaccard,
+)
+from entity_resolution_engine_ray.functions.textnorm import normalize_name, normalize_season
+from entity_resolution_engine_ray.oracle.serial import canonical_tokens
+from entity_resolution_engine_ray.stages.extract import extract_text, extract_text_column
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="<>"),
+    max_size=200,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_extract_scalar_equals_columnar(body):
+    html = f"<html><head><title>T</title></head><body><p>{body.replace('&', '&amp;')}</p></body></html>"
+    arr = pa.array([html.encode("utf-8")] * 3, type=pa.binary())
+    text_col, _ = extract_text_column(arr)
+    scalar = extract_text(html.encode("utf-8"))
+    assert text_col.to_pylist() == [scalar] * 3
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_extract_batch_boundary_invariance(body):
+    """Extraction of a row is independent of which rows share its batch."""
+    html = f"<body>{body.replace('&', '&amp;')}</body>".encode()
+    alone, _ = extract_text_column(pa.array([html], type=pa.binary()))
+    padded, _ = extract_text_column(
+        pa.array([b"<body>pad one</body>", html, b"<body>pad two</body>"], type=pa.binary())
+    )
+    assert alone[0].as_py() == padded[1].as_py()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=30))
+def test_normalize_name_idempotent_shape(s):
+    out = normalize_name(s)
+    assert out == out.lower()
+    assert "  " not in out
+    # normalizing twice must not change the fc-alias result further
+    assert normalize_name(out) in (out, out.strip())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789-/ ab", max_size=16))
+def test_normalize_season_total(s):
+    start, end = normalize_season(s)
+    if start is not None:
+        assert end is not None and end >= start
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_indel_ratio_bounds_and_symmetry(a, b):
+    r = indel_ratio(a, b)
+    assert 0.0 <= r <= 1.0
+    assert abs(r - indel_ratio(b, a)) < 1e-12
+    assert indel_ratio(a, a) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=25), st.text(max_size=25))
+def test_jaro_winkler_bounds(a, b):
+    r = jaro_winkler(a, b)
+    assert 0.0 <= r <= 1.0 + 1e-12
+    assert jaro_winkler(a, a) == (1.0 if a else 1.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=40))
+def test_minhash_deterministic_and_bounded_by_jaccard(tokens):
+    coeffs = minhash_coefficients(64)
+    h = hash_tokens(tokens)
+    s1 = minhash_signature(shingle_hashes(h, k=1), *coeffs)
+    s2 = minhash_signature(shingle_hashes(hash_tokens(list(tokens)), k=1), *coeffs)
+    assert np.array_equal(s1, s2)  # fully deterministic across calls
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_canonical_tokens_stable(s):
+    t1 = canonical_tokens(s)
+    t2 = canonical_tokens(s)
+    assert t1 == t2
+    assert all(" " not in tok for tok in t1)

@@ -310,3 +310,20 @@ def test_labelprop_matches_local_unionfind(ray_session):
     lm = cluster_label_map(ds, num_partitions=4)
     cm_parts = partitions({u: lm.get(stable_hash64(u), stable_hash64(u)) for u in "abcdxyzpq"})
     assert cm_parts == expected
+
+
+def test_triage_report(tmp_path):
+    from entity_resolution_engine_ray.state.metrics import generate_triage_report
+
+    store = MetricsStore(str(tmp_path))
+    for i in range(6):
+        store.append_run_metrics(f"r{i}", [_metric_row(gray=10)])
+    store.append_run_metrics("rX", [_metric_row(gray=90)])
+    detect_anomalies(store, "rX", "page")
+    report = generate_triage_report(store, "rX", "page")
+    assert report["anomaly_count"] >= 1
+    assert "gray_zone_rate" in report["summary"]
+    assert report["generated_by"] == "deterministic_fallback"
+    # no anomalies → clean summary
+    empty = generate_triage_report(store, "r0", "page")
+    assert empty["summary"] == "no anomalies detected"
