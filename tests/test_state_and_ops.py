@@ -317,7 +317,7 @@ def test_triage_report(tmp_path):
 
     store = MetricsStore(str(tmp_path))
     for i in range(6):
-        store.append_run_metrics(f"r{i}", [_metric_row(gray=10)])
+        store.append_run_metrics(f"r{i}", [_metric_row(gray=10 + (i % 2))])
     store.append_run_metrics("rX", [_metric_row(gray=90)])
     detect_anomalies(store, "rX", "page")
     report = generate_triage_report(store, "rX", "page")
