@@ -58,23 +58,41 @@ def connected_components_labelprop(
 ):
     """edges (left_url, right_url) → labels (url, cluster_label:int64).
 
+    Fully distributed min-label propagation built on the task-level hash
+    exchange (stages/exchange): per iteration, a cogroup of (edges by src,
+    labels by node) emits per-partition-min candidate labels, and a cogroup
+    of (candidates by dst, labels by node) takes the elementwise min — two
+    slim int-table exchanges per round, no sort, no join actors. Converges
+    in O(component diameter) rounds with a changed-label count.
+
     Only urls that appear in an edge are labeled (singletons are handled by
-    the merge stage's outer join)."""
+    the merge stage)."""
+    from entity_resolution_engine_ray.stages.exchange import (
+        hash_exchange_cogroup,
+        hash_exchange_map_groups,
+    )
+
+    P = num_partitions or 32
     hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
 
-    # url ↔ hash mapping (deduped)
-    url_map = (
-        hashed.select_columns(["left_url", "src"])
-        .rename_columns({"left_url": "url", "src": "node"})
-        .union(
-            hashed.select_columns(["right_url", "dst"]).rename_columns(
-                {"right_url": "url", "dst": "node"}
-            )
-        )
-        .groupby("url")
-        .aggregate(Min("node", alias_name="node"))
-        .materialize()
+    # url ↔ hash mapping (deduped per partition — globally deduped because
+    # equal urls hash to the same partition)
+    url_pairs = hashed.map_batches(
+        lambda t: pa.table(
+            {
+                "url": pa.concat_arrays(
+                    [t["left_url"].combine_chunks(), t["right_url"].combine_chunks()]
+                ),
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
+    url_map = hash_exchange_map_groups(
+        url_pairs, ["node"], lambda pdf: pdf.drop_duplicates("url"), P
+    ).materialize()
 
     directed = (
         hashed.select_columns(["src", "dst"])
@@ -82,47 +100,64 @@ def connected_components_labelprop(
         .materialize()
     )
 
-    # init labels: label(v) = min(v, min neighbor) — first round for free
-    labels = (
-        directed.groupby("dst")
-        .aggregate(Min("src", alias_name="nbr_min"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["dst"],
-                    "label": pa.array(
-                        np.minimum(
-                            t["dst"].to_numpy(zero_copy_only=False),
-                            t["nbr_min"].to_numpy(zero_copy_only=False),
-                        ),
-                        type=pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    # init: label(v) = min(v, min neighbor) — partition-local mins suffice
+    # because the global min is refined by the iterations
+    def init_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("dst", as_index=False)["src"].min()
+        lab = np.minimum(g["dst"].to_numpy(), g["src"].to_numpy())
+        return pd.DataFrame({"node": g["dst"].to_numpy(), "label": lab})
+
+    labels = hash_exchange_map_groups(directed, ["dst"], init_labels, P).materialize()
+
+    def propagate(edges_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataFrame:
+        if edges_pdf.empty or labels_pdf.empty:
+            return pd.DataFrame(
+                {"dst": pd.Series([], dtype=np.int64), "cand": pd.Series([], dtype=np.int64)}
+            )
+        m = edges_pdf.merge(labels_pdf, left_on="src", right_on="node", how="inner")
+        g = m.groupby("dst", as_index=False)["label"].min()
+        return g.rename(columns={"label": "cand"})
+
+    def refine(cand_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataFrame:
+        if labels_pdf.empty:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=np.int64), "label": pd.Series([], dtype=np.int64),
+                 "changed": pd.Series([], dtype=np.int64)}
+            )
+        cand = (
+            cand_pdf.groupby("dst", as_index=False)["cand"].min()
+            if not cand_pdf.empty
+            else pd.DataFrame({"dst": pd.Series([], dtype=np.int64), "cand": pd.Series([], dtype=np.int64)})
         )
-        .materialize()
-    )
+        m = labels_pdf.merge(cand, left_on="node", right_on="dst", how="left")
+        old = m["label"].to_numpy(dtype=np.int64)
+        cv = m["cand"].to_numpy()
+        cv = np.where(pd.isna(cv), old, cv).astype(np.int64)
+        new = np.minimum(old, cv)
+        return pd.DataFrame(
+            {"node": m["node"].to_numpy(dtype=np.int64), "label": new,
+             "changed": (new != old).astype(np.int64)}
+        )
 
     for _ in range(max_iterations):
-        # propagate current labels across edges: candidate(v) = label(u)
-        prop = safe_join(
-            directed, labels, on=("src",), right_on=("node",), num_partitions=num_partitions
-        )
-        cand = prop.select_columns(["dst", "label"]).groupby("dst").aggregate(
-            Min("label", alias_name="cand")
-        )
-        new_labels = safe_join(
-            labels, cand, join_type="left_outer", on=("node",), right_on=("dst",),
-            num_partitions=num_partitions,
-        ).map_batches(_merge_labels, batch_format="pyarrow").materialize()
+        cand = hash_exchange_cogroup(directed, labels, ["src"], ["node"], propagate, P)
+        # candidates are keyed by dst from the src-partitioned exchange —
+        # re-partition them by dst against labels by node
+        new_labels = hash_exchange_cogroup(cand, labels, ["dst"], ["node"], refine, P).materialize()
         changed = new_labels.sum("changed") or 0
-        labels = new_labels.select_columns(["node", "label"]).materialize()
+        labels = new_labels.drop_columns(["changed"]).materialize()
         if changed == 0:
             break
 
-    out = safe_join(url_map, labels, on=("node",), right_on=("node",), num_partitions=num_partitions)
-    return out.select_columns(["url", "label"]).rename_columns({"label": "cluster_label"})
+    def emit(url_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataFrame:
+        if url_pdf.empty:
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype=object), "cluster_label": pd.Series([], dtype=np.int64)}
+            )
+        m = url_pdf.merge(labels_pdf, on="node", how="inner")
+        return pd.DataFrame({"url": m["url"].to_numpy(), "cluster_label": m["label"].to_numpy(dtype=np.int64)})
+
+    return hash_exchange_cogroup(url_map, labels, ["node"], ["node"], emit, P)
 
 
 def _merge_labels(t: pa.Table) -> pa.Table:

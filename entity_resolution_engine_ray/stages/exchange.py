@@ -70,6 +70,50 @@ def _reduce_partition(fn, *subtables: pa.Table):
     return out, out.num_rows
 
 
+@ray.remote(num_returns=2)
+def _reduce_cogroup(fn, n_left: int, *subtables: pa.Table):
+    lefts = [t for t in subtables[:n_left] if t.num_rows > 0]
+    rights = [t for t in subtables[n_left:] if t.num_rows > 0]
+    left = pa.concat_tables(lefts, promote_options="default") if lefts else subtables[0]
+    right = (
+        pa.concat_tables(rights, promote_options="default") if rights else subtables[n_left]
+    )
+    result = fn(left.to_pandas(), right.to_pandas())
+    out = pa.Table.from_pandas(result, preserve_index=False).replace_schema_metadata(None)
+    return out, out.num_rows
+
+
+def hash_exchange_cogroup(
+    left_ds, right_ds, left_keys: list[str], right_keys: list[str], fn, num_partitions: int
+):
+    """Co-partitioned two-sided exchange: rows of both datasets with the
+    same key hash meet in one partition; ``fn(left_pdf, right_pdf)`` runs
+    once per partition (the task-level hash join / cogroup primitive —
+    key semantics are up to ``fn``)."""
+    l_refs = left_ds.to_arrow_refs()
+    r_refs = right_ds.to_arrow_refs()
+    l_splits = [
+        _split_block.options(num_returns=num_partitions).remote(ref, left_keys, num_partitions)
+        for ref in l_refs
+    ]
+    r_splits = [
+        _split_block.options(num_returns=num_partitions).remote(ref, right_keys, num_partitions)
+        for ref in r_refs
+    ]
+    reduced, counts = [], []
+    for p in range(num_partitions):
+        lsub = [s[p] for s in l_splits] if num_partitions > 1 else list(l_splits)
+        rsub = [s[p] for s in r_splits] if num_partitions > 1 else list(r_splits)
+        t_ref, c_ref = _reduce_cogroup.remote(fn, len(lsub), *(lsub + rsub))
+        reduced.append(t_ref)
+        counts.append(c_ref)
+    n_rows = ray.get(counts)
+    keep = [r for r, n in zip(reduced, n_rows) if n > 0]
+    if not keep:
+        keep = [reduced[0]]
+    return rd.from_arrow_refs(keep)
+
+
 def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
     """Raw-task hash exchange: apply ``fn(pdf)`` once per hash partition of
     ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),

@@ -172,3 +172,26 @@ def test_config_change_invalidates_checkpoints(ray_session, fixture_paths, pipel
     assert not store.is_done("edges", cfg2_hash)
     assert not store.is_done("edges", old_version_hash)
     assert store.is_done("edges", cur_hash)
+
+
+def test_labelprop_pipeline_equivalent_to_contraction(ray_session, fixture_paths, pipeline_result):
+    """cluster_method='labelprop' (fully distributed CC) must produce the
+    same entity partition as the default contraction path."""
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+
+    out2 = "/tmp/er_test_out_lp"
+    shutil.rmtree(out2, ignore_errors=True)
+    res2 = run_pages_er(fixture_paths["pages"], out2, cfg=PagesERConfig(cluster_method="labelprop"))
+    # read from disk — earlier resume tests rewrite the checkpoint files the
+    # module fixture's lazy Dataset references
+    a = (
+        pq.read_table(os.path.join(OUTDIR, "entities"))
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    b = res2["entities"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    # entity ids are content hashes of member urls → identical partitions ⇔
+    # identical id sets and member counts
+    assert a["entity_id"].tolist() == b["entity_id"].tolist()
+    assert a["n_members"].tolist() == b["n_members"].tolist()
