@@ -240,16 +240,13 @@ def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
     key per band (band index mixed in so bands don't collide). Keys are
     SIGNED int64 values (see stable_hash64)."""
     rows = len(signature) // bands
-    keys = []
     c = _U64(0xC2B2AE3D27D4EB4F)
     with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
-        for bi in range(bands):
-            chunk = signature[bi * rows : (bi + 1) * rows]
-            acc = _U64(bi + 1)
-            for v in chunk:
-                acc = (acc * c) + v
-            keys.append(int(acc.astype(np.int64)))
-    return keys
+        chunks = signature[: bands * rows].reshape(bands, rows)
+        acc = np.arange(1, bands + 1, dtype=np.uint64)
+        for r in range(rows):  # vectorized across bands, same math as the
+            acc = acc * c + chunks[:, r]  # scalar accumulate it replaces
+    return [int(v) for v in acc.astype(np.int64)]
 
 
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -271,11 +268,9 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     else:
         w = weights.astype(np.float64)
         sums = (bits * w[:, None]).sum(axis=0) * 2 - w.sum()
-    out = np.uint64(0)
-    for i in range(64):
-        if sums[i] > 0:
-            out |= _U64(1) << _U64(i)
-    return int(out.astype(np.int64))  # signed int64 representation
+    bitvals = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    out = np.bitwise_or.reduce(np.where(sums > 0, bitvals, np.uint64(0)))
+    return int(np.uint64(out).astype(np.int64))  # signed int64 representation
 
 
 def hamming_similarity64(a: int, b: int) -> float:

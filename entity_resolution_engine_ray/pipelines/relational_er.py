@@ -193,17 +193,24 @@ def match_players(
         normalize_name(n): i for n, i in zip(bteams["display_name"].to_pylist(), bteams["id"].to_pylist())
     }
     b_ids = beta_tbl["id"].to_pylist()
-    b_norms = [normalize_name(n) for n in beta_tbl["full_name"].to_pylist()]
+    # pre-sorted token form: token_sort_ratio(a, b) == indel_ratio over
+    # whitespace-sorted tokens — sort each side ONCE instead of per pair
+    b_sorted = [
+        " ".join(sorted(normalize_name(n).split())) for n in beta_tbl["full_name"].to_pylist()
+    ]
+    b_lens = np.asarray([len(s) for s in b_sorted], dtype=np.float64)
     b_years = np.asarray(beta_tbl["birth_year"].to_pylist(), dtype=np.float64)
     b_team_ids = np.asarray(
         [beta_team_lookup.get(normalize_name(tn)) or 0 for tn in beta_tbl["team_name"].to_pylist()],
         dtype=np.int64,
     )
-    beta_ref = ray.put((b_ids, b_norms, b_years, b_team_ids))
+    beta_ref = ray.put((b_ids, b_sorted, b_lens, b_years, b_team_ids))
     team_map_ref = ray.put(dict(team_map))
 
     def score_batch(t: pa.Table) -> pa.Table:
-        ids_, norms_, years_, bteam_ = ray.get(beta_ref)
+        from entity_resolution_engine_ray.functions.similarity import indel_ratio
+
+        ids_, sorted_, lens_, years_, bteam_ = ray.get(beta_ref)
         tmap = ray.get(team_map_ref)
         out = {"alpha_player_id": [], "beta_player_id": [], "confidence": [],
                "name_similarity": [], "dob_similarity": [], "team_similarity": []}
@@ -211,8 +218,8 @@ def match_players(
         for pid, name, dob, team_id in zip(
             t["player_id"].to_pylist(), t["name"].to_pylist(), dobs, t["team_id"].to_pylist()
         ):
-            norm_a = normalize_name(name)
-            name_scores = _score_against(norm_a, norms_)
+            sa = " ".join(sorted(normalize_name(name).split()))
+            la = float(len(sa))
             a_year = float(dob.year) if dob is not None else np.nan
             dob_scores = np.where(
                 np.isnan(years_) | np.isnan(a_year),
@@ -221,7 +228,20 @@ def match_players(
             )
             mapped = tmap.get(team_id)
             team_scores = ((bteam_ != 0) & (bteam_ == (mapped or -1))).astype(np.float64)
+            # LOSSLESS prune: indel ratio ≤ 2·min(|a|,|b|)/(|a|+|b|), so
+            # conf ≤ 0.6·bound + 0.3·dob + 0.1·team. Pairs whose bound
+            # cannot reach the emission threshold are skipped entirely —
+            # their conf upper bound stands in for argmax bookkeeping (they
+            # can never be emitted, so the output is provably unchanged).
+            ratio_ub = np.minimum(1.0, 2.0 * np.minimum(la, lens_) / np.maximum(la + lens_, 1.0))
+            conf_ub = player_confidence(ratio_ub, dob_scores, team_scores)
+            name_scores = np.zeros(len(sorted_), dtype=np.float64)
+            cand = np.flatnonzero(conf_ub >= th)
+            for j in cand:
+                if sa and sorted_[j]:
+                    name_scores[j] = indel_ratio(sa, sorted_[j])
             conf = player_confidence(name_scores, dob_scores, team_scores)
+            conf = np.where(conf_ub >= th, conf, conf_ub)  # pruned keep their bound
             j = int(np.argmax(conf))
             if conf[j] > 0.0 and conf[j] >= th:
                 out["alpha_player_id"].append(pid)
