@@ -319,6 +319,61 @@ def q_customers_no_orders(sf_dir: str):
     )
 
 
+def q_supplier_region_stats(sf_dir: str):
+    """Dimension-chain broadcast join: supplier → nation → region (both dims
+    broadcast once, no shuffle), then a tiny groupby."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        names = [r2name[n2r[k]] for k in t["s_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]})
+
+    agg = (
+        supplier.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("s_acctbal", alias_name="sum_acctbal"), Count(alias_name="n_suppliers"))
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "r_name": agg["r_name"],
+            "n_suppliers": agg["n_suppliers"].astype(np.int64),
+            "avg_acctbal": _rha(agg["sum_acctbal"] / agg["n_suppliers"], 2),
+        }
+    )
+    return out
+
+
+def q_doc_top_tokens(sf_dir: str):
+    """Token explode (vectorized Arrow list-flatten) → partial per-batch
+    counts → global groupby → top 20 tokens (count desc, token asc)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # split on whitespace runs; RE2 semantics identical to the oracle
+        lists = pc.split_pattern_regex(t["text"], "[ \t\n\r]+")
+        flat = lists.combine_chunks().flatten() if isinstance(lists, pa.ChunkedArray) else lists.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    out = agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(20)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # events: windows / sessionization / top-k
 # ---------------------------------------------------------------------------
@@ -501,6 +556,8 @@ QUERIES = {
     "top_customer_order": q_top_customer_order,
     "nation_revenue": q_nation_revenue,
     "customers_no_orders": q_customers_no_orders,
+    "supplier_region_stats": q_supplier_region_stats,
+    "doc_top_tokens": q_doc_top_tokens,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "sliding_window": q_sliding_window,
@@ -569,6 +626,24 @@ ORACLE_SQL = {
         SELECT c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    "supplier_region_stats": """
+        SELECT r.r_name,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s.s_acctbal) / COUNT(*), 2) AS avg_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "doc_top_tokens": """
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(text, '[ \t\n\r]+')) AS token
+            FROM documents
+        ) WHERE length(token) > 0
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,
