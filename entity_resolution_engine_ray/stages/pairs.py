@@ -29,15 +29,18 @@ from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 from entity_resolution_engine_ray.oracle.serial import n_splits_for
 
 
-def hot_key_splits(block_rows_ds, cap: int, driver_row_limit: int = 100_000_000) -> dict[int, int]:
+def hot_key_splits(
+    block_rows_ds, cap: int, driver_row_limit: int = 100_000_000, n_rows_hint: int | None = None
+) -> dict[int, int]:
     """block_key → n_splits for buckets over the cap (driver-side small dict).
 
     Fast path: stream per-batch ``value_counts`` partials to a driver dict —
     one pass, no shuffle. Above ``driver_row_limit`` distinct-key rows the
-    exact count groupby takes over (multi-node scale path)."""
-    import numpy as np
+    exact count groupby takes over (multi-node scale path).
 
-    n_rows = block_rows_ds.count()
+    ``n_rows_hint`` (e.g. pages × bands, known upstream) avoids a separate
+    counting pass over the exploded rows."""
+    n_rows = n_rows_hint if n_rows_hint is not None else block_rows_ds.count()
     if n_rows <= driver_row_limit:
 
         def partial(t: pa.Table) -> pa.Table:

@@ -275,7 +275,11 @@ def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partiti
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
-    hot = hot_key_splits(block_rows_stage(features_ds), cfg.max_block_size)
+    hot = hot_key_splits(
+        block_rows_stage(features_ds),
+        cfg.max_block_size,
+        n_rows_hint=features_ds.count() * cfg.bands,  # metadata-only count
+    )
     fat = fat_block_rows_stage(features_ds).map_batches(
         _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
     )
