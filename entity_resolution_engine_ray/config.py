@@ -109,6 +109,9 @@ class PagesERConfig:
     # "auto": driver union-find when the approved-edge list is provably small
     # (≪ object-store budget), distributed label propagation otherwise.
     cluster_method: str = "auto"  # "labelprop" | "local" | "auto"
+    # "auto" gate: approved-edge count above which the driver label map is
+    # refused and the fully-distributed labelprop path runs instead
+    local_cluster_edge_threshold: int = 2_000_000
     max_cc_iterations: int = 12
     score_batch_size: int = 4096
     score_concurrency: int | None = None  # None → let Ray autoscale the pool

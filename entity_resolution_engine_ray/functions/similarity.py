@@ -127,6 +127,88 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, max_prefix: int = 4
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
+def _jaro_winkler_batch_fixed(
+    A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray,
+    prefix_weight: float, max_prefix: int,
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over n pre-padded string pairs.
+
+    ``A``/``B`` are (n, L) uint32 codepoint matrices (0-padded); ``la``/``lb``
+    the true lengths. Exact same greedy-matching semantics as the scalar
+    ``jaro_winkler`` (property-tested against it): the loop runs over the L
+    character positions, each iteration vectorized across all n pairs."""
+    n, L = A.shape
+    cols = np.arange(L)
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    a_match = np.zeros((n, L), dtype=bool)
+    b_match = np.zeros((n, L), dtype=bool)
+    for i in range(L):
+        active = la > i
+        if not active.any():
+            break
+        # first unflagged j in [max(0, i-win), min(lb, i+win+1)) with B[j]==A[i]
+        elig = (B == A[:, i, None]) & ~b_match
+        elig &= (cols[None, :] >= np.maximum(0, i - win)[:, None]) & (
+            cols[None, :] < np.minimum(lb, i + win + 1)[:, None]
+        )
+        elig &= active[:, None]
+        hit = elig.any(axis=1)
+        j = elig.argmax(axis=1)
+        b_match[hit, j[hit]] = True
+        a_match[hit, i] = True
+    m = a_match.sum(axis=1)
+    # transpositions: align matched chars of a (by i) with matched chars of b
+    # (by j); stable argsort floats matched columns to the front in order
+    a_ord = np.argsort(~a_match, axis=1, kind="stable")
+    b_ord = np.argsort(~b_match, axis=1, kind="stable")
+    a_seq = np.take_along_axis(A, a_ord, axis=1)
+    b_seq = np.take_along_axis(B, b_ord, axis=1)
+    t = ((a_seq != b_seq) & (cols[None, :] < m[:, None])).sum(axis=1) / 2.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro = (
+            m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where((la == 0) & (lb == 0), 1.0, jaro)
+    K = min(max_prefix, L)
+    if K > 0:
+        pe = (A[:, :K] == B[:, :K]) & (cols[None, :K] < np.minimum(la, lb)[:, None])
+        prefix = np.cumprod(pe, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    return np.where(jaro > 0.7, jaro + prefix * prefix_weight * (1.0 - jaro), jaro)
+
+
+def jaro_winkler_batch(
+    a_list, b_list, prefix_weight: float = 0.1, max_prefix: int = 4
+) -> np.ndarray:
+    """Batch Jaro-Winkler: vectorized across pairs, bucketed by padded length
+    so short pairs don't pay the long pairs' O(L²). Equal pairs short-circuit
+    to 1.0 (JW(a, a) == 1.0 for any a, including empty)."""
+    a_arr = np.asarray(a_list, dtype=object)
+    b_arr = np.asarray(b_list, dtype=object)
+    n = len(a_arr)
+    out = np.ones(n, dtype=np.float64)
+    neq = np.flatnonzero(a_arr != b_arr)
+    if len(neq) == 0:
+        return out
+    la = np.fromiter((len(a_arr[i]) for i in neq), dtype=np.int64, count=len(neq))
+    lb = np.fromiter((len(b_arr[i]) for i in neq), dtype=np.int64, count=len(neq))
+    lmax = np.maximum(la, lb)
+    # length buckets: 8, 16, 32, ... (padding waste bounded at 2×)
+    bucket = np.ceil(np.log2(np.maximum(lmax, 8))).astype(np.int64)
+    for bkt in np.unique(bucket):
+        sel = np.flatnonzero(bucket == bkt)
+        idx = neq[sel]
+        L = 1 << int(bkt)
+        A = np.array([a_arr[i] for i in idx], dtype=f"U{L}").view(np.uint32).reshape(len(idx), L)
+        B = np.array([b_arr[i] for i in idx], dtype=f"U{L}").view(np.uint32).reshape(len(idx), L)
+        out[idx] = _jaro_winkler_batch_fixed(
+            A, B, la[sel], lb[sel], prefix_weight, max_prefix
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Token sets / Jaccard
 # ---------------------------------------------------------------------------

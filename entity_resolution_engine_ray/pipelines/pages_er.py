@@ -118,13 +118,25 @@ def run_pages_er(
                 expr="decision == 'auto_approve' or decision == 'gray_approve'"
                 " or decision == 'llm_approve'"
             )
-            if cfg.cluster_method in ("auto", "local"):
+            # size gate: the driver-side label map is only safe when the
+            # connected-node set (bounded by 2×edges) fits driver memory —
+            # "auto" counts approved edges (a cheap decision-column scan over
+            # the edges checkpoint) and falls through to fully-distributed
+            # labelprop above the threshold
+            method = cfg.cluster_method
+            if method == "auto":
+                method = (
+                    "local"
+                    if approved.count() <= cfg.local_cluster_edge_threshold
+                    else "labelprop"
+                )
+            if method == "local":
                 label_map = cluster_label_map(approved)
                 labeled = label_features_broadcast(features, ray.put(label_map))
             else:
                 labels = cluster_edges(
                     approved,
-                    method=cfg.cluster_method,
+                    method="labelprop",
                     num_partitions=num_partitions,
                     max_iterations=cfg.max_cc_iterations,
                 )

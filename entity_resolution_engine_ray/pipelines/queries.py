@@ -466,8 +466,12 @@ def q_knn_cosine_top10(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    # predicate + projection pushdown: only the query vector's row group is
+    # decoded — never the whole embedding table on the driver
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
+    )
+    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
     out = knn_brute_force(ds, q, k=10, id_col="vec_id", exclude_ids={0})
     out["cos"] = _rha(out["cos"], 4)
     return out

@@ -26,7 +26,6 @@ from entity_resolution_engine_ray.functions.similarity import (
 )
 from entity_resolution_engine_ray.oracle.serial import canonical_tokens
 from entity_resolution_engine_ray.stages.grouping import partition_map_groups
-from entity_resolution_engine_ray.stages.joins import safe_join
 
 
 class _DedupFeatures:
@@ -82,6 +81,13 @@ def _explode(batch: pa.Table) -> pa.Table:
 
 
 def _pairs_partition(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """One hash partition of (id, block_key) rows → candidate pairs.
+
+    Buckets over ``cap`` members are deterministically truncated (sorted by
+    id) and the dropped members are COUNTED in a ``dropped`` column — never
+    silent (same contract as the pages pairgen, stages/pairs.py)."""
+    from entity_resolution_engine_ray.stages.score import triu_pairs
+
     pdf = pdf.sort_values(["block_key", "id"], kind="mergesort")
     keys = pdf["block_key"].to_numpy()
     ids = pdf["id"].to_numpy()
@@ -89,76 +95,137 @@ def _pairs_partition(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
     starts = np.r_[0, change]
     ends = np.r_[change, len(pdf)]
     lefts, rights = [], []
+    dropped = 0
     for s, e in zip(starts, ends):
         m = e - s
         if m < 2:
             continue
         if m > cap:  # skew cap: deterministic truncation of the sorted bucket
+            dropped += (m * (m - 1) - cap * (cap - 1)) // 2
             e = s + cap
             m = cap
-        ii, jj = np.triu_indices(m, k=1)
+        ii, jj = triu_pairs(m)
         lefts.append(ids[s:e][ii])
         rights.append(ids[s:e][jj])
     if not lefts:
-        return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64), "right_id": pd.Series([], dtype=np.int64)})
-    return pd.DataFrame(
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series([], dtype=np.int64),
+                "right_id": pd.Series([], dtype=np.int64),
+                "dropped": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = pd.DataFrame(
         {"left_id": np.concatenate(lefts), "right_id": np.concatenate(rights)}
     ).drop_duplicates()
+    drops = np.zeros(len(out), dtype=np.int64)
+    drops[0] = dropped
+    return out.assign(dropped=drops)
 
 
 def _dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.drop_duplicates(["left_id", "right_id"])
 
 
-def _verify_jaccard(batch: pa.Table, threshold: float) -> pa.Table:
-    lt = batch["tokens_left"].to_pylist()
-    rt = batch["tokens_right"].to_pylist()
-    jac = np.empty(len(lt), dtype=np.float64)
-    for i in range(len(lt)):
-        a = set(lt[i].split("\x1f")) if lt[i] else set()
-        b = set(rt[i].split("\x1f")) if rt[i] else set()
-        if not a and not b:
-            jac[i] = 1.0
-        elif not a or not b:
-            jac[i] = 0.0
-        else:
-            inter = len(a & b)
-            jac[i] = inter / (len(a) + len(b) - inter)
-    out = pa.table(
+def _explode_fat(batch: pa.Table) -> pa.Table:
+    """(id, tokens, band_keys) → one (id, tokens, block_key) row per band —
+    ships tokens through ONE hash exchange instead of two join barriers
+    (the pages pipeline's fat-block pattern, stages/block.py)."""
+    keys = batch["band_keys"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    flat = keys.flatten()
+    counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
+    idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
+    return pa.table(
         {
-            "left_id": batch["left_id"],
-            "right_id": batch["right_id"],
-            "jaccard": pa.array(jac, type=pa.float64()),
+            "id": batch["id"].combine_chunks().take(idx) if isinstance(batch["id"], pa.ChunkedArray) else batch["id"].take(idx),
+            "tokens": batch["tokens"].combine_chunks().take(idx) if isinstance(batch["tokens"], pa.ChunkedArray) else batch["tokens"].take(idx),
+            "block_key": flat,
         }
     )
-    import pyarrow.compute as pc
-
-    return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
 
-def _cluster_edges_local_int(edges_pdf: pd.DataFrame, all_ids: pd.Series) -> pd.DataFrame:
-    """Union-find over int edges; singleton ids cluster with themselves."""
-    parent: dict[int, int] = {}
+def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.DataFrame:
+    """One hash partition of fat (id, tokens, block_key) rows → VERIFIED
+    edges (exact Jaccard ≥ threshold), bucket caps counted in ``dropped``.
+    Pair generation semantics identical to ``_pairs_partition``."""
+    pdf = pdf.sort_values(["block_key", "id"], kind="mergesort")
+    keys = pdf["block_key"].to_numpy()
+    ids = pdf["id"].to_numpy()
+    toks = pdf["tokens"].to_numpy()
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, len(pdf)]
+    lefts, rights = [], []
+    dropped = 0
+    from entity_resolution_engine_ray.stages.score import triu_pairs
 
-    def find(x: int) -> int:
-        p = parent.setdefault(x, x)
-        while p != x:
-            parent[x] = p = parent.setdefault(p, p)
-            x = p
-            p = parent[x]
-        return x
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > cap:
+            dropped += (m * (m - 1) - cap * (cap - 1)) // 2
+            e = s + cap
+            m = cap
+        ii, jj = triu_pairs(m)
+        lefts.append(ii + s)
+        rights.append(jj + s)
+    cols = ["left_id", "right_id", "jaccard", "dropped"]
+    if not lefts:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype=np.float64 if c == "jaccard" else np.int64)
+                for c in cols
+            }
+        )
+    lidx = np.concatenate(lefts)
+    ridx = np.concatenate(rights)
+    # partition-local pair dedup before the (expensive) exact verify
+    pre = pd.DataFrame({"l": ids[lidx], "r": ids[ridx], "li": lidx, "ri": ridx})
+    pre = pre.drop_duplicates(["l", "r"])
+    lidx, ridx = pre["li"].to_numpy(), pre["ri"].to_numpy()
+    set_cache: dict[str, frozenset] = {}
 
-    for l, r in zip(edges_pdf["left_id"], edges_pdf["right_id"]):
-        rl, rr = find(int(l)), find(int(r))
-        if rl != rr:
-            lo, hi = (rl, rr) if rl < rr else (rr, rl)
-            parent[hi] = lo
-    ids = all_ids.to_numpy()
-    clusters = np.fromiter((find(int(i)) for i in ids), dtype=np.int64, count=len(ids))
-    return pd.DataFrame({"doc_id": ids.astype(np.int64), "cluster_id": clusters})
+    def tokset(joined: str) -> frozenset:
+        v = set_cache.get(joined)
+        if v is None:
+            v = frozenset(joined.split("\x1f")) if joined else frozenset()
+            set_cache[joined] = v
+        return v
+
+    n = len(lidx)
+    jac = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sa = tokset(toks[lidx[i]])
+        sb = tokset(toks[ridx[i]])
+        if not sa and not sb:
+            jac[i] = 1.0
+        elif not sa or not sb:
+            jac[i] = 0.0
+        else:
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+    keep = jac >= threshold
+    out = pd.DataFrame(
+        {
+            "left_id": ids[lidx[keep]].astype(np.int64),
+            "right_id": ids[ridx[keep]].astype(np.int64),
+            "jaccard": jac[keep],
+        }
+    )
+    drops = np.zeros(len(out), dtype=np.int64)
+    if len(out):
+        drops[0] = dropped
+    elif dropped:
+        # no surviving pair may still have drops to report — emit a marker row
+        out = pd.DataFrame({"left_id": [-1], "right_id": [-1], "jaccard": [-1.0]})
+        drops = np.array([dropped], dtype=np.int64)
+    return out.assign(dropped=drops)
 
 
-def near_dup_clusters(
+def near_dup_edges(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -170,13 +237,26 @@ def near_dup_clusters(
     max_block_size: int = 256,
     num_partitions: int = 32,
 ):
-    """Generic near-dup clustering: (id, text) → (doc_id, cluster_id,
-    cluster_size). Candidate pairs verified with EXACT Jaccard ≥ threshold.
+    """(id, text) → (verified edge Dataset (left_id, right_id, jaccard),
+    dropped_pair_count). Fully distributed: feature → fat band explode →
+    ONE hash exchange with in-partition pair-gen + exact-Jaccard verify →
+    one slim dedup exchange."""
+    import ray.data as rd
 
-    The final union-find runs on the driver — candidate edges are bounded by
-    the LSH bucket cap, orders of magnitude below input size; the distributed
-    labelprop (stages/cluster) is the alternative for adversarial inputs."""
     from entity_resolution_engine_ray.stages.block import default_pool_size
+
+    # zero-row inputs skip lazy transforms, leaving blocks with the SOURCE
+    # schema — the exchange would then see no block_key column; short-circuit
+    # (source count is metadata-cheap for parquet/arrow inputs)
+    if ds.count() == 0:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], type=pa.int64()),
+                "right_id": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        return rd.from_arrow(empty), 0
 
     feats = ds.map_batches(
         _DedupFeatures,
@@ -191,32 +271,99 @@ def near_dup_clusters(
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=default_pool_size(),
+    )
+    fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
+    raw = partition_map_groups(
+        fat,
+        ["block_key"],
+        lambda p: _pair_verify_partition(p, max_block_size, threshold),
+        num_partitions,
     ).materialize()
-
-    block_rows = feats.select_columns(["id", "band_keys"]).map_batches(
-        _explode, batch_format="pyarrow"
+    dropped = int(raw.sum("dropped") or 0)
+    edges = raw.filter(expr="left_id >= 0 or right_id >= 0")  # drop marker rows
+    edges = partition_map_groups(
+        edges.drop_columns(["dropped"]),
+        ["left_id", "right_id"],
+        _dedup_pairs,
+        num_partitions,
     )
-    pairs = partition_map_groups(
-        block_rows, ["block_key"], lambda p: _pairs_partition(p, max_block_size), num_partitions
-    )
-    pairs = partition_map_groups(pairs, ["left_id", "right_id"], _dedup_pairs, num_partitions)
+    return edges, dropped
 
-    feat_small = feats.select_columns(["id", "tokens"])
-    j = safe_join(pairs, feat_small, on=("left_id",), right_on=("id",))
-    j = j.rename_columns({"tokens": "tokens_left"})
-    j = safe_join(j, feat_small, on=("right_id",), right_on=("id",))
-    j = j.rename_columns({"tokens": "tokens_right"})
-    edges = j.map_batches(
-        _verify_jaccard, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
-    )
 
-    edges_pdf = edges.to_pandas()
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    labels = _cluster_edges_local_int(edges_pdf, all_ids)
-    sizes = labels.groupby("cluster_id", as_index=False).size().rename(columns={"size": "cluster_size"})
-    out = labels.merge(sizes, on="cluster_id")
-    out["cluster_size"] = out["cluster_size"].astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)
+def near_dup_clusters(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 63,
+    bands: int = 21,
+    k: int = 3,
+    mode: str = "token_shingle",
+    max_block_size: int = 256,
+    num_partitions: int = 32,
+):
+    """Generic near-dup clustering: (id, text) → Dataset (doc_id, cluster_id,
+    cluster_size). Candidate pairs verified with EXACT Jaccard ≥ threshold.
+
+    Scale-safe finish: verified edges are clustered with the distributed
+    contraction (stages/cluster.cluster_label_map — per-partition union-find
+    keeps only spanning forests; the driver folds forests over CONNECTED
+    nodes only, bounded by 2×edges ≪ corpus size). Labels attach to every
+    doc in one broadcast ``map_batches`` pass (singletons label themselves);
+    cluster sizes come from one slim int-pair exchange. Nothing driver-side
+    ever materializes the full id set."""
+    import ray
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.cluster import cluster_label_map
+
+    if ds.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    "cluster_size": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    edges, dropped = near_dup_edges(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        k=k,
+        mode=mode,
+        max_block_size=max_block_size,
+        num_partitions=num_partitions,
+    )
+    label_map_ref = ray.put(cluster_label_map(edges, num_partitions=num_partitions))
+
+    def attach(t: pa.Table) -> pa.Table:
+        label_map = ray.get(label_map_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        labels = np.fromiter(
+            (label_map.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "cluster_id": pa.array(labels, type=pa.int64()),
+            }
+        )
+
+    labeled = ds.select_columns([id_col]).map_batches(attach, batch_format="pyarrow")
+
+    def sizes_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("cluster_id", sort=False)["doc_id"]
+        out = pdf.copy()
+        out["cluster_size"] = g.transform("size").astype(np.int64)
+        return out
+
+    return partition_map_groups(labeled, ["cluster_id"], sizes_partition, num_partitions)
 
 
 def minhash_near_dup_clusters(ds, id_col="doc_id", text_col="text", **kw):

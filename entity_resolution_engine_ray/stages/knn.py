@@ -107,40 +107,81 @@ def cosine_near_dup_pairs(
     block_rows = feats.map_batches(sig_batch, batch_format="pyarrow")
 
     from entity_resolution_engine_ray.stages.dedup import _dedup_pairs, _pairs_partition
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
 
-    pairs = partition_map_groups(
+    raw = partition_map_groups(
         block_rows, ["block_key"], lambda p: _pairs_partition(p, max_block_size), num_partitions
+    ).materialize()
+    # dropped-pair count BEFORE dedup (dropped values don't survive dedup)
+    dropped = int(raw.sum("dropped") or 0)
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cosine_near_dup_pairs: %d candidate pairs dropped by bucket cap %d",
+            dropped,
+            max_block_size,
+        )
+    pairs = partition_map_groups(
+        raw.drop_columns(["dropped"]), ["left_id", "right_id"], _dedup_pairs, num_partitions
     )
-    pairs = partition_map_groups(pairs, ["left_id", "right_id"], _dedup_pairs, num_partitions)
 
-    # verify with exact cosine: join embeddings back on both sides is heavy
-    # for list columns (unsupported as join payload) — broadcast the (small)
-    # normalized matrix instead; for >memory embeddings switch to a
-    # partitioned verify (bucket by left_id, stream right side).
-    emb_pdf = feats.to_pandas()
-    ids = emb_pdf[id_col].to_numpy()
-    m = np.vstack(emb_pdf["embedding"].to_numpy())
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    mn = (m.T / norms).T
-    row_of = {int(i): r for r, i in enumerate(ids)}
-    import ray
+    # partitioned verify: embeddings meet their pairs through two hash
+    # cogroups (pairs.left_id × emb.id, then pairs.right_id × emb.id) — the
+    # embedding matrix is never materialized or broadcast whole; each
+    # partition ships only the vectors its pairs reference.
+    def norm_rows(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        return pa.table(
+            {
+                "id": pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
+                ),
+                "emb": pa.array(list(mn), type=pa.list_(pa.float64())),
+            }
+        )
 
-    mn_ref = ray.put(mn)
-    row_ref = ray.put(row_of)
+    emb_norm = feats.map_batches(norm_rows, batch_format="pyarrow")
+
+    def attach(col_from: str, col_to: str):
+        def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
+            if pairs_pdf.empty:
+                out = pairs_pdf.copy()
+                out[col_to] = pd.Series([], dtype=object)
+                return out
+            m = pairs_pdf.merge(
+                emb_pdf.rename(columns={"emb": col_to}), left_on=col_from, right_on="id", how="inner"
+            )
+            return m.drop(columns=["id"])
+
+        return fn
+
+    with_left = hash_exchange_cogroup(
+        pairs, emb_norm, ["left_id"], ["id"], attach("left_id", "emb_l"), num_partitions
+    )
+    with_both = hash_exchange_cogroup(
+        with_left, emb_norm, ["right_id"], ["id"], attach("right_id", "emb_r"), num_partitions
+    )
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = ray.get(mn_ref)
-        rows = ray.get(row_ref)
-        li = pdf["left_id"].to_numpy()
-        ri = pdf["right_id"].to_numpy()
-        lrow = np.fromiter((rows[int(i)] for i in li), dtype=np.int64, count=len(li))
-        rrow = np.fromiter((rows[int(i)] for i in ri), dtype=np.int64, count=len(ri))
-        cos = np.einsum("ij,ij->i", mat[lrow], mat[rrow])
-        out = pdf.assign(cos=np.round(cos, 6))
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype=np.int64),
+                    "right_id": pd.Series([], dtype=np.int64),
+                    "cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        ml = np.vstack(pdf["emb_l"].to_numpy())
+        mr = np.vstack(pdf["emb_r"].to_numpy())
+        cos = np.round(np.einsum("ij,ij->i", ml, mr), 6)
+        out = pdf.assign(cos=cos)
         return out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    return with_both.map_batches(verify, batch_format="pandas")
 
 
 def knn_ivf(

@@ -23,11 +23,39 @@ import numpy as np
 import pyarrow as pa
 
 from entity_resolution_engine_ray.config import PagesERConfig
-from entity_resolution_engine_ray.functions.similarity import jaro_winkler
+from entity_resolution_engine_ray.functions.similarity import jaro_winkler, jaro_winkler_batch
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+# np.triu_indices has ~40µs fixed overhead per call — with thousands of tiny
+# LSH blocks per partition that's pure overhead; cache per block size
+# (bounded: sizes ≤ max salted sub-block, a few hundred entries)
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def triu_pairs(m: int) -> tuple[np.ndarray, np.ndarray]:
+    out = _TRIU_CACHE.get(m)
+    if out is None:
+        out = np.triu_indices(m, k=1)
+        if len(_TRIU_CACHE) < 4096:
+            _TRIU_CACHE[m] = out
+    return out
+
+
+def _jw_unique_pairs(titles_l: np.ndarray, titles_r: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler per pair, computed once per UNIQUE (left, right) title
+    pair via factorize + the vectorized batch kernel."""
+    import pandas as pd
+
+    ca, ua = pd.factorize(titles_l)
+    cb, ub = pd.factorize(titles_r)
+    code = ca.astype(np.int64) * np.int64(len(ub)) + cb
+    uniq, inv = np.unique(code, return_inverse=True)
+    jw_u = jaro_winkler_batch(ua[uniq // len(ub)], ub[uniq % len(ub)])
+    return jw_u[inv]
 
 
 class PairScorer:
@@ -36,12 +64,10 @@ class PairScorer:
 
     def __init__(self, cfg: PagesERConfig | None = None):
         self.cfg = cfg or PagesERConfig()
-        # actor-lifetime caches: near-dup workloads repeat the same urls and
-        # titles across many pairs (variants share titles), so token-set
-        # construction and Jaro-Winkler hit these caches far more than they
-        # miss. Bounded — cleared when oversized.
+        # actor-lifetime cache: near-dup workloads repeat the same urls
+        # across many pairs, so token-set construction hits this cache far
+        # more than it misses. Bounded — cleared when oversized.
         self._set_cache: dict[str, frozenset] = {}
-        self._jw_cache: dict[tuple[str, str], float] = {}
 
     def _tokset(self, joined: str) -> frozenset:
         s = self._set_cache.get(joined)
@@ -49,14 +75,6 @@ class PairScorer:
             s = frozenset(joined.split("\x1f")) if joined else frozenset()
             self._set_cache[joined] = s
         return s
-
-    def _jw(self, a: str, b: str) -> float:
-        key = (a, b)
-        v = self._jw_cache.get(key)
-        if v is None:
-            v = jaro_winkler(a, b)
-            self._jw_cache[key] = v
-        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -71,7 +89,6 @@ class PairScorer:
         sim_sim = 1.0 - _popcount64(np.bitwise_xor(sl, sr)) / 64.0
 
         jac = np.empty(n, dtype=np.float64)
-        jw = np.empty(n, dtype=np.float64)
         for i in range(n):
             # tokens are "\x1f"-joined unique sorted token strings
             sa = self._tokset(lt[i])
@@ -83,11 +100,9 @@ class PairScorer:
             else:
                 inter = len(sa & sb)
                 jac[i] = inter / (len(sa) + len(sb) - inter)
-            jw[i] = self._jw(ltit[i], rtit[i])
+        jw = _jw_unique_pairs(np.asarray(ltit, dtype=object), np.asarray(rtit, dtype=object))
         if len(self._set_cache) > 500_000:
             self._set_cache.clear()
-        if len(self._jw_cache) > 2_000_000:
-            self._jw_cache.clear()
 
         score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
 
@@ -165,7 +180,7 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         m = e - s
         if m < 2:
             continue
-        ii, jj = np.triu_indices(m, k=1)
+        ii, jj = triu_pairs(m)
         if len(ii) > cap:
             dropped += len(ii) - cap
             ii, jj = ii[:cap], jj[:cap]
@@ -206,7 +221,6 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
     ) / 64.0
     set_cache: dict[str, frozenset] = {}
-    jw_cache: dict[tuple[str, str], float] = {}
 
     def tokset(joined: str) -> frozenset:
         v = set_cache.get(joined)
@@ -216,7 +230,6 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         return v
 
     jac = np.empty(n, dtype=np.float64)
-    jw = np.empty(n, dtype=np.float64)
     for i in range(n):
         sa = tokset(toks[lidx[i]])
         sb = tokset(toks[ridx[i]])
@@ -227,12 +240,7 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         else:
             inter = len(sa & sb)
             jac[i] = inter / (len(sa) + len(sb) - inter)
-        key = (titles[lidx[i]], titles[ridx[i]])
-        v = jw_cache.get(key)
-        if v is None:
-            v = jaro_winkler(key[0], key[1])
-            jw_cache[key] = v
-        jw[i] = v
+    jw = _jw_unique_pairs(titles[lidx], titles[ridx])
 
     score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
     gray_label = "gray_approve" if cfg.fallback_mode == "auto_approve" else "review"

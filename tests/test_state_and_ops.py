@@ -210,11 +210,12 @@ def test_near_dup_clusters_token_and_ngram(ray_session):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     texts = [base, base + " extra", "completely different words entirely here now", base.replace("quick", "swift")]
     tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()), "text": texts})
-    out = minhash_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).sort_values("doc_id")
+    out = minhash_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).to_pandas().sort_values("doc_id")
     # docs 0,1,3 cluster together; doc 2 is alone
     assert out[out["doc_id"] == 0]["cluster_id"].iloc[0] == out[out["doc_id"] == 1]["cluster_id"].iloc[0]
     assert out[out["doc_id"] == 2]["cluster_size"].iloc[0] == 1
-    out2 = ngram_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).sort_values("doc_id")
+    assert len(out) == 4  # every doc labeled, singletons included
+    out2 = ngram_near_dup_clusters(rd.from_arrow(tbl), threshold=0.5).to_pandas().sort_values("doc_id")
     assert out2[out2["doc_id"] == 0]["cluster_id"].iloc[0] == out2[out2["doc_id"] == 1]["cluster_id"].iloc[0]
 
 
