@@ -463,29 +463,53 @@ def run_relational_er(
 ) -> dict:
     """The reference cli/run_mapping.py:37-188 lifecycle: five sequential
     match → route → merge stages with cross-stage maps."""
+    from entity_resolution_engine_ray.state.adapters import (
+        attach_competition_conflicts,
+        attach_match_conflicts,
+        attach_player_conflicts,
+        attach_season_conflicts,
+        attach_team_conflicts,
+    )
+
     vcfg = validation_config or ValidationConfig()
     outcomes: dict[str, RoutingOutcome] = {}
 
-    team_matches = match_teams(alpha["teams"], beta["teams"])
+    team_matches = attach_team_conflicts(
+        match_teams(alpha["teams"], beta["teams"]), alpha["teams"], beta["teams"]
+    )
     outcomes["team"] = route_matches("team", team_matches, vcfg, validator)
     team_entities, alpha_team_to_ues, _ = merge_teams(outcomes["team"].approved, alpha["teams"], beta["teams"])
     alpha_team_to_beta = {m["alpha_team_id"]: m["beta_team_id"] for m in outcomes["team"].approved}
 
-    comp_matches = match_competitions(alpha["competitions"], beta["competitions"])
+    comp_matches = attach_competition_conflicts(
+        match_competitions(alpha["competitions"], beta["competitions"]),
+        alpha["competitions"],
+        beta["competitions"],
+    )
     outcomes["competition"] = route_matches("competition", comp_matches, vcfg, validator)
     comp_entities, alpha_comp_to_ues, beta_comp_to_ues = build_competition_entities(outcomes["competition"].approved)
     comp_map = {m["alpha_competition_id"]: m["beta_competition_id"] for m in outcomes["competition"].approved}
 
-    season_matches = match_seasons(alpha["seasons"], beta["seasons"], comp_map)
+    season_matches = attach_season_conflicts(
+        match_seasons(alpha["seasons"], beta["seasons"], comp_map), alpha["seasons"], beta["seasons"]
+    )
     outcomes["season"] = route_matches("season", season_matches, vcfg, validator)
     season_entities, alpha_season_to_ues, _ = build_season_entities(outcomes["season"].approved, alpha_comp_to_ues)
     season_map = {m["alpha_season_id"]: m["beta_season_id"] for m in outcomes["season"].approved}
 
-    player_matches = match_players(alpha["players"], beta["players"], alpha_team_to_beta, beta["teams"])
+    player_matches = attach_player_conflicts(
+        match_players(alpha["players"], beta["players"], alpha_team_to_beta, beta["teams"]),
+        alpha["players"],
+        beta["players"],
+    )
     outcomes["player"] = route_matches("player", player_matches, vcfg, validator)
     player_entities, _, _ = merge_players(outcomes["player"].approved, alpha["players"], beta["players"], alpha_team_to_ues)
 
-    match_matches_list = match_matches(alpha["matches"], beta["matches"], alpha_team_to_beta, comp_map, season_map)
+    match_matches_list = attach_match_conflicts(
+        match_matches(alpha["matches"], beta["matches"], alpha_team_to_beta, comp_map, season_map),
+        alpha["matches"],
+        beta["matches"],
+    )
     outcomes["match"] = route_matches("match", match_matches_list, vcfg, validator)
     match_entities = merge_matches(outcomes["match"].approved, alpha["matches"], alpha_team_to_ues, alpha_comp_to_ues, alpha_season_to_ues)
 

@@ -189,13 +189,20 @@ def build_quality_report(store: MetricsStore, run_id: str) -> dict:
     }
 
 
-def generate_triage_report(store: MetricsStore, run_id: str, entity_type: str) -> dict:
+def generate_triage_report(
+    store: MetricsStore,
+    run_id: str,
+    entity_type: str,
+    review_items: list[dict] | None = None,
+) -> dict:
     """Anomaly triage report (reference monitoring/llm_triage.py:52-135).
 
     The reference asks an LLM to summarize anomalies and falls back to a
     deterministic template when the LLM is unavailable (:32-49); this
     engine ships the deterministic path (no network), with the same shape:
-    run/entity scope, per-metric deltas, and a severity-ranked summary."""
+    run/entity scope, per-metric deltas, a severity-ranked summary, and up
+    to 20 review samples (llm_triage.py:75-90: left/right ids, matcher
+    score, signals)."""
     anomalies = store.anomalies()
     if not anomalies.empty:
         anomalies = anomalies[
@@ -214,11 +221,33 @@ def generate_triage_report(store: MetricsStore, run_id: str, entity_type: str) -
             f"[{r['severity']}] {r['metric_name']}: {r['current_value']:.3f} "
             f"(baseline {r['baseline_value']:.3f}, Δ{delta:+.3f}, z={r['z_score']:.2f})"
         )
+    samples = []
+    for item in (review_items or [])[:20]:
+        cand = item.get("candidate", item)
+        samples.append(
+            {
+                "left_id": next(
+                    (cand[k] for k in cand if k.startswith(("alpha_", "left_"))), None
+                ),
+                "right_id": next(
+                    (cand[k] for k in cand if k.startswith(("beta_", "right_"))), None
+                ),
+                "matcher_score": cand.get("confidence") or cand.get("score"),
+                "signals": {
+                    k: v
+                    for k, v in cand.items()
+                    if k in ("conflict_flags", "country_match", "start_year_delta",
+                             "birth_year_alpha", "birth_year_beta", "date_delta_days",
+                             "breakdown")
+                },
+            }
+        )
     report = {
         "run_id": run_id,
         "entity_type": entity_type,
         "anomaly_count": len(rows),
         "summary": "; ".join(lines) if lines else "no anomalies detected",
+        "review_samples": samples,
         "generated_by": "deterministic_fallback",
     }
     out_dir = os.path.join(store.dir, "triage_reports")
@@ -226,6 +255,50 @@ def generate_triage_report(store: MetricsStore, run_id: str, entity_type: str) -
     with open(os.path.join(out_dir, f"{run_id}-{entity_type}.json"), "w") as f:
         json.dump(report, f)
     return report
+
+
+def monitoring_summary(metrics_rows: list[dict], review_items: list[dict] | None = None) -> dict:
+    """Cross-entity run summary (reference api/main.py:244-334): integer
+    totals, rate reconstruction, and the weighted ``avg*count`` latency
+    re-aggregation (main.py:296-299) — per-entity averages can't be summed,
+    so each row's average is expanded back to a total first."""
+    int_fields = [
+        "total_candidates", "auto_match_count", "auto_reject_count",
+        "gray_zone_sent_count", "llm_match_count", "llm_no_match_count",
+        "llm_review_count", "llm_call_count", "llm_error_count",
+        "llm_invalid_json_retry_count",
+    ]
+    totals: dict[str, float] = {k: 0 for k in int_fields}
+    totals["llm_total_latency_ms"] = 0.0
+    for row in metrics_rows:
+        for k in int_fields:
+            totals[k] += int(row.get(k) or 0)
+        totals["llm_total_latency_ms"] += float(row.get("llm_avg_latency_ms") or 0) * int(
+            row.get("llm_call_count") or 0
+        )
+    total = totals["total_candidates"]
+    calls = totals["llm_call_count"]
+    rates = {
+        "gray_zone_rate": totals["gray_zone_sent_count"] / total if total else 0.0,
+        "llm_review_rate": totals["llm_review_count"] / total if total else 0.0,
+        "llm_error_rate": totals["llm_error_count"] / calls if calls else 0.0,
+    }
+    llm_health = {
+        "llm_call_count": int(calls),
+        "llm_error_count": int(totals["llm_error_count"]),
+        "llm_invalid_json_retry_count": int(totals["llm_invalid_json_retry_count"]),
+        "llm_avg_latency_ms": totals["llm_total_latency_ms"] / calls if calls else None,
+    }
+    review_counts: dict[str, int] = {}
+    for item in review_items or []:
+        status = item.get("status", "PENDING")
+        review_counts[status] = review_counts.get(status, 0) + 1
+    return {
+        "totals": totals,
+        "rates": rates,
+        "llm_health": llm_health,
+        "review_counts": review_counts,
+    }
 
 
 def write_quality_gate_result(history_dir: str, result: dict) -> None:

@@ -73,6 +73,7 @@ def route_matches(
 
     gray_sent = llm_match = llm_no_match = llm_review = 0
     call_count = error_count = invalid_retry_count = 0
+    total_latency_ms = 0.0
     disabled_reason: str | None = None
     fallback = config.fallback_mode_when_llm_unhealthy
     window: deque[dict] = deque(maxlen=config.circuit_breaker_window)
@@ -114,6 +115,11 @@ def route_matches(
             retry = "llm_invalid_json_retry" in result.risk_flags
             error_count += int(error)
             invalid_retry_count += int(retry)
+            # validators built on state/llm.LLMClient expose per-call latency
+            # (reference router.py:224-226 — avg reconstructed in metrics)
+            latency = getattr(validator, "last_latency_ms", None)
+            if latency is not None:
+                total_latency_ms += float(latency)
             window.append({"success": not error, "invalid_json_retry": retry})
             if circuit_open():
                 disabled_reason = "circuit_breaker_open"
@@ -151,7 +157,7 @@ def route_matches(
         "llm_call_count": call_count,
         "llm_error_count": error_count,
         "llm_invalid_json_retry_count": invalid_retry_count,
-        "llm_avg_latency_ms": None,
+        "llm_avg_latency_ms": (total_latency_ms / call_count) if call_count and total_latency_ms else None,
         "llm_fallback_mode": fallback,
         "llm_disabled_reason": disabled_reason,
     }

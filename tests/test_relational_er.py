@@ -258,3 +258,60 @@ def test_source_lineage_explode(er_result):
     team_rows = [l for l in lineage if l["ues_entity_type"] == "team"]
     assert len(team_rows) == 2 * len(teams)  # one ALPHA + one BETA row each
     assert {l["source_system"] for l in team_rows} == {"ALPHA", "BETA"}
+
+
+def test_conflict_flag_blocks_auto_approve_e2e(ray_session, fixtures):
+    """A high-scoring (≈1.0) team pair with a country mismatch must NOT
+    auto-approve through run_relational_er (reference
+    validation/router.py:168-170 + adapters.py:56-63): with fallback
+    "review" it lands in the review queue; with the default auto_approve
+    fallback it is approved only via the gray/fallback path (not counted as
+    auto_match)."""
+    import pyarrow.compute as pc
+
+    from entity_resolution_engine_ray.pipelines.relational_er import run_relational_er
+
+    alpha = dict(fixtures["alpha"])
+    beta = dict(fixtures["beta"])
+    # poison beta team 101 (ground-truth partner of alpha team 1): same name
+    # family (still matches ≥0.88), different country
+    bt = beta["teams"].to_pandas()
+    a_country = alpha["teams"].to_pandas().set_index("team_id").loc[1, "country"]
+    poisoned = "Wakanda" if a_country != "Wakanda" else "Latveria"
+    bt.loc[bt["id"] == 101, "region"] = poisoned
+    beta["teams"] = pa.Table.from_pandas(bt, preserve_index=False)
+
+    cfg_review = ValidationConfig(fallback_mode_when_llm_unhealthy="review")
+    res = run_relational_er(alpha, beta, validation_config=cfg_review)
+    team_out = res["outcomes"]["team"]
+    pair = lambda m: (m.get("alpha_team_id"), m.get("beta_team_id"))
+    assert (1, 101) not in {pair(m) for m in team_out.approved}
+    review_pairs = {pair(r["candidate"]) for r in team_out.review_items}
+    flagged = [
+        r for r in team_out.review_items if pair(r["candidate"]) == (1, 101)
+    ]
+    if (1, 101) in review_pairs:  # pair scored >= high: conflict forced review
+        assert flagged[0]["candidate"]["conflict_flags"] == ["country_mismatch"]
+        assert flagged[0]["candidate"]["confidence"] >= 0.88
+    else:  # the mutated fixture name scored below high — conflict still set on the match
+        raise AssertionError("expected team pair (1,101) in review queue")
+
+    # default fallback (auto_approve): the pair IS approved — but via the
+    # fallback path, with its conflict recorded (reference parity: fallback
+    # approvals count as auto_match in metrics, router.py:233)
+    res2 = run_relational_er(alpha, beta)
+    team_out2 = res2["outcomes"]["team"]
+    approved_match = [m for m in team_out2.approved if pair(m) == (1, 101)]
+    assert approved_match and approved_match[0]["conflict_flags"] == ["country_mismatch"]
+
+    # with a validator ENABLED that rejects everything, the conflicted-high
+    # pair must be REJECTED — proof it routes through validation, never the
+    # score>=high auto-approve shortcut
+    cfg_llm = ValidationConfig(enabled=True)
+    reject_all = lambda m: ValidationResult("NO_MATCH", 0.9, ["nope"], [])
+    res3 = run_relational_er(alpha, beta, validation_config=cfg_llm, validator=reject_all)
+    team_out3 = res3["outcomes"]["team"]
+    assert (1, 101) not in {pair(m) for m in team_out3.approved}
+    assert (1, 101) in {pair(m) for m in team_out3.rejected}
+    # unconflicted high-score pairs still auto-approve without a validator call
+    assert any(m["confidence"] >= 0.88 and not m["conflict_flags"] for m in team_out3.approved)
