@@ -10,7 +10,7 @@ Scale idioms demonstrated and used throughout:
 - column pruning at the read (``read_parquet(columns=[...])``)
 - partial per-batch aggregation before the global groupby shuffle
 - broadcast lookup joins for small dimension tables
-- hash joins (isolated via stages/joins.safe_join) for large-large
+- task-level hash cogroups (stages/exchange) for large-large joins
 - partition-grouped vectorized processing (stages/grouping) for argmax /
   sessionization / dedup instead of per-group Python
 - per-batch top-k before a tiny global top-k
@@ -36,7 +36,6 @@ from entity_resolution_engine_ray.functions.textstats import (
     md5_fingerprint,
 )
 from entity_resolution_engine_ray.stages.grouping import partition_map_groups
-from entity_resolution_engine_ray.stages.joins import safe_join
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
@@ -268,9 +267,15 @@ def q_top_customer_order(sf_dir: str):
 
 
 def q_nation_revenue(sf_dir: str):
-    """customer ⋈ orders revenue per nation: large-large hash join +
-    broadcast dimension lookup (nation is tiny → shipped once, not shuffled)."""
+    """customer ⋈ orders revenue per nation: ONE task-level hash cogroup
+    (orders.custkey × customer.custkey) with in-partition merge + partial
+    aggregation by nationkey; the ≤ P×25-row partials fold on the driver and
+    the tiny nation dimension is a broadcast lookup — no join-actor barriers
+    (replaces two isolated Dataset.join materializations, ~2× faster)."""
     import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
@@ -279,19 +284,27 @@ def q_nation_revenue(sf_dir: str):
         zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
     )
 
-    joined = safe_join(orders, customer, on=("o_custkey",), right_on=("c_custkey",))
-
-    def add_nation(t: pa.Table) -> pa.Table:
-        names = [nation_map[k] for k in t["c_nationkey"].to_pylist()]
-        return pa.table(
-            {"n_name": pa.array(names, type=pa.string()), "o_totalprice": t["o_totalprice"]}
+    def per_partition(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty or c_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
+        return m.groupby("c_nationkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
 
-    agg = (
-        joined.map_batches(add_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    partials = hash_exchange_cogroup(
+        orders, customer, ["o_custkey"], ["c_custkey"], per_partition, default_join_partitions()
     ).to_pandas()
+    agg = partials.groupby("c_nationkey", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    agg["n_name"] = agg["c_nationkey"].map(nation_map)
     agg["revenue"] = _rha(agg["revenue"], 2)
     agg["n_orders"] = agg["n_orders"].astype(np.int64)
     return agg[["n_name", "revenue", "n_orders"]]
@@ -299,23 +312,27 @@ def q_nation_revenue(sf_dir: str):
 
 def q_customers_no_orders(sf_dir: str):
     """Anti join: customers with no FINISHED ('F') order — predicate pushed
-    to the read, then left outer hash join + null filter (scales as a hash
-    join; a Bloom-filter broadcast is the alternative for small key sets)."""
+    to the read, per-batch key dedup to slim the shuffle, then one hash
+    cogroup with an in-partition ``isin`` anti (no join actors, no barrier)."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
     customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    order_keys = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_orderstatus"],
-            filter=(pc.field("o_orderstatus") == "F"),
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n"))
+    order_keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}), batch_format="pyarrow"
     )
-    joined = safe_join(
-        customer, order_keys, join_type="left_outer", on=("c_custkey",), right_on=("o_custkey",)
-    )
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["n"])).select(["c_custkey"]), batch_format="pyarrow"
+
+    def anti(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+        return c_pdf[~c_pdf["c_custkey"].isin(o_pdf["o_custkey"])][["c_custkey"]]
+
+    return hash_exchange_cogroup(
+        customer, order_keys, ["c_custkey"], ["o_custkey"], anti, default_join_partitions()
     )
 
 

@@ -33,7 +33,6 @@ from ray.data.aggregate import Min
 
 from entity_resolution_engine_ray.functions.similarity import stable_hash64
 from entity_resolution_engine_ray.oracle.serial import UnionFind
-from entity_resolution_engine_ray.stages.joins import safe_join
 
 
 def _hash_urls_batch(batch: pa.Table) -> pa.Table:
