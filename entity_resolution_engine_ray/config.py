@@ -110,8 +110,14 @@ class PagesERConfig:
     # (≪ object-store budget), distributed label propagation otherwise.
     cluster_method: str = "auto"  # "labelprop" | "local" | "auto"
     # "auto" gate: approved-edge count above which the driver label map is
-    # refused and the fully-distributed labelprop path runs instead
-    local_cluster_edge_threshold: int = 2_000_000
-    max_cc_iterations: int = 12
+    # refused and the fully-distributed labelprop path runs instead. The
+    # driver map holds one int per CONNECTED node (≤ 2×edges, typically far
+    # fewer after contraction): 10M edges bounds it at ~2 GB worst-case dict,
+    # well under the driver heap; real near-dup workloads land ~50× lower.
+    local_cluster_edge_threshold: int = 10_000_000
+    # labelprop rounds are O(|V|) traffic (stationary edges + pointer
+    # jumping) — a generous budget is cheap; the changed-count early exit
+    # stops at convergence (measured: 19 rounds on a 2M-edge fixture)
+    max_cc_iterations: int = 50
     score_batch_size: int = 4096
     score_concurrency: int | None = None  # None → let Ray autoscale the pool

@@ -143,6 +143,36 @@ def hash_exchange_cogroup(
     return rd.from_arrow_refs(keep)
 
 
+@ray.remote
+def _concat_parts(*subtables: pa.Table) -> pa.Table:
+    parts = [t for t in subtables if t.num_rows > 0]
+    if not parts:
+        return subtables[0]
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def exchange_partition_refs(ds, key_cols: list[str], num_partitions: int) -> list:
+    """Hash-partition ``ds`` ONCE and return the P partition tables as object
+    refs (index p = partition p — alignment is guaranteed, empty partitions
+    included). The building block for ITERATIVE algorithms where one side
+    stays stationary across rounds (connected components: edges are
+    partitioned once; only labels/candidates move per round)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        raise ValueError("exchange_partition_refs: empty dataset")
+    splits = [
+        _split_block.options(num_returns=num_partitions).remote(
+            key_cols, num_partitions, *group
+        )
+        for group in _coalesce_refs(refs, _default_split_tasks())
+    ]
+    parts = []
+    for p in range(num_partitions):
+        subs = [s[p] for s in splits] if num_partitions > 1 else list(splits)
+        parts.append(_concat_parts.remote(*subs))
+    return parts
+
+
 def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
     """Raw-task hash exchange: apply ``fn(pdf)`` once per hash partition of
     ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),

@@ -122,6 +122,13 @@ def build_labeled(features_ds, labels_ds, num_partitions=None):
 
     num_partitions = num_partitions or default_join_partitions()
 
+    # cluster labels are full-range int64 hashes: marking the meta side with
+    # NULL labels would convert the column to float64 at the pandas boundary
+    # (Arrow int64-with-nulls → float64) and corrupt values beyond 2^53 —
+    # use an explicit int sentinel instead (INT64_MIN; blake2b output
+    # colliding with it has probability 2^-64 per label)
+    _NO_LABEL = np.int64(np.iinfo(np.int64).min)
+
     def meta_side(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -129,7 +136,9 @@ def build_labeled(features_ds, labels_ds, num_partitions=None):
                 "warc_ts": t["warc_ts"],
                 "lang": t["lang"],
                 "title_norm": t["title_norm"],
-                "cluster_label": pa.nulls(t.num_rows, type=pa.int64()),
+                "cluster_label": pa.array(
+                    np.full(t.num_rows, _NO_LABEL), type=pa.int64()
+                ),
             }
         )
 
@@ -150,14 +159,17 @@ def build_labeled(features_ds, labels_ds, num_partitions=None):
 
     def merge_url_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["url", "cluster_label"], kind="mergesort")
-        meta = pdf[pdf["cluster_label"].isna()]
-        lbl = pdf[pdf["cluster_label"].notna()][["url", "cluster_label"]]
+        is_meta = pdf["cluster_label"].to_numpy() == _NO_LABEL
+        meta = pdf[is_meta]
+        lbl = pdf[~is_meta][["url", "cluster_label"]]
+        # exact int64 through the left join: nullable Int64, no float detour
+        lbl = lbl.assign(cluster_label=lbl["cluster_label"].astype("Int64"))
         out = meta.drop(columns="cluster_label").merge(lbl, on="url", how="left")
         missing = out["cluster_label"].isna()
         if missing.any():
-            out.loc[missing, "cluster_label"] = [
-                np.int64(stable_hash64(u)) for u in out.loc[missing, "url"]
-            ]
+            out.loc[missing, "cluster_label"] = pd.array(
+                [stable_hash64(u) for u in out.loc[missing, "url"]], dtype="Int64"
+            )
         out["cluster_label"] = out["cluster_label"].astype(np.int64)
         return out
 

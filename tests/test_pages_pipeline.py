@@ -195,3 +195,25 @@ def test_labelprop_pipeline_equivalent_to_contraction(ray_session, fixture_paths
     # identical id sets and member counts
     assert a["entity_id"].tolist() == b["entity_id"].tolist()
     assert a["n_members"].tolist() == b["n_members"].tolist()
+
+
+def test_labelprop_long_chain_converges(ray_session):
+    """A 200-node path graph has diameter 199 — naive min-label propagation
+    needs ~199 rounds; the pointer-jumped labelprop must converge to ONE
+    cluster within the default iteration budget."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.cluster import connected_components_labelprop
+
+    n = 200
+    urls = [f"https://chain.example/p{i:04d}" for i in range(n)]
+    edges = pa.table(
+        {
+            "left_url": pa.array(urls[:-1], type=pa.string()),
+            "right_url": pa.array(urls[1:], type=pa.string()),
+        }
+    )
+    labels = connected_components_labelprop(rd.from_arrow(edges), num_partitions=8).to_pandas()
+    assert len(labels) == n
+    assert labels["cluster_label"].nunique() == 1
