@@ -83,6 +83,7 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     max_block_size: int = 512,
     num_partitions: int = 32,
+    broadcast_limit_bytes: int = 256 << 20,
 ):
     """SRP-LSH bucketed near-duplicate pairs with exact cosine verification.
 
@@ -126,10 +127,44 @@ def cosine_near_dup_pairs(
         raw.drop_columns(["dropped"]), ["left_id", "right_id"], _dedup_pairs, num_partitions
     )
 
-    # partitioned verify: embeddings meet their pairs through two hash
-    # cogroups (pairs.left_id × emb.id, then pairs.right_id × emb.id) — the
-    # embedding matrix is never materialized or broadcast whole; each
-    # partition ships only the vectors its pairs reference.
+    # verify = exact cosine per candidate pair. Two physical plans, gated on
+    # the embedding-matrix footprint (rows × dim × 8 bytes):
+    # - small side (≤ broadcast_limit_bytes): normalize once, ray.put the
+    #   matrix, einsum per pair batch — one pass, no extra exchange.
+    # - large side: two hash cogroups (pairs.left_id × emb.id, then
+    #   pairs.right_id × emb.id) — the matrix is never materialized whole;
+    #   each partition ships only the vectors its pairs reference. This is
+    #   the only path that can run at 100 TB; the gate makes it impossible
+    #   to broadcast a matrix that doesn't fit.
+    n_rows = feats.count()
+    first = feats.take(1)
+    dim_actual = len(first[0]["embedding"]) if first else (dim or 0)
+    if n_rows * max(dim_actual, 1) * 8 <= broadcast_limit_bytes:
+        import ray
+
+        emb_pdf = feats.to_pandas()
+        ids = emb_pdf[id_col].to_numpy()
+        m = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        row_of = {int(i): r for r, i in enumerate(ids)}
+        mn_ref = ray.put(mn)
+        row_ref = ray.put(row_of)
+
+        def verify_broadcast(pdf: pd.DataFrame) -> pd.DataFrame:
+            mat = ray.get(mn_ref)
+            rows = ray.get(row_ref)
+            li = pdf["left_id"].to_numpy()
+            ri = pdf["right_id"].to_numpy()
+            lrow = np.fromiter((rows[int(i)] for i in li), dtype=np.int64, count=len(li))
+            rrow = np.fromiter((rows[int(i)] for i in ri), dtype=np.int64, count=len(ri))
+            cos = np.round(np.einsum("ij,ij->i", mat[lrow], mat[rrow]), 6)
+            out = pdf.assign(cos=cos)
+            return out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
+
+        return pairs.map_batches(verify_broadcast, batch_format="pandas")
+
     def norm_rows(t: pa.Table) -> pa.Table:
         m = _to_matrix(t["embedding"])
         norms = np.linalg.norm(m, axis=1)

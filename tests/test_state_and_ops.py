@@ -328,3 +328,33 @@ def test_triage_report(tmp_path):
     # no anomalies → clean summary
     empty = generate_triage_report(store, "r0", "page")
     assert empty["summary"] == "no anomalies detected"
+
+
+def test_cosine_near_dup_paths_agree(ray_session):
+    """Broadcast (small-side) and partitioned (scale-side) cosine verifies
+    must produce identical pairs and values — the size gate may never change
+    results, only the physical plan."""
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    # build near-dup structure: pairs of slightly-perturbed vectors
+    vecs = np.vstack([base, base + 0.01 * rng.standard_normal((40, 16))])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(80), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    a = cosine_near_dup_pairs(ds, threshold=0.9, num_partitions=4).to_pandas()
+    b = cosine_near_dup_pairs(
+        ds, threshold=0.9, num_partitions=4, broadcast_limit_bytes=0
+    ).to_pandas()
+    a = a.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    b = b.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert len(a) >= 40  # the perturbed twins are found
+    assert a.equals(b)
