@@ -270,11 +270,17 @@ def monitoring_summary(metrics_rows: list[dict], review_items: list[dict] | None
     ]
     totals: dict[str, float] = {k: 0 for k in int_fields}
     totals["llm_total_latency_ms"] = 0.0
+    def _num(v) -> float:
+        # metrics history serializes None as the string "None"
+        if v is None or v == "None" or v == "" or (isinstance(v, float) and pd.isna(v)):
+            return 0.0
+        return float(v)
+
     for row in metrics_rows:
         for k in int_fields:
-            totals[k] += int(row.get(k) or 0)
-        totals["llm_total_latency_ms"] += float(row.get("llm_avg_latency_ms") or 0) * int(
-            row.get("llm_call_count") or 0
+            totals[k] += int(_num(row.get(k)))
+        totals["llm_total_latency_ms"] += _num(row.get("llm_avg_latency_ms")) * int(
+            _num(row.get("llm_call_count"))
         )
     total = totals["total_candidates"]
     calls = totals["llm_call_count"]
