@@ -366,6 +366,120 @@ def q_supplier_region_stats(sf_dir: str):
     return out
 
 
+def q_orders_priority_count(sf_dir: str):
+    """Semi join (EXISTS): orders with ≥1 deep-discount lineitem, counted per
+    priority. Lineitem side is reduced to per-batch-unique orderkeys before
+    the ONE hash cogroup; the per-partition semi (isin) feeds a partial count
+    that folds to ≤ P×5 rows on the driver."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    disc_keys = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_discount"],
+        filter=(pc.field("l_discount") > 0.05),
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": pc.unique(t["l_orderkey"])}), batch_format="pyarrow"
+    )
+
+    def semi_count(o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        hit = o_pdf[o_pdf["o_orderkey"].isin(l_pdf["l_orderkey"])]
+        return hit.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_orderkey", "size")
+        )
+
+    partials = hash_exchange_cogroup(
+        orders, disc_keys, ["o_orderkey"], ["l_orderkey"], semi_count, default_join_partitions()
+    ).to_pandas()
+    out = partials.groupby("o_orderpriority", as_index=False).agg(n_orders=("n_orders", "sum"))
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+def q_region_top_supplier(sf_dir: str):
+    """Per-region argmax (highest account balance, ties → min suppkey):
+    nation→region broadcast lookup, per-batch partial argmax, 5-row driver
+    final — no shuffle at all."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf["r_name"] = [r2name[n2r[k]] for k in pdf["s_nationkey"]]
+        pdf = pdf.sort_values(
+            ["r_name", "s_acctbal", "s_suppkey"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("r_name", keep="first")
+        return pa.Table.from_pandas(
+            pdf[["r_name", "s_suppkey", "s_name", "s_acctbal"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = supplier.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(
+        ["r_name", "s_acctbal", "s_suppkey"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("r_name", keep="first")
+    return out.reset_index(drop=True)
+
+
+def q_doc_distinct_by_lang(sf_dir: str):
+    """COUNT DISTINCT per group at scale: texts reduce to 64-bit content
+    hashes per batch (8-byte shuffle keys, no full text movement), then one
+    hash partition per language computes exact distinct counts."""
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pa.array([stable_hash64(x) for x in t["text"].to_pylist()], type=pa.int64())
+        return pa.table({"lang": t["lang"], "h": h})
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("lang", as_index=False).agg(
+            n_docs=("h", "size"), n_distinct=("h", "nunique")
+        )
+        g["dup_rate"] = _rha(1.0 - g["n_distinct"] / g["n_docs"], 4)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_distinct"] = g["n_distinct"].astype(np.int64)
+        return g
+
+    return partition_map_groups(
+        ds.map_batches(add_hash, batch_format="pyarrow"), ["lang"], per_lang, 8
+    )
+
+
+def q_ann_ivf_top10(sf_dir: str):
+    """IVF approximate top-k (probe the nearest centroid lists only) — no
+    SQL oracle (approximate index)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.knn import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
+    )
+    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    out = knn_ivf(ds, q, k=10, id_col="vec_id", n_centroids=16, n_probe=8)
+    out["cos"] = _rha(out["cos"], 4)
+    return out
+
+
 def q_doc_top_tokens(sf_dir: str):
     """Token explode (vectorized Arrow list-flatten) → partial per-batch
     counts → global groupby → top 20 tokens (count desc, token asc)."""
@@ -578,6 +692,10 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "customers_no_orders": q_customers_no_orders,
     "supplier_region_stats": q_supplier_region_stats,
+    "orders_priority_count": q_orders_priority_count,
+    "region_top_supplier": q_region_top_supplier,
+    "doc_distinct_by_lang": q_doc_distinct_by_lang,
+    "ann_ivf_top10": q_ann_ivf_top10,
     "doc_top_tokens": q_doc_top_tokens,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
@@ -596,6 +714,28 @@ ORACLE_SQL = {
     "exact_dedup_docs": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text"
     ),
+    "orders_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """,
+    "region_top_supplier": """
+        SELECT r_name, s_suppkey, s_name, s_acctbal FROM (
+            SELECT r.r_name, s.s_suppkey, s.s_name, s.s_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY r.r_name
+                                      ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ) WHERE rn = 1
+    """,
+    "doc_distinct_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+               ROUND(1.0 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 4) AS dup_rate
+        FROM documents GROUP BY lang
+    """,
     "doc_stats_by_lang": f"""
         SELECT lang,
                COUNT(*) AS n_docs,
