@@ -140,7 +140,8 @@ def run_scaling() -> dict:
     physically unavailable in that range, so any pipeline number there
     measures the host, not the engine. 2→8 (and 4→16) sit in the host's
     linear region."""
-    lo, hi = 4, 16
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
     reps: dict[int, list[dict]] = {lo: [], hi: []}
     # interleaved best-of-3: host load on this shared box is bursty, so
     # alternating the levels samples comparable noise for both
