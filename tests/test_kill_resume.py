@@ -34,11 +34,15 @@ def _run(pages, out, kill_on_stage: str | None = None) -> bool:
     """Run the pipeline in a subprocess; if ``kill_on_stage`` is given,
     SIGKILL the process the moment that stage's ``_DONE`` manifest appears
     (guaranteed mid-run). Returns True if the run completed."""
+    # new session ⇒ the subprocess and every Ray daemon it spawns share a
+    # process group we can SIGKILL atomically — a broad pkill of raylet/
+    # gcs_server would also take down the test session's own Ray cluster
     proc = subprocess.Popen(
         [sys.executable, "-c", RUNNER.format(repo=REPO, pages=pages, out=out)],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
+        start_new_session=True,
     )
     if kill_on_stage is None:
         out_text, _ = proc.communicate(timeout=600)
@@ -48,10 +52,8 @@ def _run(pages, out, kill_on_stage: str | None = None) -> bool:
     while time.time() < deadline and proc.poll() is None and not os.path.exists(marker):
         time.sleep(0.1)
     if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
         proc.wait()
-        subprocess.run(["pkill", "-9", "-f", "raylet"], check=False)
-        subprocess.run(["pkill", "-9", "-f", "gcs_server"], check=False)
         time.sleep(2)
         return False
     return True
