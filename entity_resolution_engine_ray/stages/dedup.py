@@ -147,14 +147,18 @@ def _explode_fat(batch: pa.Table) -> pa.Table:
 
 
 def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.DataFrame:
-    """One hash partition of fat (id, tokens, block_key) rows → VERIFIED
-    edges (exact Jaccard ≥ threshold), bucket caps counted in ``dropped``.
-    Pair generation semantics identical to ``_pairs_partition``."""
-    pdf = pdf.sort_values(["block_key", "id"], kind="mergesort")
+    """One hash partition of fat (id, tokens, block_key[, salt]) rows →
+    VERIFIED edges (exact Jaccard ≥ threshold). Hot buckets arrive pre-split
+    by salt; the cap + ``dropped`` counter remain as the backstop for salt
+    hash variance."""
+    if "salt" not in pdf.columns:
+        pdf = pdf.assign(salt=np.zeros(len(pdf), dtype=np.int32))
+    pdf = pdf.sort_values(["block_key", "salt", "id"], kind="mergesort")
     keys = pdf["block_key"].to_numpy()
+    salts = pdf["salt"].to_numpy()
     ids = pdf["id"].to_numpy()
     toks = pdf["tokens"].to_numpy()
-    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
     starts = np.r_[0, change]
     ends = np.r_[change, len(pdf)]
     lefts, rights = [], []
@@ -271,11 +275,39 @@ def near_dup_edges(
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=default_pool_size(),
+    ).materialize()
+
+    # hot-bucket salting (same scheme as the pages pipeline): buckets over
+    # the cap are split into deterministic id-hash sub-buckets instead of
+    # being truncated — identical docs beyond the cap still pair (within
+    # their salt; cross-salt recall is carried by the other bands). The
+    # count pass runs over SLIM (id, block_key) rows — no token payload.
+    from entity_resolution_engine_ray.stages.pairs import hot_key_splits
+
+    slim = feats.select_columns(["id", "band_keys"]).map_batches(
+        _explode, batch_format="pyarrow"
     )
-    fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
+    hot = hot_key_splits(slim, max_block_size)
+
+    def salt_fat(t: pa.Table) -> pa.Table:
+        from entity_resolution_engine_ray.oracle.serial import salt_of
+
+        keys = t["block_key"].to_numpy(zero_copy_only=False)
+        salts = np.zeros(len(keys), dtype=np.int32)
+        if hot:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            for i, kk in enumerate(keys):
+                ns = hot.get(int(kk))
+                if ns:
+                    salts[i] = salt_of(int(ids[i]), int(kk), ns)
+        return t.append_column("salt", pa.array(salts, type=pa.int32()))
+
+    fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
+        salt_fat, batch_format="pyarrow"
+    )
     raw = partition_map_groups(
         fat,
-        ["block_key"],
+        ["block_key", "salt"],
         lambda p: _pair_verify_partition(p, max_block_size, threshold),
         num_partitions,
     ).materialize()
