@@ -142,3 +142,57 @@ def frame_sample_stage(ds, id_col="id", video_col="video", every_n: int = 10, ba
         )
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)
+
+
+def image_resize_stage(
+    ds,
+    id_col: str = "id",
+    image_col: str = "image",
+    width: int = 224,
+    height: int = 224,
+    decoder: str = "stub",
+    concurrency=None,
+    batch_size: int = 64,
+):
+    """Image resize plumbing: (id, image:binary) → (id, image:binary,
+    width:int32, height:int32). The Ray-side shape — actor pool, small
+    batches, binary in/binary out — is real; the pixel work is a clearly
+    marked STUB (a real build swaps in Pillow inside ``resize_one``; the
+    library is absent from this environment)."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real image decoding requires Pillow, which is not available in "
+            "this environment — only decoder='stub' is implemented"
+        )
+    from entity_resolution_engine_ray.stages.block import default_pool_size
+
+    def resize_one(payload: bytes) -> bytes:
+        # STUB: deterministic digest-stream "resized pixels" of the target
+        # size (3 bytes/px) — stands in for Image.open(...).resize(...)
+        out = b""
+        seed = payload or b""
+        need = width * height * 3
+        counter = 0
+        while len(out) < need:
+            out += hashlib.blake2b(seed + counter.to_bytes(4, "little"), digest_size=64).digest()
+            counter += 1
+        return out[:need]
+
+    def resize_batch(batch: pa.Table) -> pa.Table:
+        imgs = [resize_one(p) for p in batch[image_col].to_pylist()]
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                image_col: pa.array(imgs, type=pa.binary()),
+                "width": pa.array([width] * n, type=pa.int32()),
+                "height": pa.array([height] * n, type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(
+        resize_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -129,3 +129,37 @@ def validate_gray_zone(
         concurrency=concurrency or default_pool_size(),
     )
     return rest.union(validated)
+
+
+def llm_validator_factory(transport, entity_type: str = "page"):
+    """Bridge the LLM client semantics (state/llm: request shape, 12 s
+    timeout, invalid-JSON retry, 3 response formats) into the distributed
+    gray-zone pool. The returned factory runs in each actor's ``__init__``
+    — one client per actor, batches of calls per ``__call__``; ``transport``
+    must be picklable (it ships to the actors)."""
+
+    def factory():
+        from entity_resolution_engine_ray.state.llm import LLMClient, validate_pair
+
+        client = LLMClient(transport)
+
+        def validate(c: EdgeCandidate) -> str:
+            result = validate_pair(
+                entity_type,
+                {"id": c.left_url},
+                {"id": c.right_url},
+                c.score,
+                {
+                    "jaccard": c.jaccard,
+                    "simhash_sim": c.simhash_sim,
+                    "title_sim": c.title_sim,
+                },
+                client,
+            )
+            if "llm_error" in result.risk_flags:
+                raise RuntimeError("llm_error")  # pool's breaker counts failures
+            return result.decision
+
+        return validate
+
+    return factory

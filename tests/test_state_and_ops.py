@@ -358,3 +358,26 @@ def test_cosine_near_dup_paths_agree(ray_session):
     b = b.sort_values(["left_id", "right_id"]).reset_index(drop=True)
     assert len(a) >= 40  # the perturbed twins are found
     assert a.equals(b)
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import image_resize_stage
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "image": pa.array([b"imgA", b"imgB"], type=pa.binary()),
+        }
+    )
+    out = image_resize_stage(rd.from_arrow(tbl), width=8, height=8).to_pandas()
+    assert list(out.columns) == ["id", "image", "width", "height"]
+    assert all(len(img) == 8 * 8 * 3 for img in out["image"])
+    assert out["width"].tolist() == [8, 8]
+    # deterministic per payload, distinct across payloads
+    again = image_resize_stage(rd.from_arrow(tbl), width=8, height=8).to_pandas()
+    assert out["image"].tolist() == again["image"].tolist()
+    assert out["image"][0] != out["image"][1]
+    with pytest.raises(NotImplementedError):
+        image_resize_stage(rd.from_arrow(tbl), decoder="pillow")

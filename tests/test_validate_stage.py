@@ -72,3 +72,41 @@ def test_pipeline_with_validation(ray_session):
     assert "gray_approve" not in decisions  # review mode: no silent approvals
     assert decisions & {"llm_approve", "llm_reject", "review", "auto_approve"}
     assert res["entities"].count() > 0
+
+
+def test_llm_validator_factory_distributed(ray_session):
+    """Gray-zone pool driven by the transport-injectable LLM client: strong
+    Jaccard → MATCH, weak → NO_MATCH, decided by the (fake) model."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.validate import (
+        llm_validator_factory,
+        validate_gray_zone,
+    )
+
+    def transport(payload, timeout_s):
+        req = json.loads(payload["messages"][1]["content"])
+        decision = "MATCH" if req["signals"]["jaccard"] >= 0.5 else "NO_MATCH"
+        return {"content": json.dumps({"decision": decision, "confidence": 0.9, "reasons": [], "risk_flags": []})}
+
+    edges = pa.table(
+        {
+            "left_url": ["a", "b"],
+            "right_url": ["x", "y"],
+            "block_key": pa.array([1, 1], type=pa.int64()),
+            "score": pa.array([0.8, 0.8], type=pa.float64()),
+            "jaccard": pa.array([0.7, 0.2], type=pa.float64()),
+            "simhash_sim": pa.array([0.9, 0.9], type=pa.float64()),
+            "title_sim": pa.array([0.9, 0.9], type=pa.float64()),
+            "decision": ["review", "review"],
+        }
+    )
+    out = validate_gray_zone(
+        rd.from_arrow(edges), validator_factory=llm_validator_factory(transport), concurrency=1
+    ).to_pandas()
+    by_pair = {(r.left_url, r.right_url): r.decision for r in out.itertuples()}
+    assert by_pair[("a", "x")] == "llm_approve"
+    assert by_pair[("b", "y")] == "llm_reject"
