@@ -91,7 +91,10 @@ def page_features(
     sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *coeffs)
     return PageFeatures(
         url=url,
-        token_set=frozenset(toks),
+        # Jaccard is defined over 64-bit token-id hashes in BOTH the oracle
+        # and the engine (the engine ships int ids, not token strings,
+        # through the pair shuffle) — identical by construction
+        token_set=frozenset(int(x) for x in th.astype(np.int64)),
         simhash=simhash64(th),
         band_keys=lsh_band_keys(sig, cfg.bands),
         title_norm=" ".join(canonical_tokens(title)),

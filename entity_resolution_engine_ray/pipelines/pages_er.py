@@ -28,7 +28,7 @@ from entity_resolution_engine_ray.stages.extract import extract_stage
 from entity_resolution_engine_ray.stages.score import fused_edges_stage, gate_metrics
 from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
 
-PIPELINE_VERSION = 2
+PIPELINE_VERSION = 3
 
 
 def run_pages_er(

@@ -59,10 +59,30 @@ def _to_ds(t) -> rd.Dataset:
     return t if isinstance(t, rd.Dataset) else rd.from_arrow(t)
 
 
-def _score_against(norm_alpha: str, beta_norms: list[str]) -> np.ndarray:
-    return np.fromiter(
-        (token_sort_ratio(norm_alpha, b) for b in beta_norms), dtype=np.float64, count=len(beta_norms)
-    )
+def _sorted_form(norm: str) -> str:
+    """token_sort_ratio(a, b) == indel_ratio over whitespace-sorted tokens —
+    pre-sorting each side once replaces the per-pair re-sort."""
+    return " ".join(sorted(norm.split()))
+
+
+def _score_against_sorted(
+    sa: str, beta_sorted: list[str], beta_lens: np.ndarray, threshold: float
+) -> np.ndarray:
+    """Vectorized lossless bound-prune (players-matcher scheme,
+    relational_er.match_players): indel ≤ 2·min(|a|,|b|)/(|a|+|b|), so rows
+    whose bound can't reach ``threshold`` keep the bound (strictly below any
+    emittable real score — argmax and emission are provably unchanged)."""
+    from entity_resolution_engine_ray.functions.similarity import indel_ratio
+
+    la = float(len(sa))
+    if la == 0.0:
+        return np.zeros(len(beta_sorted), dtype=np.float64)
+    ub = np.minimum(1.0, 2.0 * np.minimum(la, beta_lens) / np.maximum(la + beta_lens, 1.0))
+    ub[beta_lens == 0] = 0.0  # empty side scores 0 (token_sort_ratio guard)
+    scores = ub.copy()
+    for j in np.flatnonzero(ub >= threshold):
+        scores[j] = indel_ratio(sa, beta_sorted[j]) if beta_sorted[j] else 0.0
+    return scores
 
 
 # ---------------------------------------------------------------- teams
@@ -72,18 +92,24 @@ def match_teams(alpha_teams, beta_teams, threshold: float | None = None) -> list
     th = threshold if threshold is not None else Thresholds().team_sim_threshold
     beta_tbl = beta_teams if isinstance(beta_teams, pa.Table) else beta_teams.to_arrow()
     beta_ids = beta_tbl["id"].to_pylist()
-    beta_norms = [normalize_name(apply_team_alias(n)) for n in beta_tbl["display_name"].to_pylist()]
+    beta_sorted = [
+        _sorted_form(normalize_name(apply_team_alias(n)))
+        for n in beta_tbl["display_name"].to_pylist()
+    ]
+    beta_lens = np.asarray([len(b) for b in beta_sorted], dtype=np.float64)
     beta_regions = beta_tbl["region"].to_pylist()
-    beta_ref = ray.put((beta_ids, beta_norms, beta_regions))
+    beta_ref = ray.put((beta_ids, beta_sorted, beta_lens, beta_regions))
 
     def score_batch(t: pa.Table) -> pa.Table:
-        b_ids, b_norms, b_regions = ray.get(beta_ref)
+        b_ids, b_sorted, b_lens, b_regions = ray.get(beta_ref)
         rows = {"alpha_team_id": [], "beta_team_id": [], "confidence": [], "name": [], "country": []}
         names = t["name"].to_pylist()
         countries = t["country"].to_pylist()
         ids = t["team_id"].to_pylist()
         for i, name in enumerate(names):
-            scores = _score_against(normalize_name(apply_team_alias(name)), b_norms)
+            scores = _score_against_sorted(
+                _sorted_form(normalize_name(apply_team_alias(name))), b_sorted, b_lens, th
+            )
             j = int(np.argmax(scores)) if len(scores) else -1
             if j >= 0 and scores[j] >= th and scores[j] > 0.0:
                 rows["alpha_team_id"].append(ids[i])
@@ -112,17 +138,18 @@ def match_competitions(alpha_comps, beta_comps, threshold: float | None = None) 
     th = threshold if threshold is not None else Thresholds().comp_sim_threshold
     beta_tbl = beta_comps if isinstance(beta_comps, pa.Table) else beta_comps.to_arrow()
     beta_ids = beta_tbl["id"].to_pylist()
-    beta_norms = [normalize_competition(x) for x in beta_tbl["title"].to_pylist()]
+    beta_sorted = [_sorted_form(normalize_competition(x)) for x in beta_tbl["title"].to_pylist()]
+    beta_lens = np.asarray([len(b) for b in beta_sorted], dtype=np.float64)
     beta_locales = beta_tbl["locale"].to_pylist()
-    beta_ref = ray.put((beta_ids, beta_norms, beta_locales))
+    beta_ref = ray.put((beta_ids, beta_sorted, beta_lens, beta_locales))
 
     def score_batch(t: pa.Table) -> pa.Table:
-        b_ids, b_norms, b_locales = ray.get(beta_ref)
+        b_ids, b_sorted, b_lens, b_locales = ray.get(beta_ref)
         rows = {"alpha_competition_id": [], "beta_competition_id": [], "confidence": [], "name": [], "country": []}
         for cid, name, country in zip(
             t["competition_id"].to_pylist(), t["name"].to_pylist(), t["country"].to_pylist()
         ):
-            scores = _score_against(normalize_competition(name), b_norms)
+            scores = _score_against_sorted(_sorted_form(normalize_competition(name)), b_sorted, b_lens, th)
             j = int(np.argmax(scores)) if len(scores) else -1
             if j >= 0 and scores[j] >= th and scores[j] > 0.0:
                 rows["alpha_competition_id"].append(cid)

@@ -52,6 +52,7 @@ class FeatureExtractor:
         titles = batch["title"].to_pylist()
         n = len(texts)
         tokens_col: list[str] = []
+        token_ids_col: list[np.ndarray] = []
         url_hashes = np.zeros(n, dtype=np.int64)
         simhashes = np.zeros(n, dtype=np.int64)
         band_keys_col: list[list[int]] = []
@@ -63,6 +64,11 @@ class FeatureExtractor:
             th = hash_tokens(toks, self.cache)
             sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *self.coeffs)
             tokens_col.append("\x1f".join(sorted(set(toks))))
+            # sorted unique 64-bit token ids — the scorer's Jaccard operates
+            # on these (int arrays stay zero-copy Arrow through the shuffle;
+            # string token sets would thrash worker heaps at scale). NB:
+            # sort AFTER the int64 reinterpret — uint64 order ≠ int64 order
+            token_ids_col.append(np.sort(np.unique(th).view(np.int64)))
             simhashes[i] = simhash64(th)
             band_keys_col.append(lsh_band_keys(sig, cfg.bands))
             title_norms.append(" ".join(canonical_tokens(titles[i])))
@@ -77,6 +83,7 @@ class FeatureExtractor:
                 "lang": batch["lang"],
                 "title_norm": pa.array(title_norms, type=pa.string()),
                 "tokens": pa.array(tokens_col, type=pa.string()),
+                "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int64())),
                 "simhash": pa.array(simhashes, type=pa.int64()),
                 "band_keys": pa.array(band_keys_col, type=pa.list_(pa.int64())),
             }
@@ -139,11 +146,13 @@ def block_rows_stage(features_ds):
 
 
 def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
-    """Fat explode: one (url, block_key, tokens, simhash, title_norm) row per
-    band. Ships each page's features ``bands`` times through ONE sort
+    """Fat explode: one (url, block_key, token_ids, simhash, title_norm) row
+    per band. Ships each page's features ``bands`` times through ONE sort
     shuffle — cheaper in total than joining features onto the pair list
     twice (the join path moves the payload once per PAIR side, and pairs
-    outnumber pages ~30:1 on web near-dup workloads)."""
+    outnumber pages ~30:1 on web near-dup workloads). Token payload is the
+    int64 id list, NOT the token strings — Arrow-native through the
+    exchange, no per-row Python string objects in the scorer."""
     keys = batch["band_keys"]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
@@ -151,7 +160,7 @@ def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
     counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
     idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
     cols = {"block_key": flat}
-    for name in ("url", "url_hash", "tokens", "simhash", "title_norm"):
+    for name in ("url", "url_hash", "token_ids", "simhash", "title_norm"):
         col = batch[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -161,5 +170,5 @@ def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
 
 def fat_block_rows_stage(features_ds):
     return features_ds.select_columns(
-        ["url", "url_hash", "band_keys", "tokens", "simhash", "title_norm"]
+        ["url", "url_hash", "band_keys", "token_ids", "simhash", "title_norm"]
     ).map_batches(explode_block_rows_with_features, batch_format="pyarrow", zero_copy_batch=True)

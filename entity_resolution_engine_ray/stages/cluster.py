@@ -197,6 +197,17 @@ def connected_components_labelprop(
 
     P = num_partitions or 32
     hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
+    if hashed.count() == 0:
+        # zero-row inputs skip the lazy map, leaking the source schema into
+        # the exchange — and an edge-less graph has no labels anyway
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "cluster_label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     url_pairs = hashed.map_batches(
         lambda t: pa.table(
@@ -321,7 +332,9 @@ def cluster_label_map(edges_ds, num_partitions: int = 64, contraction_rounds: in
             }
         )
 
-    hashed = edges_ds.map_batches(to_int_edges, batch_format="pyarrow")
+    hashed = edges_ds.map_batches(to_int_edges, batch_format="pyarrow").materialize()
+    if hashed.count() == 0:
+        return {}
     forest = hashed
     for _ in range(contraction_rounds):
         forest = partition_map_groups(forest, ["src", "dst"], _forest_partition, num_partitions)

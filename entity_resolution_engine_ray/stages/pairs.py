@@ -49,24 +49,29 @@ def hot_key_splits(
                 {"k": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
             )
 
-        parts = []
-        for batch in block_rows_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        ):
-            parts.append(batch)
-        if not parts:
-            return {}
-        # vectorized driver reduce: concat partials, pandas groupby-sum
-        all_parts = pa.concat_tables(parts).to_pandas()
-        totals = all_parts.groupby("k", sort=False)["n"].sum()
-        hot = totals[totals > cap]
-        return {int(k): n_splits_for(int(n), cap) for k, n in hot.items()}
+        # two-level aggregation: per-batch partial counts → ONE hash
+        # exchange summing per key → only the over-cap keys reach the
+        # driver (a driver-side concat of partials is ~n_distinct_keys rows
+        # — measured 21 s at 21M block rows; the hot set is a few thousand)
+        def sum_over_cap(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby("k", as_index=False, sort=False)["n"].sum()
+            return g[g["n"] > cap]
+
+        from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+        partials = block_rows_ds.map_batches(partial, batch_format="pyarrow")
+        hot_ds = partition_map_groups(partials, ["k"], sum_over_cap, 32)
+        out: dict[int, int] = {}
+        for batch in hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            for k, n in zip(batch["k"].to_pylist(), batch["n"].to_pylist()):
+                out[int(k)] = n_splits_for(int(n), cap)
+        return out
 
     counts = block_rows_ds.groupby("block_key").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), cap)), batch_format="pyarrow"
     )
-    out: dict[int, int] = {}
+    out = {}
     for batch in hot.iter_batches(batch_format="pyarrow"):
         for k, n in zip(batch["block_key"].to_pylist(), batch["count()"].to_pylist()):
             out[k] = n_splits_for(n, cap)
@@ -74,23 +79,29 @@ def hot_key_splits(
 
 
 def _salt_batch(batch: pa.Table, hot: dict[int, int]) -> pa.Table:
-    from entity_resolution_engine_ray.oracle.serial import salt_of
-
+    """Vectorized hot-key salting: only rows whose block_key is in the hot
+    set pay anything beyond one ``np.isin`` (same math as oracle
+    serial.salt_of: ((url_hash ^ key) & INT63_MASK) % n_splits)."""
     keys = batch["block_key"].to_numpy(zero_copy_only=False)
     salts = np.zeros(len(keys), dtype=np.int32)
     if hot:
-        if "url_hash" in batch.schema.names:
-            uhash = batch["url_hash"].to_numpy(zero_copy_only=False)
-        else:
-            uhash = np.fromiter(
-                (stable_hash64(u) for u in batch["url"].to_pylist()),
-                dtype=np.int64,
-                count=batch.num_rows,
+        hot_keys = np.fromiter(hot.keys(), dtype=np.int64, count=len(hot))
+        mask = np.isin(keys, hot_keys)
+        if mask.any():
+            idx = np.flatnonzero(mask)
+            if "url_hash" in batch.schema.names:
+                uhash = batch["url_hash"].to_numpy(zero_copy_only=False)[idx]
+            else:
+                urls = batch["url"].to_pylist()
+                uhash = np.fromiter(
+                    (stable_hash64(urls[i]) for i in idx), dtype=np.int64, count=len(idx)
+                )
+            hk = keys[idx]
+            ns = np.fromiter((hot[int(k)] for k in hk), dtype=np.int64, count=len(idx))
+            mixed = (uhash.astype(np.int64) ^ hk.astype(np.int64)) & np.int64(
+                0x7FFFFFFFFFFFFFFF
             )
-        for i, k in enumerate(keys):
-            ns = hot.get(int(k))
-            if ns:
-                salts[i] = salt_of(int(uhash[i]), int(k), ns)
+            salts[idx] = (mixed % ns).astype(np.int32)
     return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
 

@@ -156,6 +156,47 @@ def score_stage(pairs_ds, features_ds, cfg: PagesERConfig | None = None, num_par
     )
 
 
+def _grouped_jaccard(
+    arrs: np.ndarray, lens: np.ndarray, lidx: np.ndarray, ridx: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard over sorted-unique int64 token-id arrays for a pair
+    list, vectorized by LEFT doc: one ``searchsorted`` per (left doc,
+    concatenated partners) group instead of one Python set op per pair —
+    all hot work is sequential numpy over int arrays (no Python string/set
+    objects, which thrash worker heaps under full-node concurrency)."""
+    n = len(lidx)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    order = np.argsort(lidx, kind="stable")
+    lo, ro = lidx[order], ridx[order]
+    bounds = np.r_[0, np.flatnonzero(lo[1:] != lo[:-1]) + 1, n]
+    inter = np.zeros(n, dtype=np.int64)
+    for gi in range(len(bounds) - 1):
+        s, e = bounds[gi], bounds[gi + 1]
+        A = arrs[lo[s]]
+        if len(A) == 0:
+            continue
+        parts = [arrs[r] for r in ro[s:e]]
+        blens = np.fromiter((len(b) for b in parts), dtype=np.int64, count=len(parts))
+        nz = np.flatnonzero(blens)
+        if len(nz) == 0:
+            continue
+        cat = np.concatenate([parts[i] for i in nz])
+        pos = np.searchsorted(A, cat)
+        pos[pos >= len(A)] = len(A) - 1
+        hit = (A[pos] == cat).astype(np.int64)
+        # reduceat is undefined for zero-length segments — they were filtered
+        # out above and stay at inter == 0
+        cuts = np.r_[0, np.cumsum(blens[nz])[:-1]]
+        inter[s + nz] = np.add.reduceat(hit, cuts)
+    la, lb = lens[lo], lens[ro]
+    union = la + lb - inter
+    jac_o = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    jac = np.empty(n, dtype=np.float64)
+    jac[order] = jac_o
+    return jac
+
+
 def _pair_score_partition(pdf, cfg: PagesERConfig):
     """One hash partition of fat (block_key, salt) sub-blocks → scored,
     gated edges. Pair order/cap semantics identical to the slim pairgen
@@ -167,7 +208,8 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
     salts = pdf["salt"].to_numpy()
     urls = pdf["url"].to_numpy()
     url_hashes = pdf["url_hash"].to_numpy().astype(np.int64)
-    toks = pdf["tokens"].to_numpy()
+    toks = pdf["token_ids"].to_numpy()
+    tok_lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
     sims = pdf["simhash"].to_numpy().astype(np.int64)
     titles = pdf["title_norm"].to_numpy()
     change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
@@ -220,26 +262,7 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
     sim_sim = 1.0 - _popcount64(
         np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
     ) / 64.0
-    set_cache: dict[str, frozenset] = {}
-
-    def tokset(joined: str) -> frozenset:
-        v = set_cache.get(joined)
-        if v is None:
-            v = frozenset(joined.split("\x1f")) if joined else frozenset()
-            set_cache[joined] = v
-        return v
-
-    jac = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        sa = tokset(toks[lidx[i]])
-        sb = tokset(toks[ridx[i]])
-        if not sa and not sb:
-            jac[i] = 1.0
-        elif not sa or not sb:
-            jac[i] = 0.0
-        else:
-            inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+    jac = _grouped_jaccard(toks, tok_lens, lidx, ridx)
     jw = _jw_unique_pairs(titles[lidx], titles[ridx])
 
     score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw

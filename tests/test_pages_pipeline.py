@@ -217,3 +217,28 @@ def test_labelprop_long_chain_converges(ray_session):
     labels = connected_components_labelprop(rd.from_arrow(edges), num_partitions=8).to_pandas()
     assert len(labels) == n
     assert labels["cluster_label"].nunique() == 1
+
+
+def test_cluster_paths_handle_empty_edges(ray_session):
+    """No approved edges (e.g. an impossible gate) must not crash either
+    clustering path — zero-row datasets skip lazy transforms and would leak
+    the source schema into the exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.cluster import (
+        cluster_label_map,
+        connected_components_labelprop,
+    )
+
+    edges = pa.table(
+        {
+            "left_url": pa.array(["a"], type=pa.string()),
+            "right_url": pa.array(["b"], type=pa.string()),
+            "decision": pa.array(["reject"], type=pa.string()),
+        }
+    )
+    approved = rd.from_arrow(edges).filter(expr="decision == 'auto_approve'")
+    assert cluster_label_map(approved) == {}
+    labels = connected_components_labelprop(approved).to_pandas()
+    assert len(labels) == 0
