@@ -289,6 +289,8 @@ def match_players(
         )
 
     out = _to_ds(alpha_players).map_batches(score_batch, batch_format="pyarrow", batch_size=256).to_pandas()
+    if out.empty:  # .apply on an empty frame yields a frame, not a column
+        return []
     out["breakdown"] = out.apply(
         lambda r: {
             "name_similarity": r["name_similarity"],

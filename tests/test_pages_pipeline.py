@@ -13,6 +13,7 @@ Contracts (BASELINE.md targets):
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -242,3 +243,28 @@ def test_cluster_paths_handle_empty_edges(ray_session):
     assert cluster_label_map(approved) == {}
     labels = connected_components_labelprop(approved).to_pandas()
     assert len(labels) == 0
+
+
+def test_edges_deterministic_across_partition_counts(ray_session, fixture_paths):
+    """SURVEY §5(d): the fused pair+score stage produces the IDENTICAL edge
+    set at different exchange partition counts — partitioning changes
+    distribution, never results."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.config import PagesERConfig
+    from entity_resolution_engine_ray.stages.block import feature_stage
+    from entity_resolution_engine_ray.stages.extract import extract_stage
+    from entity_resolution_engine_ray.stages.score import fused_edges_stage
+
+    cfg = PagesERConfig()
+    features = feature_stage(
+        extract_stage(rd.read_parquet(fixture_paths["pages"])), cfg
+    ).materialize()
+    outs = []
+    for parts in (8, 31):
+        edges, dropped = fused_edges_stage(features, cfg, num_partitions=parts)
+        pdf = edges.to_pandas().sort_values(["left_url", "right_url"]).reset_index(drop=True)
+        outs.append((pdf, dropped))
+    a, b = outs[0][0], outs[1][0]
+    assert outs[0][1] == outs[1][1]  # dropped-pair count
+    pd.testing.assert_frame_equal(a, b)

@@ -315,3 +315,56 @@ def test_conflict_flag_blocks_auto_approve_e2e(ray_session, fixtures):
     assert (1, 101) in {pair(m) for m in team_out3.rejected}
     # unconflicted high-score pairs still auto-approve without a validator call
     assert any(m["confidence"] >= 0.88 and not m["conflict_flags"] for m in team_out3.approved)
+
+
+def test_player_matcher_perf_smoke(ray_session):
+    """Reference perf budget (tests/test_performance.py:45-49): 100×100
+    player pair-scores under 3 s. This engine clears it with a broadcast
+    vectorized matcher — assert the same wall bound end-to-end."""
+    import time
+
+    from datetime import date
+
+    import numpy as np
+
+    from entity_resolution_engine_ray.pipelines.relational_er import match_players
+
+    rng = np.random.default_rng(11)
+    first = ["alex", "brett", "casey", "dana", "eli", "farah", "gabe", "hana", "ivan", "jo"]
+    last = ["smith", "jones", "lee", "garcia", "chen", "patel", "kim", "novak", "rossi", "haag"]
+    alpha = pa.table(
+        {
+            "player_id": pa.array(range(100), type=pa.int64()),
+            "name": [f"{first[i % 10]} {last[i // 10]}" for i in range(100)],
+            "dob": pa.array([date(1980 + i % 20, 1 + i % 12, 1 + i % 28) for i in range(100)], type=pa.date32()),
+            "nationality": ["England"] * 100,
+            "height_cm": pa.array([175 + i % 20 for i in range(100)], type=pa.int32()),
+            "foot": ["right"] * 100,
+            "team_id": pa.array([i % 10 for i in range(100)], type=pa.int64()),
+        }
+    )
+    beta_players = pa.table(
+        {
+            "id": pa.array(range(1000, 1100), type=pa.int64()),
+            "full_name": [f"{first[(i + 3) % 10]} {last[i // 10]}" for i in range(100)],
+            "birth_year": pa.array([1980 + i % 20 for i in range(100)], type=pa.int64()),
+            "nationality": ["England"] * 100,
+            "height_cm": pa.array([175 + i % 20 for i in range(100)], type=pa.int32()),
+            "footedness": ["Right"] * 100,
+            "team_name": [f"team {i % 10}" for i in range(100)],
+        }
+    )
+    beta_teams = pa.table(
+        {
+            "id": pa.array(range(500, 510), type=pa.int64()),
+            "display_name": [f"team {i}" for i in range(10)],
+            "region": ["England"] * 10,
+        }
+    )
+    t0 = time.perf_counter()
+    matches = match_players(alpha, beta_players, {i: 500 + i for i in range(10)}, beta_teams)
+    assert time.perf_counter() - t0 < 3.0  # the reference's budget
+    assert isinstance(matches, list)
+    # shifted names rarely clear 0.85 — empty output must be a clean []
+    # (a previous regression crashed on the breakdown column of an empty
+    # result frame)
