@@ -1,13 +1,15 @@
-"""Stage 4 — pairwise scoring (stateful actor pool) + three-way gate.
-
-Features are attached to the pair list with two hash joins on url (the
-small-per-pair alternative to shipping token lists once per band key), then
-``PairScorer`` — a callable class → Ray actor pool — scores each pair:
+"""Stage 4 — pairwise scoring + three-way gate.
 
     score = w_j * token_jaccard  +  w_s * simhash_similarity  +  w_t * jaro_winkler(title)
 
-SimHash hamming similarity is fully vectorized (uint64 XOR + popcount over
-the batch); Jaccard/JW run per pair on pre-tokenized, deduplicated arrays.
+Primary path: ``fused_edges_stage`` — ONE fat-block hash exchange carrying
+(url, url_hash, token_ids, simhash, title_norm) per band row; each
+partition generates pairs (salted, capped, drop-counted), pre-dedups, and
+scores fully vectorized: SimHash via uint64 XOR + popcount, Jaccard via
+the grouped int64 ``searchsorted`` kernel (``_grouped_jaccard``),
+Jaro-Winkler via the length-bucketed batch kernel over unique title pairs.
+Legacy path: ``score_stage`` (pair list ⋈ features ×2 hash joins →
+``PairScorer`` actor pool) kept for composability with external pair lists.
 
 The gate reproduces the reference router's three-way semantics
 (validation/router.py:165-170): ``score < low → reject``;
