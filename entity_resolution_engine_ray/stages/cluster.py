@@ -62,6 +62,36 @@ def _lp_init(url_part: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _lp_init_from_edges(edges_part: pa.Table) -> pa.Table:
+    """Directed (src, dst) partition → initial labels over the unique src
+    set. The directed edge set contains both orientations of every edge, so
+    every connected node appears as a src in its owning partition."""
+    import pyarrow.compute as pc
+
+    nodes = pc.unique(edges_part["src"])
+    return pa.table({"node": nodes, "label": nodes})
+
+
+@ray.remote
+def _sum_ints(*vals: int) -> int:
+    return sum(vals)
+
+
+@ray.remote(num_returns=2)
+def _lp_emit_ids(labels_part: pa.Table):
+    out = pa.table({"node": labels_part["node"], "cluster_label": labels_part["label"]})
+    return out, out.num_rows
+
+
+def _cast_int_edges(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {"src": pc.cast(t["src"], pa.int64()), "dst": pc.cast(t["dst"], pa.int64())}
+    )
+
+
+@ray.remote
 def _lp_propagate(edges_part: pa.Table, labels_part: pa.Table) -> pa.Table:
     """One stationary edge partition (by src) × its co-located labels →
     per-dst min candidate labels."""
@@ -171,6 +201,99 @@ def _lp_emit(url_part: pa.Table, labels_part: pa.Table):
     return out, out.num_rows
 
 
+def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -> list:
+    """The labelprop round loop shared by the url and int-id entry points:
+    stationary edge partitions, min-label propagation + pointer jumping +
+    union hooking per round, exit at the exact changed==0 fixpoint. The only
+    per-round driver sync is ONE aggregated changed-count get (the per-ref
+    gets were a measured scaling drag at high parallelism)."""
+    from entity_resolution_engine_ray.stages.exchange import _split_block
+
+    def _refine_with(cand_refs, parts):
+        splits = [
+            _split_block.options(num_returns=P).remote(["dst"], P, c) for c in cand_refs
+        ]
+        new_parts, changed_refs, hook_refs = [], [], []
+        for p in range(P):
+            subs = [s[p] for s in splits] if P > 1 else list(splits)
+            l_ref, c_ref, h_ref = _lp_refine.remote(parts[p], *subs)
+            new_parts.append(l_ref)
+            changed_refs.append(c_ref)
+            hook_refs.append(h_ref)
+        return new_parts, changed_refs, hook_refs
+
+    pending_hooks: list = []
+    converged = False
+    for _ in range(max_iterations):
+        # three candidate sources, ONE refine per round:
+        # 1. edge propagation: min neighbor label
+        cand_refs = [
+            _lp_propagate.remote(e, l) for e, l in zip(edge_parts, labels_parts)
+        ]
+        # 2. pointer jumping on the round-start labels: label(label(v))
+        req_refs = [_lp_jump_request.remote(l) for l in labels_parts]
+        req_splits = [
+            _split_block.options(num_returns=P).remote(["key"], P, r) for r in req_refs
+        ]
+        for p in range(P):
+            subs = [s[p] for s in req_splits] if P > 1 else list(req_splits)
+            cand_refs.append(_lp_jump_answer.remote(labels_parts[p], *subs))
+        # 3. hooks from last round: stale sinks learn the new minima, so
+        # their dependents re-link via the next jump — without hooking, a
+        # minimum spreads one edge-hop per round and long chains stall
+        cand_refs += pending_hooks
+        labels_parts, changed_refs, pending_hooks = _refine_with(cand_refs, labels_parts)
+        # changed==0 implies no hooks were emitted either — true fixpoint
+        if ray.get(_sum_ints.remote(*changed_refs)) == 0:
+            converged = True
+            break
+    if not converged:
+        # truncated convergence must not masquerade as correct clustering
+        raise RuntimeError(
+            f"connected components did not converge within {max_iterations} "
+            "label-propagation rounds — raise max_iterations (each round "
+            "includes pointer jumping, so rounds ≈ log(diameter), not diameter)"
+        )
+    return labels_parts
+
+
+def connected_components_labelprop_ids(
+    edges_ds, num_partitions=None, max_iterations: int = 50
+):
+    """int edges (src:int64, dst:int64) → labels (node:int64,
+    cluster_label:int64) over the connected node set — the id-keyed twin of
+    ``connected_components_labelprop`` for graphs whose nodes already ARE
+    64-bit ids (doc ids, url hashes). cluster_label = min node id of the
+    component (min-label fixpoint), so labels are stable and join-free to
+    interpret. Fully distributed: safe when the connected-node set exceeds
+    driver memory."""
+    from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
+
+    P = num_partitions or 32
+    edges = edges_ds.map_batches(_cast_int_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "cluster_label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    directed = edges.union(edges.map_batches(_swap, batch_format="pyarrow"))
+    edge_parts = exchange_partition_refs(directed, ["src"], P)
+    labels_parts = [_lp_init_from_edges.remote(e) for e in edge_parts]
+    labels_parts = _lp_run(edge_parts, labels_parts, P, max_iterations)
+
+    emitted = [_lp_emit_ids.remote(l) for l in labels_parts]
+    tables = [t for t, _ in emitted]
+    counts = ray.get([c for _, c in emitted])
+    keep = [t for t, n in zip(tables, counts) if n > 0]
+    if not keep:
+        keep = [tables[0]]
+    return rd.from_arrow_refs(keep)
+
+
 def connected_components_labelprop(
     edges_ds, num_partitions=None, max_iterations: int = 50
 ):
@@ -231,43 +354,7 @@ def connected_components_labelprop(
     url_parts = exchange_partition_refs(url_pairs, ["node"], P)
     edge_parts = exchange_partition_refs(directed, ["src"], P)
     labels_parts = [_lp_init.remote(u) for u in url_parts]
-
-    def _refine_with(cand_refs, parts):
-        splits = [
-            _split_block.options(num_returns=P).remote(["dst"], P, c) for c in cand_refs
-        ]
-        new_parts, changed_refs, hook_refs = [], [], []
-        for p in range(P):
-            subs = [s[p] for s in splits] if P > 1 else list(splits)
-            l_ref, c_ref, h_ref = _lp_refine.remote(parts[p], *subs)
-            new_parts.append(l_ref)
-            changed_refs.append(c_ref)
-            hook_refs.append(h_ref)
-        return new_parts, changed_refs, hook_refs
-
-    pending_hooks: list = []
-    for _ in range(max_iterations):
-        # three candidate sources, ONE refine per round:
-        # 1. edge propagation: min neighbor label
-        cand_refs = [
-            _lp_propagate.remote(e, l) for e, l in zip(edge_parts, labels_parts)
-        ]
-        # 2. pointer jumping on the round-start labels: label(label(v))
-        req_refs = [_lp_jump_request.remote(l) for l in labels_parts]
-        req_splits = [
-            _split_block.options(num_returns=P).remote(["key"], P, r) for r in req_refs
-        ]
-        for p in range(P):
-            subs = [s[p] for s in req_splits] if P > 1 else list(req_splits)
-            cand_refs.append(_lp_jump_answer.remote(labels_parts[p], *subs))
-        # 3. hooks from last round: stale sinks learn the new minima, so
-        # their dependents re-link via the next jump — without hooking, a
-        # minimum spreads one edge-hop per round and long chains stall
-        cand_refs += pending_hooks
-        labels_parts, changed_refs, pending_hooks = _refine_with(cand_refs, labels_parts)
-        # changed==0 implies no hooks were emitted either — true fixpoint
-        if sum(ray.get(changed_refs)) == 0:
-            break
+    labels_parts = _lp_run(edge_parts, labels_parts, P, max_iterations)
 
     emitted = [_lp_emit.remote(u, l) for u, l in zip(url_parts, labels_parts)]
     tables = [t for t, _ in emitted]

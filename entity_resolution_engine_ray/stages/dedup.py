@@ -42,18 +42,20 @@ class _DedupFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        tokens_col, keys_col = [], []
+        token_ids_col, keys_col = [], []
         for text in texts:
             if self.mode == "char_ngram":
                 grams = sorted(ngram_set((text or "").lower(), self.k))
                 th = hash_tokens(grams, self.cache)
                 sh = shingle_hashes(th, k=1)
-                tokens_col.append("\x1f".join(grams))
             else:
                 toks = canonical_tokens(text or "")
                 th = hash_tokens(toks, self.cache)
                 sh = shingle_hashes(th, k=self.k)
-                tokens_col.append("\x1f".join(sorted(set(toks))))
+            # sorted unique int64 token/gram ids — the verify kernel's exact
+            # Jaccard runs on these via searchsorted (no Python set objects
+            # in the hot path; NB sort AFTER the int64 reinterpret)
+            token_ids_col.append(np.sort(np.unique(th).view(np.int64)))
             sig = minhash_signature(sh, *self.coeffs)
             keys_col.append(lsh_band_keys(sig, self.bands))
         if len(self.cache) > 2_000_000:
@@ -61,7 +63,7 @@ class _DedupFeatures:
         return pa.table(
             {
                 "id": batch[self.id_col],
-                "tokens": pa.array(tokens_col, type=pa.string()),
+                "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int64())),
                 "band_keys": pa.array(keys_col, type=pa.list_(pa.int64())),
             }
         )
@@ -128,42 +130,65 @@ def _dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _explode_fat(batch: pa.Table) -> pa.Table:
-    """(id, tokens, band_keys) → one (id, tokens, block_key) row per band —
-    ships tokens through ONE hash exchange instead of two join barriers
-    (the pages pipeline's fat-block pattern, stages/block.py)."""
+    """(id, token_ids, band_keys) → one (id, token_ids, block_key) row per
+    band — ships the int64 token-id payload through ONE hash exchange
+    instead of two join barriers (the pages pipeline's fat-block pattern,
+    stages/block.py). Int lists stay zero-copy Arrow through the shuffle."""
     keys = batch["band_keys"]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     flat = keys.flatten()
     counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
     idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
-    return pa.table(
+    cols = {"block_key": flat}
+    for name in ("id", "token_ids"):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[name] = col.take(idx)
+    return pa.table(cols)
+
+
+_VERIFY_COLS = ["left_id", "right_id", "jaccard", "dropped", "is_marker"]
+
+
+def _empty_verify_frame() -> pd.DataFrame:
+    return pd.DataFrame(
         {
-            "id": batch["id"].combine_chunks().take(idx) if isinstance(batch["id"], pa.ChunkedArray) else batch["id"].take(idx),
-            "tokens": batch["tokens"].combine_chunks().take(idx) if isinstance(batch["tokens"], pa.ChunkedArray) else batch["tokens"].take(idx),
-            "block_key": flat,
+            "left_id": pd.Series([], dtype=np.int64),
+            "right_id": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64),
+            "dropped": pd.Series([], dtype=np.int64),
+            "is_marker": pd.Series([], dtype=bool),
         }
     )
 
 
 def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.DataFrame:
-    """One hash partition of fat (id, tokens, block_key[, salt]) rows →
+    """One hash partition of fat (id, token_ids, block_key[, salt]) rows →
     VERIFIED edges (exact Jaccard ≥ threshold). Hot buckets arrive pre-split
     by salt; the cap + ``dropped`` counter remain as the backstop for salt
-    hash variance."""
+    hash variance.
+
+    Jaccard runs on the int64 grouped-searchsorted kernel
+    (stages/score._grouped_jaccard) — no Python set objects in the hot loop.
+    When drops occur but no pair clears the threshold, the count rides on an
+    ``is_marker=True`` row (NEVER an id sentinel: any int64 — including
+    negative values — is a legal document id)."""
     if "salt" not in pdf.columns:
         pdf = pdf.assign(salt=np.zeros(len(pdf), dtype=np.int32))
     pdf = pdf.sort_values(["block_key", "salt", "id"], kind="mergesort")
     keys = pdf["block_key"].to_numpy()
     salts = pdf["salt"].to_numpy()
     ids = pdf["id"].to_numpy()
-    toks = pdf["tokens"].to_numpy()
+    toks = pdf["token_ids"].to_numpy()
+    tok_lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
     change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
     starts = np.r_[0, change]
     ends = np.r_[change, len(pdf)]
     lefts, rights = [], []
     dropped = 0
-    from entity_resolution_engine_ray.stages.score import triu_pairs
+    from entity_resolution_engine_ray.stages.score import _grouped_jaccard, triu_pairs
 
     for s, e in zip(starts, ends):
         m = e - s
@@ -176,41 +201,28 @@ def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.
         ii, jj = triu_pairs(m)
         lefts.append(ii + s)
         rights.append(jj + s)
-    cols = ["left_id", "right_id", "jaccard", "dropped"]
     if not lefts:
-        return pd.DataFrame(
-            {
-                c: pd.Series([], dtype=np.float64 if c == "jaccard" else np.int64)
-                for c in cols
-            }
-        )
+        out = _empty_verify_frame()
+        if dropped:
+            out = pd.DataFrame(
+                {
+                    "left_id": [np.int64(0)],
+                    "right_id": [np.int64(0)],
+                    "jaccard": [0.0],
+                    "dropped": [np.int64(dropped)],
+                    "is_marker": [True],
+                }
+            )
+        return out
     lidx = np.concatenate(lefts)
     ridx = np.concatenate(rights)
     # partition-local pair dedup before the (expensive) exact verify
     pre = pd.DataFrame({"l": ids[lidx], "r": ids[ridx], "li": lidx, "ri": ridx})
     pre = pre.drop_duplicates(["l", "r"])
     lidx, ridx = pre["li"].to_numpy(), pre["ri"].to_numpy()
-    set_cache: dict[str, frozenset] = {}
-
-    def tokset(joined: str) -> frozenset:
-        v = set_cache.get(joined)
-        if v is None:
-            v = frozenset(joined.split("\x1f")) if joined else frozenset()
-            set_cache[joined] = v
-        return v
-
-    n = len(lidx)
-    jac = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        sa = tokset(toks[lidx[i]])
-        sb = tokset(toks[ridx[i]])
-        if not sa and not sb:
-            jac[i] = 1.0
-        elif not sa or not sb:
-            jac[i] = 0.0
-        else:
-            inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+    # empty-set semantics match the old string-set path: union==0 (both
+    # docs empty) → 1.0 inside _grouped_jaccard; empty vs non-empty → 0.0
+    jac = _grouped_jaccard(toks, tok_lens, lidx, ridx)
     keep = jac >= threshold
     out = pd.DataFrame(
         {
@@ -220,13 +232,38 @@ def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.
         }
     )
     drops = np.zeros(len(out), dtype=np.int64)
+    markers = np.zeros(len(out), dtype=bool)
     if len(out):
         drops[0] = dropped
     elif dropped:
-        # no surviving pair may still have drops to report — emit a marker row
-        out = pd.DataFrame({"left_id": [-1], "right_id": [-1], "jaccard": [-1.0]})
-        drops = np.array([dropped], dtype=np.int64)
-    return out.assign(dropped=drops)
+        # no surviving pair but drops to report — marker row, filtered out
+        # (with its count preserved) by near_dup_edges
+        return pd.DataFrame(
+            {
+                "left_id": [np.int64(0)],
+                "right_id": [np.int64(0)],
+                "jaccard": [0.0],
+                "dropped": [np.int64(dropped)],
+                "is_marker": [True],
+            }
+        )
+    return out.assign(dropped=drops, is_marker=markers)
+
+
+# process-global featureizer cache (the stages/block.featurize_batch
+# pattern): plain-function map_batches tasks schedule elastically with no
+# actor-pool ramp-up — measured 1.8 s → 0.4 s at 5k docs — while each worker
+# process still builds coefficient tables / token caches once per config
+_DEDUP_FEATURE_STATE: dict[tuple, _DedupFeatures] = {}
+
+
+def _dedup_featurize_batch(batch: pa.Table, **kw) -> pa.Table:
+    key = tuple(sorted(kw.items()))
+    state = _DEDUP_FEATURE_STATE.get(key)
+    if state is None:
+        state = _DedupFeatures(**kw)
+        _DEDUP_FEATURE_STATE[key] = state
+    return state(batch)
 
 
 def near_dup_edges(
@@ -247,8 +284,6 @@ def near_dup_edges(
     one slim dedup exchange."""
     import ray.data as rd
 
-    from entity_resolution_engine_ray.stages.block import default_pool_size
-
     # zero-row inputs skip lazy transforms, leaving blocks with the SOURCE
     # schema — the exchange would then see no block_key column; short-circuit
     # (source count is metadata-cheap for parquet/arrow inputs)
@@ -263,8 +298,8 @@ def near_dup_edges(
         return rd.from_arrow(empty), 0
 
     feats = ds.map_batches(
-        _DedupFeatures,
-        fn_constructor_kwargs={
+        _dedup_featurize_batch,
+        fn_kwargs={
             "id_col": id_col,
             "text_col": text_col,
             "num_perm": num_perm,
@@ -274,36 +309,23 @@ def near_dup_edges(
         },
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=default_pool_size(),
     ).materialize()
 
-    # hot-bucket salting (same scheme as the pages pipeline): buckets over
-    # the cap are split into deterministic id-hash sub-buckets instead of
-    # being truncated — identical docs beyond the cap still pair (within
-    # their salt; cross-salt recall is carried by the other bands). The
-    # count pass runs over SLIM (id, block_key) rows — no token payload.
-    from entity_resolution_engine_ray.stages.pairs import hot_key_splits
+    # hot-bucket salting (same scheme as the pages pipeline, same vectorized
+    # kernel — stages/pairs._salt_batch with the doc id as the mixing hash):
+    # buckets over the cap are split into deterministic id-hash sub-buckets
+    # instead of being truncated — identical docs beyond the cap still pair
+    # (within their salt; cross-salt recall is carried by the other bands).
+    # The count pass runs over SLIM (id, block_key) rows — no token payload.
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
 
     slim = feats.select_columns(["id", "band_keys"]).map_batches(
         _explode, batch_format="pyarrow"
     )
     hot = hot_key_splits(slim, max_block_size)
 
-    def salt_fat(t: pa.Table) -> pa.Table:
-        from entity_resolution_engine_ray.oracle.serial import salt_of
-
-        keys = t["block_key"].to_numpy(zero_copy_only=False)
-        salts = np.zeros(len(keys), dtype=np.int32)
-        if hot:
-            ids = t["id"].to_numpy(zero_copy_only=False)
-            for i, kk in enumerate(keys):
-                ns = hot.get(int(kk))
-                if ns:
-                    salts[i] = salt_of(int(ids[i]), int(kk), ns)
-        return t.append_column("salt", pa.array(salts, type=pa.int32()))
-
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
-        salt_fat, batch_format="pyarrow"
+        _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
     raw = partition_map_groups(
         fat,
@@ -311,15 +333,97 @@ def near_dup_edges(
         lambda p: _pair_verify_partition(p, max_block_size, threshold),
         num_partitions,
     ).materialize()
-    dropped = int(raw.sum("dropped") or 0)
-    edges = raw.filter(expr="left_id >= 0 or right_id >= 0")  # drop marker rows
+    # ONE pass over raw computes both the dropped total (over ALL rows —
+    # is_marker rows exist exactly so a partition with drops but no
+    # surviving pair still reports them) and the survivor count
+    def _stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "dropped": pa.array([pc.sum(t["dropped"]).as_py() or 0], type=pa.int64()),
+                "n_real": pa.array(
+                    [t.num_rows - (pc.sum(pc.cast(t["is_marker"], pa.int64())).as_py() or 0)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    parts = raw.map_batches(_stats, batch_format="pyarrow").take_all()
+    dropped = sum(r["dropped"] for r in parts)
+    n_real = sum(r["n_real"] for r in parts)
+    edges = raw.filter(expr="is_marker == False")
+    # an all-marker result would leave zero-row (or zero-column) blocks that
+    # crash the downstream exchange — short-circuit to the typed empty table
+    if n_real == 0:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], type=pa.int64()),
+                "right_id": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        return rd.from_arrow(empty), dropped
     edges = partition_map_groups(
-        edges.drop_columns(["dropped"]),
+        edges.drop_columns(["dropped", "is_marker"]),
         ["left_id", "right_id"],
         _dedup_pairs,
         num_partitions,
     )
     return edges, dropped
+
+
+def attach_cluster_labels(ids_ds, labels_ds, id_col: str, num_partitions: int = 32):
+    """Distributed label attach: every (id) row gets its component label from
+    the (node, cluster_label) Dataset via ONE co-partitioned exchange (tagged
+    union on the id hash, per-partition left join); ids with no label —
+    singletons — label themselves. No driver-side map, no broadcast: safe
+    when the connected-node set is O(corpus)."""
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
+        return pa.table(
+            {
+                "key": ids,
+                "label": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "is_doc": pa.array(np.ones(n, dtype=bool), type=pa.bool_()),
+            }
+        )
+
+    def label_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["node"],
+                "label": t["cluster_label"],
+                "is_doc": pa.array(np.zeros(n, dtype=bool), type=pa.bool_()),
+            }
+        )
+
+    tagged = ids_ds.map_batches(doc_side, batch_format="pyarrow").union(
+        labels_ds.map_batches(label_side, batch_format="pyarrow")
+    )
+
+    def merge_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_doc = pdf["is_doc"].to_numpy()
+        docs = pdf[is_doc][["key"]]
+        lbl = pdf[~is_doc][["key", "label"]]
+        # exact int64 through the left join: nullable Int64, no float detour
+        # (labels are full-range int64 — float64 would corrupt beyond 2^53)
+        lbl = lbl.assign(label=lbl["label"].astype("Int64"))
+        out = docs.merge(lbl, on="key", how="left")
+        out["label"] = out["label"].fillna(out["key"].astype("Int64")).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["key"].to_numpy(dtype=np.int64),
+                "cluster_id": out["label"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partition_map_groups(tagged, ["key"], merge_partition, num_partitions)
 
 
 def near_dup_clusters(
@@ -333,21 +437,29 @@ def near_dup_clusters(
     mode: str = "token_shingle",
     max_block_size: int = 256,
     num_partitions: int = 32,
+    local_cluster_edge_threshold: int = 2_000_000,
 ):
     """Generic near-dup clustering: (id, text) → Dataset (doc_id, cluster_id,
-    cluster_size). Candidate pairs verified with EXACT Jaccard ≥ threshold.
+    cluster_size). Candidate pairs verified with EXACT Jaccard ≥ threshold;
+    cluster_id = min doc_id of the connected component on both finish paths.
 
-    Scale-safe finish: verified edges are clustered with the distributed
-    contraction (stages/cluster.cluster_label_map — per-partition union-find
-    keeps only spanning forests; the driver folds forests over CONNECTED
-    nodes only, bounded by 2×edges ≪ corpus size). Labels attach to every
-    doc in one broadcast ``map_batches`` pass (singletons label themselves);
-    cluster sizes come from one slim int-pair exchange. Nothing driver-side
-    ever materializes the full id set."""
+    Size-gated finish (the same gate as the flagship pages pipeline,
+    pipelines/pages_er.py): at or below ``local_cluster_edge_threshold``
+    verified edges, the distributed contraction (stages/cluster.
+    cluster_label_map — per-partition union-find spanning forests, driver
+    fold over CONNECTED nodes only) + one broadcast attach pass. Above it —
+    a web corpus where 30-50% of docs are near-dups makes the connected-node
+    set O(corpus) — the fully-distributed labelprop CC
+    (connected_components_labelprop_ids) + a co-partitioned exchange attach
+    (attach_cluster_labels): nothing driver-side ever materializes the node
+    set. Cluster sizes come from one slim int-pair exchange either way."""
     import ray
     import ray.data as rd
 
-    from entity_resolution_engine_ray.stages.cluster import cluster_label_map
+    from entity_resolution_engine_ray.stages.cluster import (
+        cluster_label_map,
+        connected_components_labelprop_ids,
+    )
 
     if ds.count() == 0:
         return rd.from_arrow(
@@ -372,22 +484,39 @@ def near_dup_clusters(
         max_block_size=max_block_size,
         num_partitions=num_partitions,
     )
-    label_map_ref = ray.put(cluster_label_map(edges, num_partitions=num_partitions))
+    edges = edges.materialize()  # consumed by the gate count + clustering
+    ids_only = ds.select_columns([id_col])
+    n_edges = edges.count()
 
-    def attach(t: pa.Table) -> pa.Table:
-        label_map = ray.get(label_map_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        labels = np.fromiter(
-            (label_map.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
-                "cluster_id": pa.array(labels, type=pa.int64()),
-            }
+    if n_edges <= local_cluster_edge_threshold:
+        # contraction rounds only pay off when the edge list dwarfs the node
+        # set — for small edge sets fold the raw edges on the driver directly
+        rounds = 0 if n_edges <= 100_000 else 2
+        label_map_ref = ray.put(
+            cluster_label_map(edges, num_partitions=num_partitions, contraction_rounds=rounds)
         )
 
-    labeled = ds.select_columns([id_col]).map_batches(attach, batch_format="pyarrow")
+        def attach(t: pa.Table) -> pa.Table:
+            label_map = ray.get(label_map_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            labels = np.fromiter(
+                (label_map.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                    "cluster_id": pa.array(labels, type=pa.int64()),
+                }
+            )
+
+        labeled = ids_only.map_batches(attach, batch_format="pyarrow")
+    else:
+        int_edges = edges.map_batches(
+            lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
+            batch_format="pyarrow",
+        )
+        labels = connected_components_labelprop_ids(int_edges, num_partitions=num_partitions)
+        labeled = attach_cluster_labels(ids_only, labels, id_col, num_partitions)
 
     def sizes_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("cluster_id", sort=False)["doc_id"]

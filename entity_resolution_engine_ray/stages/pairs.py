@@ -78,10 +78,13 @@ def hot_key_splits(
     return out
 
 
-def _salt_batch(batch: pa.Table, hot: dict[int, int]) -> pa.Table:
+def _salt_batch(batch: pa.Table, hot: dict[int, int], hash_col: str = "url_hash") -> pa.Table:
     """Vectorized hot-key salting: only rows whose block_key is in the hot
     set pay anything beyond one ``np.isin`` (same math as oracle
-    serial.salt_of: ((url_hash ^ key) & INT63_MASK) % n_splits)."""
+    serial.salt_of: ((row_hash ^ key) & INT63_MASK) % n_splits).
+
+    ``hash_col`` is the int64 per-row mixing hash (url_hash for pages, the
+    doc id itself for the dedup operators); when absent, urls are hashed."""
     keys = batch["block_key"].to_numpy(zero_copy_only=False)
     salts = np.zeros(len(keys), dtype=np.int32)
     if hot:
@@ -89,8 +92,8 @@ def _salt_batch(batch: pa.Table, hot: dict[int, int]) -> pa.Table:
         mask = np.isin(keys, hot_keys)
         if mask.any():
             idx = np.flatnonzero(mask)
-            if "url_hash" in batch.schema.names:
-                uhash = batch["url_hash"].to_numpy(zero_copy_only=False)[idx]
+            if hash_col in batch.schema.names:
+                uhash = batch[hash_col].to_numpy(zero_copy_only=False)[idx]
             else:
                 urls = batch["url"].to_pylist()
                 uhash = np.fromiter(

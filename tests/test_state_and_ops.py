@@ -219,6 +219,112 @@ def test_near_dup_clusters_token_and_ngram(ray_session):
     assert out2[out2["doc_id"] == 0]["cluster_id"].iloc[0] == out2[out2["doc_id"] == 1]["cluster_id"].iloc[0]
 
 
+def test_near_dup_clusters_gate_parity(ray_session):
+    """The labelprop finish (forced via local_cluster_edge_threshold=0) must
+    produce the SAME cluster partitions — and the same min-doc_id cluster
+    ids — as the driver-map finish (the default gate at this size)."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts, ids = [], []
+    for g in range(6):
+        stem = base + f" group{g}"
+        for m in range(4):
+            texts.append(stem + (" tail" if m % 2 else ""))
+            ids.append(g * 10 + m)
+    texts.append("totally unrelated standalone document content")
+    ids.append(999)
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    local = (
+        near_dup_clusters(rd.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp = (
+        near_dup_clusters(rd.from_arrow(tbl), threshold=0.5, local_cluster_edge_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert local["doc_id"].tolist() == lp["doc_id"].tolist()
+    assert local["cluster_id"].tolist() == lp["cluster_id"].tolist()
+    assert local["cluster_size"].tolist() == lp["cluster_size"].tolist()
+    # every group clustered, singleton alone, ids = min member
+    assert local[local["doc_id"] == 999]["cluster_size"].iloc[0] == 1
+    g0 = local[local["doc_id"].isin([0, 1, 2, 3])]
+    assert g0["cluster_id"].nunique() == 1 and g0["cluster_id"].iloc[0] == 0
+
+
+def test_near_dup_negative_ids_not_dropped(ray_session):
+    """Regression (round-3 advice): legal negative int64 doc ids must
+    survive — the old marker-row filter (left_id >= 0 or right_id >= 0)
+    silently dropped edges between two negative-id docs."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import near_dup_edges
+
+    text = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([-5, -9, 7], type=pa.int64()),
+            "text": [text, text, "different entirely other words here now"],
+        }
+    )
+    edges, dropped = near_dup_edges(rd.from_arrow(tbl), threshold=0.5)
+    pdf = edges.to_pandas()
+    assert len(pdf) == 1
+    assert sorted([int(pdf["left_id"][0]), int(pdf["right_id"][0])]) == [-9, -5]
+    assert dropped == 0
+
+
+def test_near_dup_no_surviving_edges(ray_session):
+    """Regression (round-3 advice): when the verify filter removes every
+    candidate, the edge Dataset must come back as the TYPED empty table (the
+    old path emitted a zero-column block that crashed the dedup exchange)."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import near_dup_clusters, near_dup_edges
+
+    # same LSH bucket (identical first tokens) but below-threshold overlap
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["alpha beta gamma", "alpha beta gamma delta x y z w q r s t u v"],
+        }
+    )
+    edges, dropped = near_dup_edges(rd.from_arrow(tbl), threshold=0.99)
+    assert edges.count() == 0
+    # the TYPED schema must survive (zero-column blocks crash downstream)
+    assert edges.schema().names == ["left_id", "right_id", "jaccard"]
+    out = near_dup_clusters(rd.from_arrow(tbl), threshold=0.99).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+    assert out["cluster_size"].tolist() == [1, 1]
+
+
+def test_pair_verify_marker_row_reports_drops():
+    """A verify partition whose every pair is capped away (or under
+    threshold) reports its dropped count via an is_marker row — never an id
+    sentinel."""
+    from entity_resolution_engine_ray.stages.dedup import _pair_verify_partition
+
+    ids = np.arange(10, dtype=np.int64)
+    toks = [np.array([i], dtype=np.int64) for i in range(10)]  # disjoint sets
+    pdf = pd.DataFrame(
+        {
+            "id": ids,
+            "token_ids": toks,
+            "block_key": np.zeros(10, dtype=np.int64),
+        }
+    )
+    out = _pair_verify_partition(pdf, cap=4, threshold=0.5)
+    assert out["is_marker"].all() and len(out) == 1
+    # 10 members capped to 4: (10*9 - 4*3)/2 = 39 dropped pairs
+    assert int(out["dropped"].iloc[0]) == 39
+
+
 def test_simhash_stage(ray_session):
     import ray.data as rd
 
