@@ -17,10 +17,14 @@ Route parity (pages-entity analog of the reference's player endpoints):
     GET  /monitoring/gates?run_id=                (main.py:337-344)
     GET  /openapi.json
 
-Auth parity: every route except /health, /mapping/run and /openapi.json
-requires the ``X-Internal-API-Key`` header to equal
-``$UES_INTERNAL_API_KEY`` (main.py:33-43): 500 when the env var is unset,
-401 on mismatch.
+Auth: intentionally STRICTER than the reference — the reference guards only
+its /validation/* and /monitoring/* routes with the internal key
+(main.py:33-43; its /ues/* and /lookup/* routes are open), while this
+server additionally protects /ues/ and /lookup/. Same mechanism: the
+``X-Internal-API-Key`` header must equal ``$UES_INTERNAL_API_KEY``; 500
+when the env var is unset, 401 on mismatch. Clients ported from the
+reference must send the key on lookup routes too (or trim
+``_PROTECTED_PREFIXES`` for route-for-route parity).
 """
 
 from __future__ import annotations

@@ -170,8 +170,15 @@ def q_lang_id(sf_dir: str):
 
 def q_near_dup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clustering of documents (shingle → minhash →
-    band → bucket groupby → verified pairs → connected components).
-    No SQL oracle (sketch-based)."""
+    band → bucket groupby → exact shingle-Jaccard verify → connected
+    components; cluster_id = min doc_id of the component).
+
+    Oracle-checked: the verify pass computes EXACT Jaccard in the same
+    3-shingle space the MinHash sketches, so the output equals the SQL
+    oracle's exhaustive cross-join + recursive-closure answer whenever LSH
+    recall is 100% — which it provably is on these fixtures (every true
+    near-dup pair has shingle Jaccard ≥ 0.97; the 63-perm/21-band sketch
+    misses such a pair with probability < 1e-20)."""
     from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
 
     return minhash_near_dup_clusters(
@@ -440,7 +447,10 @@ def q_region_top_supplier(sf_dir: str):
 def q_doc_distinct_by_lang(sf_dir: str):
     """COUNT DISTINCT per group at scale: texts reduce to 64-bit content
     hashes per batch (8-byte shuffle keys, no full text movement), then one
-    hash partition per language computes exact distinct counts."""
+    hash partition per language computes HASH-EXACT distinct counts — a
+    blake2b-64 collision (probability ≈ n²/2⁶⁵, ~3e-12 at a billion docs
+    per language) would undercount by one vs the oracle's COUNT(DISTINCT
+    text); shuffling full texts to resolve that is not worth it at scale."""
     from entity_resolution_engine_ray.functions.similarity import stable_hash64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
@@ -610,7 +620,9 @@ def q_knn_cosine_top10(sf_dir: str):
 
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (no SQL oracle — uses the
-    LSH-bucketed scale path with exact verification)."""
+    LSH-bucketed scale path with exact verification; its ~94% bucket recall
+    at this threshold is by design, so the hash-checked twin is
+    ``embedding_near_dup_exact``)."""
     from entity_resolution_engine_ray.stages.knn import cosine_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -618,6 +630,16 @@ def q_embedding_near_dup(sf_dir: str):
     # 4-bit bands (16 bands → ~94% bucket recall at cos 0.4) keeps the
     # operator exercised end-to-end
     return cosine_near_dup_pairs(ds, id_col="vec_id", threshold=0.4, band_bits=4)
+
+
+def q_embedding_near_dup_exact(sf_dir: str):
+    """EXACT embedding near-dup pairs: distributed blocked all-pairs cosine
+    (one matmul task per block pair) — oracle-checked against DuckDB's
+    exhaustive cross join."""
+    from entity_resolution_engine_ray.stages.knn import cosine_all_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_all_pairs_exact(ds, id_col="vec_id", threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -703,6 +725,7 @@ QUERIES = {
     "top_events": q_top_events,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -849,7 +872,61 @@ ORACLE_SQL = {
                  vec_id ASC
         LIMIT 10
     """,
-    # lang_id, near_dup_minhash, simhash_fingerprint, embedding_near_dup,
-    # er_pages_entities: non-SQL-expressible (sketches / heuristics / ER) —
-    # rows-only checks by design.
+    "embedding_near_dup_exact": """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # near_dup_minhash: exhaustive 3-shingle Jaccard cross join + recursive
+    # transitive closure — exact because the Ray path's LSH recall is 100%
+    # on these fixtures (see q_near_dup_minhash docstring). Tokenization
+    # mirrors oracle.serial.canonical_tokens (lower → non-word → space →
+    # whitespace split); shingles are positional 3-grams of tokens.
+    "near_dup_minhash": r"""
+        WITH RECURSIVE arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT l, r
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.l
+            JOIN sizes sb ON sb.doc_id = inter.r
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        ),
+        bidir AS (
+            SELECT l AS src, r AS dst FROM edges
+            UNION ALL
+            SELECT r AS src, l AS dst FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
+        ),
+        lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    """,
+    # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
+    # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks
+    # by design.
 }

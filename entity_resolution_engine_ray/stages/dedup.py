@@ -47,15 +47,17 @@ class _DedupFeatures:
             if self.mode == "char_ngram":
                 grams = sorted(ngram_set((text or "").lower(), self.k))
                 th = hash_tokens(grams, self.cache)
-                sh = shingle_hashes(th, k=1)
+                sh = shingle_hashes(th, k=1)  # k=1 ⇒ sh == th (gram hashes)
             else:
                 toks = canonical_tokens(text or "")
                 th = hash_tokens(toks, self.cache)
                 sh = shingle_hashes(th, k=self.k)
-            # sorted unique int64 token/gram ids — the verify kernel's exact
-            # Jaccard runs on these via searchsorted (no Python set objects
-            # in the hot path; NB sort AFTER the int64 reinterpret)
-            token_ids_col.append(np.sort(np.unique(th).view(np.int64)))
+            # sorted unique int64 SHINGLE ids — exact verification runs in
+            # the same k-shingle space the MinHash sketches (the standard
+            # near-dup contract: the sketch approximates shingle Jaccard,
+            # the verify pass computes it exactly). char_ngram mode verifies
+            # gram-set Jaccard. NB sort AFTER the int64 reinterpret.
+            token_ids_col.append(np.sort(np.unique(sh).view(np.int64)))
             sig = minhash_signature(sh, *self.coeffs)
             keys_col.append(lsh_band_keys(sig, self.bands))
         if len(self.cache) > 2_000_000:

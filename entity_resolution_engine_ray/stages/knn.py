@@ -219,6 +219,89 @@ def cosine_near_dup_pairs(
     return with_both.map_batches(verify, batch_format="pandas")
 
 
+def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
+    """EXACT all-pairs cosine ≥ threshold — the distributed brute-force
+    baseline (and the oracle-checkable twin of ``cosine_near_dup_pairs``).
+
+    Blocks of normalized vectors are materialized once; every block PAIR
+    becomes one Ray task computing a single (nᵢ × nⱼ) matmul and emitting
+    the surviving (left_id, right_id, cos) rows with left_id < right_id.
+    O(n²) work split across B(B+1)/2 embarrassingly-parallel tasks — the
+    honest exact baseline for corpora where n² compute is affordable; the
+    SRP-LSH path (``cosine_near_dup_pairs``) is the sub-quadratic scale
+    path. Returns a Dataset (left_id:int64, right_id:int64, cos:float64
+    rounded to 4 — DuckDB ROUND semantics)."""
+    import ray
+    import ray.data as rd
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        return pa.table(
+            {
+                "id": pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
+                ),
+                "emb": pa.array(list(mn), type=pa.list_(pa.float64())),
+            }
+        )
+
+    blocks = ds.map_batches(norm_block, batch_format="pyarrow").materialize().to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def _pair_task(ta: pa.Table, tb: pa.Table, same: bool):
+        ia = ta["id"].to_numpy(zero_copy_only=False)
+        ib = tb["id"].to_numpy(zero_copy_only=False)
+        ma = _to_matrix(ta["emb"])
+        mb = _to_matrix(tb["emb"])
+        c = ma @ mb.T
+        mask = c >= threshold
+        if same:
+            mask &= np.tri(len(ia), len(ib), k=-1, dtype=bool).T  # strict upper
+        ri, ci = np.nonzero(mask)
+        l, r = ia[ri], ib[ci]
+        cos = c[ri, ci]
+        swap = l > r
+        l2 = np.where(swap, r, l)
+        r2 = np.where(swap, l, r)
+        keep = l2 != r2  # self-pairs across duplicate ids
+        # round-half-away to 4 (DuckDB ROUND): absorbs summation-order ulps
+        p = 10.0**4
+        cr = np.where(cos >= 0, np.floor(cos * p + 0.5), np.ceil(cos * p - 0.5)) / p
+        out = pa.table(
+            {
+                "left_id": pa.array(l2[keep].astype(np.int64), type=pa.int64()),
+                "right_id": pa.array(r2[keep].astype(np.int64), type=pa.int64()),
+                "cos": pa.array(cr[keep], type=pa.float64()),
+            }
+        )
+        return out, out.num_rows
+
+    results, counts = [], []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            t_ref, c_ref = _pair_task.remote(blocks[i], blocks[j], i == j)
+            results.append(t_ref)
+            counts.append(c_ref)
+    n_rows = ray.get(counts)
+    keep = [r for r, n in zip(results, n_rows) if n > 0]
+    if not keep:
+        keep = [results[0]] if results else []
+    if not keep:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(keep)
+
+
 def knn_ivf(
     ds,
     query: np.ndarray,

@@ -436,6 +436,44 @@ def test_triage_report(tmp_path):
     assert empty["summary"] == "no anomalies detected"
 
 
+def test_cosine_all_pairs_exact(ray_session):
+    """Blocked all-pairs cosine == the serial numpy answer (every pair,
+    ordered left<right, threshold applied pre-round)."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import cosine_all_pairs_exact
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8))
+    vecs[10] = vecs[3] + rng.standard_normal(8) * 0.01  # a near-dup pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        cosine_all_pairs_exact(rd.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    m = np.vstack([np.asarray(list(map(float, np.asarray(v, dtype=np.float32))), dtype=np.float64) for v in vecs])
+    mn = (m.T / np.linalg.norm(m, axis=1)).T
+    c = mn @ mn.T
+    ref = [
+        (i, j, c[i, j])
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if c[i, j] >= 0.5
+    ]
+    assert len(out) == len(ref)
+    for (i, j, cv), (_, row) in zip(ref, out.iterrows()):
+        assert (row["left_id"], row["right_id"]) == (i, j)
+        assert abs(row["cos"] - round(cv, 4)) < 1.01e-4
+    assert ((out["left_id"] == 3) & (out["right_id"] == 10)).any()
+
+
 def test_cosine_near_dup_paths_agree(ray_session):
     """Broadcast (small-side) and partitioned (scale-side) cosine verifies
     must produce identical pairs and values — the size gate may never change
