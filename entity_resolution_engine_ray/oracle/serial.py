@@ -8,12 +8,15 @@ F1 ≥ 0.99 ⇒ we target 1.0 on fixtures). It shares the *scalar kernels*
 machinery — batching, shuffles and salting must not change any decision.
 
 Determinism rules mirrored by the distributed stages:
-- candidate pairs: within an LSH band bucket, members sorted by url; buckets
-  larger than ``max_block_size`` split into ``ceil(n/cap)`` hash sub-blocks
+- candidate pairs: within an LSH band bucket, members sorted by the SIGNED
+  64-bit url hash (the engine's pair shuffle is ids-only — url strings never
+  enter it — so hash order is the shared canonical order); buckets larger
+  than ``max_block_size`` split into ``ceil(n/cap)`` hash sub-blocks
   (``stable_hash64(url) % n_splits`` — order-free, so the distributed engine
   can salt the groupby key without materializing the hot bucket; dropped
   cross-sub-block pairs are counted, never silent); pairs deduped globally on
-  (left_url, right_url) with left < right, keeping the MIN block key.
+  (hash(left), hash(right)) with hash(left) < hash(right), keeping the MIN
+  block key.
 - gate: reject < low ≤ gray < high ≤ approve; gray resolves via fallback
   (auto_approve default — reference validation/router.py:81-94,165-170).
 - clusters: union-find over approved edges; cluster_id = min member url.
@@ -191,12 +194,17 @@ def run_serial_er(pages: pa.Table, cfg: PagesERConfig | None = None) -> OracleRe
         for key in f.band_keys:
             buckets.setdefault(key, []).append(url)
 
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
     pair_min_key: dict[tuple[str, str], int] = {}
     dropped = 0
+    hash_of = {u: stable_hash64(u) for u in urls}
     for key, members in buckets.items():
         if len(members) < 2:
             continue
-        members_sorted = sorted(members)
+        # canonical member order = signed int64 url hash (the engine's pair
+        # shuffle carries only ids, so this is the order both sides share)
+        members_sorted = sorted(members, key=hash_of.__getitem__)
         runs = split_block(members_sorted, cfg.max_block_size, block_key=key)
         if len(runs) > 1:
             n = len(members_sorted)

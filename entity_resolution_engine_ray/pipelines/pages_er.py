@@ -23,12 +23,11 @@ import ray.data as rd
 
 from entity_resolution_engine_ray.config import PagesERConfig, config_hash
 from entity_resolution_engine_ray.stages.block import feature_stage
-from entity_resolution_engine_ray.stages.cluster import cluster_edges
 from entity_resolution_engine_ray.stages.extract import extract_stage
 from entity_resolution_engine_ray.stages.score import fused_edges_stage, gate_metrics
 from entity_resolution_engine_ray.state.checkpoint import CheckpointStore
 
-PIPELINE_VERSION = 3
+PIPELINE_VERSION = 4
 
 
 def run_pages_er(
@@ -134,9 +133,18 @@ def run_pages_er(
                 label_map = cluster_label_map(approved)
                 labeled = label_features_broadcast(features, ray.put(label_map))
             else:
-                labels = cluster_edges(
-                    approved,
-                    method="labelprop",
+                # ids-only CC: edges carry int64 url hashes, labels come
+                # back keyed by hash, urls rejoin from the features side
+                from entity_resolution_engine_ray.stages.cluster import (
+                    connected_components_labelprop_ids,
+                )
+
+                int_edges = approved.map_batches(
+                    lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
+                    batch_format="pyarrow",
+                )
+                labels = connected_components_labelprop_ids(
+                    int_edges,
                     num_partitions=num_partitions,
                     max_iterations=cfg.max_cc_iterations,
                 )

@@ -474,7 +474,8 @@ def q_doc_distinct_by_lang(sf_dir: str):
 
 
 def q_ann_ivf_top10(sf_dir: str):
-    """IVF approximate top-k (probe the nearest centroid lists only) — no
+    """IVF approximate top-k: 2 distributed Lloyd refinement passes over
+    seeded centroids, then probe the nearest centroid lists only — no
     SQL oracle (approximate index)."""
     import pyarrow.parquet as pq
 
@@ -485,7 +486,7 @@ def q_ann_ivf_top10(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
     )
     q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
-    out = knn_ivf(ds, q, k=10, id_col="vec_id", n_centroids=16, n_probe=8)
+    out = knn_ivf(ds, q, k=10, id_col="vec_id", n_centroids=16, n_probe=8, n_iters=2)
     out["cos"] = _rha(out["cos"], 4)
     return out
 

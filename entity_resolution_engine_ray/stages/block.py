@@ -146,13 +146,15 @@ def block_rows_stage(features_ds):
 
 
 def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
-    """Fat explode: one (url, block_key, token_ids, simhash, title_norm) row
-    per band. Ships each page's features ``bands`` times through ONE sort
-    shuffle — cheaper in total than joining features onto the pair list
-    twice (the join path moves the payload once per PAIR side, and pairs
-    outnumber pages ~30:1 on web near-dup workloads). Token payload is the
-    int64 id list, NOT the token strings — Arrow-native through the
-    exchange, no per-row Python string objects in the scorer."""
+    """Fat explode: one (url_hash, block_key, token_ids, simhash,
+    title_norm) row per band. Ships each page's features ``bands`` times
+    through ONE sort shuffle — cheaper in total than joining features onto
+    the pair list twice (the join path moves the payload once per PAIR
+    side, and pairs outnumber pages ~30:1 on web near-dup workloads).
+    IDS ONLY on the hot path: token payload is the int64 id list and the
+    page identity is the 64-bit url hash — url STRINGS never enter the pair
+    shuffle or the edge output; they rejoin from the features side table
+    after clustering (stages/merge)."""
     keys = batch["band_keys"]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
@@ -160,7 +162,7 @@ def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
     counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
     idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
     cols = {"block_key": flat}
-    for name in ("url", "url_hash", "token_ids", "simhash", "title_norm"):
+    for name in ("url_hash", "token_ids", "simhash", "title_norm"):
         col = batch[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -170,5 +172,20 @@ def explode_block_rows_with_features(batch: pa.Table) -> pa.Table:
 
 def fat_block_rows_stage(features_ds):
     return features_ds.select_columns(
-        ["url", "url_hash", "band_keys", "token_ids", "simhash", "title_norm"]
+        ["url_hash", "band_keys", "token_ids", "simhash", "title_norm"]
     ).map_batches(explode_block_rows_with_features, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def block_keys_stage(features_ds):
+    """Key-only band explode for the hot-bucket count pass — nothing but the
+    8-byte block_key column moves."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        keys = batch["band_keys"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({"block_key": keys.flatten()})
+
+    return features_ds.select_columns(["band_keys"]).map_batches(
+        flatten, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -8,8 +8,12 @@
   within buckets are verified with exact cosine. Deterministic seeded
   hyperplanes → identical buckets on every worker.
 - ``knn_ivf`` — inverted-file variant: vectors are assigned to the nearest
-  of C seeded random centroids (a one-pass IVF; a k-means refinement is a
-  drop-in); queries probe the nearest ``n_probe`` centroid lists only.
+  of C unit centroids; queries probe the nearest ``n_probe`` centroid lists
+  only. ``n_iters>0`` refines the seeded random centroids with distributed
+  Lloyd k-means passes (``kmeans_refine_centroids`` — per-batch partial
+  sums, driver folds a C×d table) before indexing.
+- ``cosine_all_pairs_exact`` — exact all-pairs cosine (blocked distributed
+  matmul), the oracle-checkable brute-force twin of the SRP-LSH path.
 """
 
 from __future__ import annotations
@@ -302,6 +306,51 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
     return rd.from_arrow_refs(keep)
 
 
+def kmeans_refine_centroids(
+    ds, cents: np.ndarray, n_iters: int, batch_size: int = 4096
+) -> np.ndarray:
+    """Lloyd iterations over a Dataset of normalized embeddings, expressed
+    as ``map_batches`` partial sums: each batch emits (centroid, sum-vector,
+    count) partials — C×d floats per batch, never the vectors — and the
+    driver folds the tiny partial table into new unit centroids. Empty
+    centroids keep their previous position. Deterministic for a fixed
+    input."""
+    C, d = cents.shape
+    for _ in range(n_iters):
+        current = cents
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = _to_matrix(t["embedding"])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = (m.T / norms).T
+            assign = np.argmax(mn @ current.T, axis=1)
+            sums = np.zeros((C, d), dtype=np.float64)
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=C).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(C), type=pa.int64()),
+                    "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "n": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+        sums = np.zeros((C, d), dtype=np.float64)
+        counts = np.zeros(C, dtype=np.int64)
+        for c, s, n in zip(agg["c"], agg["sum"], agg["n"]):
+            sums[c] += np.asarray(s)
+            counts[c] += n
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0] = 1.0
+        cents = (new.T / norms).T
+    return cents
+
+
 def knn_ivf(
     ds,
     query: np.ndarray,
@@ -310,15 +359,24 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = _SRP_SEED,
+    n_iters: int = 0,
 ):
-    """IVF top-k: assign vectors to seeded random unit centroids (one-pass
-    IVF), probe the ``n_probe`` centroids nearest the query. Approximate —
-    recall grows with n_probe; n_probe == n_centroids degenerates to exact."""
+    """IVF top-k: assign vectors to unit centroids, probe the ``n_probe``
+    centroid lists nearest the query. ``n_iters=0`` (default) keeps the
+    one-pass seeded-random-centroid index; ``n_iters>0`` runs that many
+    distributed Lloyd k-means refinement passes
+    (``kmeans_refine_centroids``) first, which concentrates each true data
+    cluster into one list and lifts recall at the same n_probe.
+    Approximate — recall grows with n_probe; n_probe == n_centroids
+    degenerates to exact."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, len(q)))
     cents = (cents.T / np.linalg.norm(cents, axis=1)).T
+    if n_iters > 0:
+        ds = ds.materialize()  # consumed once per Lloyd pass + the probe scan
+        cents = kmeans_refine_centroids(ds, cents, n_iters)
     probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
 
     def partial(t: pa.Table) -> pa.Table:

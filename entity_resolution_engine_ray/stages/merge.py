@@ -114,66 +114,73 @@ def label_features_broadcast(features_ds, label_map_ref):
 
 
 def build_labeled(features_ds, labels_ds, num_partitions=None):
-    """Scale path: align page metadata with a labels *Dataset* (labelprop
-    output) via a tagged union + one hash-partition pass — no hash-join
-    aggregator actors, one sort shuffle."""
+    """Scale path: align page metadata with a labels *Dataset*
+    (``connected_components_labelprop_ids`` output: node:int64 =
+    url_hash, cluster_label:int64) via a tagged union on the 8-byte hash
+    key + one hash-partition pass — no hash-join aggregator actors, one
+    exchange, and NO url strings on the join key. Singletons (pages with no
+    approved edge) label with their own url_hash — the same label space the
+    broadcast path uses."""
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups
     from entity_resolution_engine_ray.stages.joins import default_join_partitions
 
     num_partitions = num_partitions or default_join_partitions()
 
-    # cluster labels are full-range int64 hashes: marking the meta side with
-    # NULL labels would convert the column to float64 at the pandas boundary
-    # (Arrow int64-with-nulls → float64) and corrupt values beyond 2^53 —
-    # use an explicit int sentinel instead (INT64_MIN; blake2b output
-    # colliding with it has probability 2^-64 per label)
-    _NO_LABEL = np.int64(np.iinfo(np.int64).min)
-
     def meta_side(t: pa.Table) -> pa.Table:
+        if "url_hash" in t.schema.names:
+            key = t["url_hash"]
+        else:
+            key = pa.array(
+                [stable_hash64(u) for u in t["url"].to_pylist()], type=pa.int64()
+            )
+        n = t.num_rows
         return pa.table(
             {
+                "key": key,
                 "url": t["url"],
                 "warc_ts": t["warc_ts"],
                 "lang": t["lang"],
                 "title_norm": t["title_norm"],
-                "cluster_label": pa.array(
-                    np.full(t.num_rows, _NO_LABEL), type=pa.int64()
-                ),
+                "cluster_label": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "is_meta": pa.array(np.ones(n, dtype=bool), type=pa.bool_()),
             }
         )
 
     def label_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table(
             {
-                "url": t["url"],
-                "warc_ts": pa.nulls(t.num_rows, type=pa.timestamp("us")),
-                "lang": pa.nulls(t.num_rows, type=pa.string()),
-                "title_norm": pa.nulls(t.num_rows, type=pa.string()),
+                "key": t["node"],
+                "url": pa.nulls(n, type=pa.string()),
+                "warc_ts": pa.nulls(n, type=pa.timestamp("us")),
+                "lang": pa.nulls(n, type=pa.string()),
+                "title_norm": pa.nulls(n, type=pa.string()),
                 "cluster_label": t["cluster_label"],
+                "is_meta": pa.array(np.zeros(n, dtype=bool), type=pa.bool_()),
             }
         )
 
-    tagged = features_ds.select_columns(["url", "warc_ts", "lang", "title_norm"]).map_batches(
+    cols = ["url", "warc_ts", "lang", "title_norm"]
+    if "url_hash" in features_ds.schema().names:
+        cols.append("url_hash")
+    tagged = features_ds.select_columns(cols).map_batches(
         meta_side, batch_format="pyarrow"
     ).union(labels_ds.map_batches(label_side, batch_format="pyarrow"))
 
-    def merge_url_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["url", "cluster_label"], kind="mergesort")
-        is_meta = pdf["cluster_label"].to_numpy() == _NO_LABEL
-        meta = pdf[is_meta]
-        lbl = pdf[~is_meta][["url", "cluster_label"]]
+    def merge_key_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_meta = pdf["is_meta"].to_numpy()
+        meta = pdf[is_meta].drop(columns=["cluster_label", "is_meta"])
+        lbl = pdf[~is_meta][["key", "cluster_label"]]
         # exact int64 through the left join: nullable Int64, no float detour
+        # (labels are full-range hashes — float64 corrupts beyond 2^53)
         lbl = lbl.assign(cluster_label=lbl["cluster_label"].astype("Int64"))
-        out = meta.drop(columns="cluster_label").merge(lbl, on="url", how="left")
-        missing = out["cluster_label"].isna()
-        if missing.any():
-            out.loc[missing, "cluster_label"] = pd.array(
-                [stable_hash64(u) for u in out.loc[missing, "url"]], dtype="Int64"
-            )
-        out["cluster_label"] = out["cluster_label"].astype(np.int64)
-        return out
+        out = meta.merge(lbl, on="key", how="left")
+        out["cluster_label"] = (
+            out["cluster_label"].fillna(out["key"].astype("Int64")).astype(np.int64)
+        )
+        return out[["url", "warc_ts", "lang", "title_norm", "cluster_label"]]
 
-    return partition_map_groups(tagged, ["url"], merge_url_partition, num_partitions)
+    return partition_map_groups(tagged, ["key"], merge_key_partition, num_partitions)
 
 
 def entities_from_labeled(labeled_ds, num_partitions: int = 64):

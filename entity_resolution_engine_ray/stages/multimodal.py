@@ -1,15 +1,19 @@
 """Multimodal (image/audio/video) column operators — Ray-side plumbing.
 
 Binary payloads are opaque ``binary`` columns with typed metadata columns
-(media_type, width/height or sample_rate, …). The decode/feature kernels
-themselves need codec libraries that are NOT in this container, so each
-operator routes through a decoder registry:
+(media_type, width/height or sample_rate, …). Each operator routes through
+a decoder registry:
 
+- ``decoder="bmp"`` — REAL pixel work, no codec library: a pure-numpy
+  24-bit uncompressed BMP codec (``decode_bmp``/``encode_bmp``) plus
+  nearest-neighbor resize; resize and grid-feature extraction operate on
+  actual decoded pixels and are pinned by exact-pixel tests.
 - ``decoder="stub"`` (default) — a deterministic fake: features are derived
   from a stable hash of the payload bytes. Real schemas, real batch sizes,
   real actor-pool signatures; fake pixels. Marked clearly.
-- ``decoder="pillow"`` / ``"ffmpeg"`` — raise ``NotImplementedError`` with
-  installation guidance (the intended production path).
+- ``decoder="pillow"`` / ``"ffmpeg"`` (compressed formats) — raise
+  ``NotImplementedError`` with installation guidance (the intended
+  production path; the libraries are absent from this container).
 
 Design rules encoded here (the parts that ARE real and tested):
 - decode/feature-extract is a stateful ACTOR-POOL ``map_batches`` stage
@@ -36,6 +40,73 @@ def _stub_features(payload: bytes, dim: int) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# REAL pixel work: pure-numpy BMP codec (24-bit uncompressed BI_RGB) + resize.
+# No codec library needed — BMP rows are raw BGR bytes with 4-byte-aligned
+# strides, so decode/encode is a frombuffer + reshape. This makes the
+# ``decoder="bmp"`` path a genuinely working operator; compressed formats
+# (JPEG/PNG) still require Pillow and keep the explicit NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (height, width, 3) uint8 RGB array."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is decodable without Pillow (bpp={bpp}, compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB array → 24-bit bottom-up BMP bytes."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, bottom-up
+    pixel_bytes = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(pixel_bytes)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_bytes).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pixel_bytes
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pixel-center sampling) — exact, dependency-
+    free, and what the resize-stage contract pins in tests."""
+    h, w = img.shape[:2]
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return img[yi][:, xi]
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: (id, image:binary) → (id, width, height, embedding).
 
@@ -49,11 +120,23 @@ class ImageFeatureExtractor:
                 from PIL import Image  # noqa: F401
             except ImportError as exc:
                 raise NotImplementedError(
-                    "pillow decoder requires PIL; install pillow or use decoder='stub'"
+                    "pillow decoder requires PIL; install pillow or use decoder='bmp'/'stub'"
                 ) from exc
-        elif decoder != "stub":
+        elif decoder not in ("stub", "bmp"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
+
+    def _bmp_features(self, p: bytes) -> tuple[np.ndarray, int, int]:
+        """REAL decode path: parse the BMP, report true dimensions, and
+        embed a grid of mean RGB values (resize to g×g, flatten, L2
+        normalize) — a deterministic pixel-derived feature vector."""
+        img = decode_bmp(p)
+        g = max(1, int(np.sqrt(self.dim / 3)))
+        grid = resize_nearest(img, g, g).astype(np.float32).reshape(-1) / 255.0
+        v = np.zeros(self.dim, dtype=np.float32)
+        v[: min(len(grid), self.dim)] = grid[: self.dim]
+        n = np.linalg.norm(v)
+        return (v / n if n > 0 else v), img.shape[1], img.shape[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.image_col].to_pylist()
@@ -62,12 +145,16 @@ class ImageFeatureExtractor:
         widths = np.zeros(n, dtype=np.int32)
         heights = np.zeros(n, dtype=np.int32)
         for i, p in enumerate(payloads):
-            # STUB decode: dimensions derived from the digest, embedding from
-            # seeded noise — replace with PIL decode + model forward pass
-            emb[i] = _stub_features(p, self.dim)
-            h64 = int.from_bytes(hashlib.blake2b(p or b"", digest_size=4).digest(), "little")
-            widths[i] = 64 + h64 % 1024
-            heights[i] = 64 + (h64 >> 5) % 1024
+            if self.decoder == "bmp":
+                emb[i], widths[i], heights[i] = self._bmp_features(p)
+            else:
+                # STUB decode: dimensions derived from the digest, embedding
+                # from seeded noise — the pillow path replaces this with a
+                # real decode + model forward pass
+                emb[i] = _stub_features(p, self.dim)
+                h64 = int.from_bytes(hashlib.blake2b(p or b"", digest_size=4).digest(), "little")
+                widths[i] = 64 + h64 % 1024
+                heights[i] = 64 + (h64 >> 5) % 1024
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -105,14 +192,16 @@ class AudioFeatureExtractor:
         )
 
 
-def image_feature_stage(ds, id_col="id", image_col="image", dim=64, concurrency=None, batch_size: int = 64):
+def image_feature_stage(
+    ds, id_col="id", image_col="image", dim=64, decoder: str = "stub", concurrency=None, batch_size: int = 64
+):
     """Small batch_size: binary payloads are wide — batch × concurrency must
     fit the worker heap."""
     from entity_resolution_engine_ray.stages.block import default_pool_size
 
     return ds.map_batches(
         ImageFeatureExtractor,
-        fn_constructor_kwargs={"id_col": id_col, "image_col": image_col, "dim": dim},
+        fn_constructor_kwargs={"id_col": id_col, "image_col": image_col, "dim": dim, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or default_pool_size(),
@@ -154,21 +243,28 @@ def image_resize_stage(
     concurrency=None,
     batch_size: int = 64,
 ):
-    """Image resize plumbing: (id, image:binary) → (id, image:binary,
-    width:int32, height:int32). The Ray-side shape — actor pool, small
-    batches, binary in/binary out — is real; the pixel work is a clearly
-    marked STUB (a real build swaps in Pillow inside ``resize_one``; the
-    library is absent from this environment)."""
-    if decoder != "stub":
+    """Image resize: (id, image:binary) → (id, image:binary, width:int32,
+    height:int32).
+
+    ``decoder="bmp"`` does REAL pixel work end-to-end with no codec library:
+    pure-numpy 24-bit BMP decode → nearest-neighbor resize → BMP re-encode
+    (``decode_bmp`` / ``resize_nearest`` / ``encode_bmp``). Compressed
+    formats (JPEG/PNG) require Pillow, which is absent here — requesting
+    any other real decoder raises. ``decoder="stub"`` keeps the
+    deterministic digest-stream fake for shape-only testing."""
+    if decoder not in ("stub", "bmp"):
         raise NotImplementedError(
-            "real image decoding requires Pillow, which is not available in "
-            "this environment — only decoder='stub' is implemented"
+            "JPEG/PNG decoding requires Pillow, which is not available in "
+            "this environment — use decoder='bmp' (pure numpy, real pixels) "
+            "or decoder='stub'"
         )
     from entity_resolution_engine_ray.stages.block import default_pool_size
 
     def resize_one(payload: bytes) -> bytes:
+        if decoder == "bmp":
+            return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
         # STUB: deterministic digest-stream "resized pixels" of the target
-        # size (3 bytes/px) — stands in for Image.open(...).resize(...)
+        # size (3 bytes/px) — stands in for a real decode+resize
         out = b""
         seed = payload or b""
         need = width * height * 3

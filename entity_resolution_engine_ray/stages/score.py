@@ -3,13 +3,17 @@
     score = w_j * token_jaccard  +  w_s * simhash_similarity  +  w_t * jaro_winkler(title)
 
 Primary path: ``fused_edges_stage`` — ONE fat-block hash exchange carrying
-(url, url_hash, token_ids, simhash, title_norm) per band row; each
-partition generates pairs (salted, capped, drop-counted), pre-dedups, and
-scores fully vectorized: SimHash via uint64 XOR + popcount, Jaccard via
-the grouped int64 ``searchsorted`` kernel (``_grouped_jaccard``),
+(url_hash, token_ids, simhash, title_norm) per band row (IDS ONLY: url
+strings never enter the pair shuffle, the scored output, or the edge-dedup
+exchange — they rejoin from the features side table after clustering);
+each partition generates pairs (salted, capped, drop-counted), pre-dedups,
+and scores fully vectorized: SimHash via uint64 XOR + popcount, Jaccard
+via the grouped int64 ``searchsorted`` kernel (``_grouped_jaccard``),
 Jaro-Winkler via the length-bucketed batch kernel over unique title pairs.
-Legacy path: ``score_stage`` (pair list ⋈ features ×2 hash joins →
-``PairScorer`` actor pool) kept for composability with external pair lists.
+Legacy SLOW path: ``score_stage`` (pair list ⋈ features ×2 hash joins →
+``PairScorer`` actor pool) kept only for composability with external
+url-keyed pair lists — its Jaccard is a per-pair Python set loop; do not
+put it on a hot path.
 
 The gate reproduces the reference router's three-way semantics
 (validation/router.py:165-170): ``score < low → reject``;
@@ -201,14 +205,16 @@ def _grouped_jaccard(
 
 def _pair_score_partition(pdf, cfg: PagesERConfig):
     """One hash partition of fat (block_key, salt) sub-blocks → scored,
-    gated edges. Pair order/cap semantics identical to the slim pairgen
-    (oracle-parity); scoring identical to PairScorer."""
+    gated edges, IDS ONLY (left_id/right_id int64 url hashes — no url
+    strings ride the pair shuffle or the edge output; urls rejoin from the
+    features side table after clustering). Sub-block members order by
+    url_hash — the serial oracle orders identically, so pair identity, cap
+    truncation and left/right orientation stay in exact parity."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["block_key", "salt", "url"], kind="mergesort")
+    pdf = pdf.sort_values(["block_key", "salt", "url_hash"], kind="mergesort")
     keys = pdf["block_key"].to_numpy()
     salts = pdf["salt"].to_numpy()
-    urls = pdf["url"].to_numpy()
     url_hashes = pdf["url_hash"].to_numpy().astype(np.int64)
     toks = pdf["token_ids"].to_numpy()
     tok_lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
@@ -232,7 +238,7 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         ri.append(jj + s)
         okeys.append(np.full(len(ii), keys[s], dtype=np.int64))
     cols = [
-        "left_url", "right_url", "left_id", "right_id", "block_key", "score",
+        "left_id", "right_id", "block_key", "score",
         "jaccard", "simhash_sim", "title_sim", "decision", "dropped",
     ]
     if not li:
@@ -241,9 +247,9 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
                 c: pd.Series(
                     [],
                     dtype=(
-                        np.int64
-                        if c in ("block_key", "dropped", "left_id", "right_id")
-                        else (np.float64 if c in ("score", "jaccard", "simhash_sim", "title_sim") else object)
+                        np.float64
+                        if c in ("score", "jaccard", "simhash_sim", "title_sim")
+                        else (object if c == "decision" else np.int64)
                     ),
                 )
                 for c in cols
@@ -255,7 +261,9 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
     # hashed into this partition): keep min block_key, skip re-scoring.
     # The global cross-partition dedup still runs downstream.
     okey = np.concatenate(okeys)
-    pre = pd.DataFrame({"l": urls[lidx], "r": urls[ridx], "k": okey, "li": lidx, "ri": ridx})
+    pre = pd.DataFrame(
+        {"l": url_hashes[lidx], "r": url_hashes[ridx], "k": okey, "li": lidx, "ri": ridx}
+    )
     pre = pre.sort_values(["l", "r", "k"], kind="mergesort").drop_duplicates(["l", "r"], keep="first")
     lidx = pre["li"].to_numpy()
     ridx = pre["ri"].to_numpy()
@@ -276,8 +284,6 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
     drops[0] = dropped
     return pd.DataFrame(
         {
-            "left_url": urls[lidx],
-            "right_url": urls[ridx],
             "left_id": url_hashes[lidx],
             "right_id": url_hashes[ridx],
             "block_key": np.concatenate(okeys),
@@ -304,14 +310,14 @@ def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partiti
     """features → scored+gated edge Dataset in two shuffles (fat-block
     sort shuffle + slim edge dedup), replacing the pairgen + 2-join + score
     chain. Returns (edges_ds, dropped_pair_count)."""
-    from entity_resolution_engine_ray.stages.block import block_rows_stage, fat_block_rows_stage
+    from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups
     from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
     hot = hot_key_splits(
-        block_rows_stage(features_ds),
+        block_keys_stage(features_ds),  # key-only explode: 8 bytes/row
         cfg.max_block_size,
         n_rows_hint=features_ds.count() * cfg.bands,  # metadata-only count
     )

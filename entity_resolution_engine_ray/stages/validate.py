@@ -30,8 +30,8 @@ import pyarrow as pa
 
 @dataclass
 class EdgeCandidate:
-    left_url: str
-    right_url: str
+    left_id: int   # 64-bit url-hash id (edges are ids-only on the hot path)
+    right_id: int
     score: float
     jaccard: float
     simhash_sim: float
@@ -80,8 +80,8 @@ class GrayZoneValidatorPool:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         decisions = np.empty(n, dtype=object)
-        ls = batch["left_url"].to_pylist()
-        rs = batch["right_url"].to_pylist()
+        ls = batch["left_id"].to_pylist()
+        rs = batch["right_id"].to_pylist()
         scores = batch["score"].to_numpy(zero_copy_only=False)
         jac = batch["jaccard"].to_numpy(zero_copy_only=False)
         sim = batch["simhash_sim"].to_numpy(zero_copy_only=False)
@@ -146,8 +146,8 @@ def llm_validator_factory(transport, entity_type: str = "page"):
         def validate(c: EdgeCandidate) -> str:
             result = validate_pair(
                 entity_type,
-                {"id": c.left_url},
-                {"id": c.right_url},
+                {"id": c.left_id},
+                {"id": c.right_id},
                 c.score,
                 {
                     "jaccard": c.jaccard,

@@ -201,3 +201,32 @@ class LLMValidatorAdapter:
             signals,
             self.client,
         )
+
+
+def http_transport(url: str, api_key: str | None = None, extra_headers: dict | None = None) -> Transport:
+    """OPTIONAL stdlib HTTP transport for an OpenAI-compatible chat endpoint
+    (reference validation/llm_client.py:110-113 does the same POST via
+    httpx). Never constructed by default — this sandbox has no network; wire
+    it explicitly where an endpoint exists::
+
+        client = LLMClient(http_transport("https://host/v1/chat/completions",
+                                          api_key=os.environ["KEY"]))
+
+    The client's 12 s budget is honored: ``timeout_s`` is passed straight to
+    ``urlopen``. Raises on non-2xx / invalid-JSON bodies, which the client
+    surfaces as the standard request-failure path."""
+    import urllib.request
+
+    def transport(payload: dict, timeout_s: float) -> dict:
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        if extra_headers:
+            headers.update(extra_headers)
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode("utf-8"), headers=headers, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    return transport

@@ -189,20 +189,34 @@ def build_quality_report(store: MetricsStore, run_id: str) -> dict:
     }
 
 
+TRIAGE_SYSTEM_PROMPT = (
+    "You are a data quality analyst. "
+    "Return JSON with summary, likely_causes, impact, suggested_actions, queries_to_run."
+)
+
+_TRIAGE_LIST_FIELDS = ("likely_causes", "suggested_actions", "queries_to_run")
+
+
 def generate_triage_report(
     store: MetricsStore,
     run_id: str,
     entity_type: str,
     review_items: list[dict] | None = None,
+    llm_client=None,
 ) -> dict:
     """Anomaly triage report (reference monitoring/llm_triage.py:52-135).
 
-    The reference asks an LLM to summarize anomalies and falls back to a
-    deterministic template when the LLM is unavailable (:32-49); this
-    engine ships the deterministic path (no network), with the same shape:
-    run/entity scope, per-metric deltas, a severity-ranked summary, and up
-    to 20 review samples (llm_triage.py:75-90: left/right ids, matcher
-    score, signals)."""
+    With ``llm_client`` (a transport-injectable ``state.llm.LLMClient``),
+    the anomalies + up to 20 review samples are summarized by the model
+    (reference llm_triage.py:106-117: system prompt, sort_keys payload,
+    TriageReport shape — summary / likely_causes / impact /
+    suggested_actions / queries_to_run) and ANY failure — transport error,
+    invalid JSON after the retry, missing fields — falls back to the
+    deterministic template exactly like the reference's except path.
+    Without a client, the deterministic path runs directly (no network in
+    this environment), with the same shape: run/entity scope, per-metric
+    deltas, a severity-ranked summary, and the review samples
+    (llm_triage.py:75-90: left/right ids, matcher score, signals)."""
     anomalies = store.anomalies()
     if not anomalies.empty:
         anomalies = anomalies[
@@ -250,6 +264,31 @@ def generate_triage_report(
         "review_samples": samples,
         "generated_by": "deterministic_fallback",
     }
+    if llm_client is not None:
+        payload = {
+            "run_id": run_id,
+            "entity_type": entity_type,
+            "anomalies": rows,
+            "review_samples": samples,
+        }
+        try:
+            resp = llm_client.request_json(
+                TRIAGE_SYSTEM_PROMPT, json.dumps(payload, sort_keys=True, default=str)
+            )
+            if not isinstance(resp.get("summary"), str) or not isinstance(
+                resp.get("impact"), str
+            ):
+                raise ValueError("triage response missing summary/impact")
+            report.update(
+                {
+                    "summary": resp["summary"],
+                    "impact": resp["impact"],
+                    **{f: list(resp.get(f) or []) for f in _TRIAGE_LIST_FIELDS},
+                    "generated_by": "llm",
+                }
+            )
+        except Exception:
+            pass  # deterministic fallback stands (reference llm_triage.py:115-117)
     out_dir = os.path.join(store.dir, "triage_reports")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"{run_id}-{entity_type}.json"), "w") as f:

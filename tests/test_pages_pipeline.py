@@ -68,14 +68,22 @@ def test_extract_parity_across_batch_sizes(ray_session, fixture_paths, oracle):
 
 
 def test_edge_parity_exact(pipeline_result, oracle):
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
     _, ores = oracle
     edges = pipeline_result["edges"].to_pandas()
+    # the engine's edge schema is ids-only (url strings never ride the pair
+    # shuffle); the oracle's url pairs map onto it through the same hash
     got = {
-        (r.left_url, r.right_url): (r.block_key, round(r.score, 12), r.decision)
+        (r.left_id, r.right_id): (r.block_key, round(r.score, 12), r.decision)
         for r in edges.itertuples()
     }
     want = {
-        (e["left_url"], e["right_url"]): (e["block_key"], round(e["score"], 12), e["decision"])
+        (stable_hash64(e["left_url"]), stable_hash64(e["right_url"])): (
+            e["block_key"],
+            round(e["score"], 12),
+            e["decision"],
+        )
         for e in ores.edges
     }
     assert set(got) == set(want), (
@@ -108,9 +116,11 @@ def test_cluster_partition_parity(pipeline_result, oracle):
 def test_label_f1(pipeline_result, fixture_paths, oracle):
     pages, _ = oracle
     truth = pq.read_table(fixture_paths["truth"])
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+
     lp = labeled_pairs(pages, truth)
     labels = {
-        (l, r): m
+        (stable_hash64(l), stable_hash64(r)): m
         for l, r, m in zip(
             lp["left_url"].to_pylist(), lp["right_url"].to_pylist(), lp["is_match"].to_pylist()
         )
@@ -118,7 +128,7 @@ def test_label_f1(pipeline_result, fixture_paths, oracle):
     edges = pipeline_result["edges"].to_pandas()
     tp = fp = fn = 0
     for r in edges.itertuples():
-        is_match = labels[(r.left_url, r.right_url)]
+        is_match = labels[(r.left_id, r.right_id)]
         approved = r.decision in ("auto_approve", "gray_approve")
         if approved and is_match:
             tp += 1
@@ -263,7 +273,7 @@ def test_edges_deterministic_across_partition_counts(ray_session, fixture_paths)
     outs = []
     for parts in (8, 31):
         edges, dropped = fused_edges_stage(features, cfg, num_partitions=parts)
-        pdf = edges.to_pandas().sort_values(["left_url", "right_url"]).reset_index(drop=True)
+        pdf = edges.to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
         outs.append((pdf, dropped))
     a, b = outs[0][0], outs[1][0]
     assert outs[0][1] == outs[1][1]  # dropped-pair count

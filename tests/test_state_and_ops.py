@@ -162,6 +162,103 @@ def test_image_feature_stage(ray_session):
         ImageFeatureExtractor(decoder="pillow")
 
 
+def test_bmp_codec_roundtrip_and_resize():
+    """Pure-numpy BMP codec: encode→decode is the identity on pixels
+    (including non-multiple-of-4 widths that need row padding), and
+    nearest-neighbor resize produces exact expected pixels."""
+    from entity_resolution_engine_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h in ((5, 3), (4, 4), (1, 7)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # 2×2 checkerboard → 4×4: each source pixel becomes a 2×2 block
+    cb = np.zeros((2, 2, 3), dtype=np.uint8)
+    cb[0, 1] = cb[1, 0] = 255
+    big = resize_nearest(cb, 4, 4)
+    for y in range(4):
+        for x in range(4):
+            assert np.array_equal(big[y, x], cb[y // 2, x // 2])
+    # downscale picks pixel centers
+    down = resize_nearest(big, 2, 2)
+    assert np.array_equal(down, cb)
+
+
+def test_image_resize_stage_real_bmp(ray_session):
+    """image_resize_stage(decoder='bmp') does REAL pixel work: the output
+    payload is the exact BMP encoding of the nearest-neighbor-resized
+    input pixels."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_resize_stage,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "id": pa.array([1], type=pa.int64()),
+            "image": pa.array([encode_bmp(img)], type=pa.binary()),
+        }
+    )
+    out = image_resize_stage(
+        rd.from_arrow(tbl), width=4, height=4, decoder="bmp", concurrency=1
+    ).to_pandas()
+    expected = resize_nearest(img, 4, 4)
+    got = decode_bmp(out["image"].iloc[0])
+    assert np.array_equal(got, expected)
+    assert out["image"].iloc[0] == encode_bmp(expected)  # byte-exact
+    assert out["width"].iloc[0] == 4 and out["height"].iloc[0] == 4
+    # JPEG/PNG still require Pillow — requesting them raises, not fakes
+    with pytest.raises(NotImplementedError):
+        image_resize_stage(rd.from_arrow(tbl), decoder="pillow")
+
+
+def test_image_features_real_bmp(ray_session):
+    """decoder='bmp' feature extraction reports TRUE dimensions and a
+    pixel-derived embedding (uniform-color images embed identically)."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import (
+        encode_bmp,
+        image_feature_stage,
+    )
+
+    red = np.zeros((8, 12, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    red_small = np.zeros((4, 6, 3), dtype=np.uint8)
+    red_small[..., 0] = 200
+    blue = np.zeros((8, 12, 3), dtype=np.uint8)
+    blue[..., 2] = 200
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "image": pa.array(
+                [encode_bmp(red), encode_bmp(red_small), encode_bmp(blue)], type=pa.binary()
+            ),
+        }
+    )
+    out = (
+        image_feature_stage(rd.from_arrow(tbl), dim=48, decoder="bmp")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["width"].tolist() == [12, 6, 12]
+    assert out["height"].tolist() == [8, 4, 8]
+    e1, e2, e3 = (np.asarray(list(e)) for e in out["embedding"])
+    assert np.allclose(e1, e2)          # same color, any size → same grid
+    assert not np.allclose(e1, e3)      # different color → different embed
+
+
 def test_frame_sample_stage(ray_session):
     import ray.data as rd
 
@@ -371,6 +468,47 @@ def test_knn_brute_force_and_ivf(ray_session):
     assert 5 in set(ivf["vec_id"])
 
 
+def test_ivf_kmeans_refinement_recall(ray_session):
+    """Lloyd-refined IVF (n_iters>0) reaches recall@10 ≥ 0.9 vs brute force
+    at a probe fraction where the index is genuinely partial (n_probe=2 of
+    8 lists), on clustered data — the shape IVF exists for."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import (
+        kmeans_refine_centroids,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    # 8 well-separated Gaussian clusters in 16-d, 50 points each
+    centers = rng.standard_normal((8, 16)) * 6.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) for c in centers], axis=0
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    query = centers[3] + rng.standard_normal(16) * 0.1
+    truth = set(knn_brute_force(ds, query, k=10)["vec_id"])
+    refined = knn_ivf(ds, query, k=10, n_centroids=8, n_probe=2, n_iters=4)
+    recall = len(truth & set(refined["vec_id"])) / 10
+    assert recall >= 0.9, f"refined IVF recall@10 {recall} < 0.9"
+    # refinement is deterministic for a fixed input: identical calls agree
+    # up to float summation-order noise in the partial-sum fold
+    base = np.random.default_rng(1234).standard_normal((8, 16))
+    base = (base.T / np.linalg.norm(base, axis=1)).T
+    a = kmeans_refine_centroids(ds, base, 4)
+    b = kmeans_refine_centroids(ds, base, 4)
+    assert np.allclose(a, b, atol=1e-7)
+
+
 # ---------------------------------------------------------------- clustering
 
 
@@ -434,6 +572,69 @@ def test_triage_report(tmp_path):
     # no anomalies → clean summary
     empty = generate_triage_report(store, "r0", "page")
     assert empty["summary"] == "no anomalies detected"
+
+
+def test_triage_report_through_llm_client(tmp_path):
+    """Reference llm_triage.py:106-117 semantics on the Ray side: the
+    anomalies + review samples go through the LLM client (fake transport);
+    a valid TriageReport-shaped response is adopted; any failure falls back
+    to the deterministic template."""
+    import json as _json
+
+    from entity_resolution_engine_ray.state.llm import LLMClient
+    from entity_resolution_engine_ray.state.metrics import generate_triage_report
+
+    store = MetricsStore(str(tmp_path))
+    for i in range(6):
+        store.append_run_metrics(f"r{i}", [_metric_row(gray=10 + (i % 2))])
+    store.append_run_metrics("rX", [_metric_row(gray=90)])
+    detect_anomalies(store, "rX", "page")
+
+    seen = {}
+
+    def good_transport(payload, timeout_s):
+        seen["payload"] = _json.loads(payload["messages"][1]["content"])
+        return {
+            "content": _json.dumps(
+                {
+                    "summary": "gray-zone spike",
+                    "likely_causes": ["threshold drift"],
+                    "impact": "review queue growth",
+                    "suggested_actions": ["inspect thresholds"],
+                    "queries_to_run": ["SELECT 1"],
+                }
+            )
+        }
+
+    review = [{"left_id": 1, "right_id": 2, "score": 0.8, "conflict_flags": ["dob"]}]
+    report = generate_triage_report(
+        store, "rX", "page", review_items=review, llm_client=LLMClient(good_transport)
+    )
+    assert report["generated_by"] == "llm"
+    assert report["summary"] == "gray-zone spike"
+    assert report["likely_causes"] == ["threshold drift"]
+    assert report["queries_to_run"] == ["SELECT 1"]
+    # the model saw the anomalies and the review samples
+    assert seen["payload"]["entity_type"] == "page"
+    assert len(seen["payload"]["anomalies"]) >= 1
+    assert seen["payload"]["review_samples"][0]["left_id"] == 1
+
+    def bad_transport(payload, timeout_s):
+        return {"content": "not json at all"}  # invalid even after retry
+
+    fb = generate_triage_report(
+        store, "rX", "page", llm_client=LLMClient(bad_transport)
+    )
+    assert fb["generated_by"] == "deterministic_fallback"
+    assert "gray_zone_rate" in fb["summary"]
+
+    def missing_fields(payload, timeout_s):
+        return {"content": _json.dumps({"summary": "x"})}  # no impact field
+
+    fb2 = generate_triage_report(
+        store, "rX", "page", llm_client=LLMClient(missing_fields)
+    )
+    assert fb2["generated_by"] == "deterministic_fallback"
 
 
 def test_cosine_all_pairs_exact(ray_session):

@@ -17,8 +17,8 @@ from entity_resolution_engine_ray.stages.validate import (
 def _edges_table():
     return pa.table(
         {
-            "left_url": ["a", "b", "c", "d"],
-            "right_url": ["w", "x", "y", "z"],
+            "left_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "right_id": pa.array([11, 12, 13, 14], type=pa.int64()),
             "score": pa.array([0.95, 0.75, 0.74, 0.3], type=pa.float64()),
             "jaccard": pa.array([0.9, 0.7, 0.4, 0.1], type=pa.float64()),
             "simhash_sim": pa.array([0.9, 0.8, 0.8, 0.5], type=pa.float64()),
@@ -40,11 +40,11 @@ def test_validate_gray_zone_only_touches_review(ray_session):
     import ray.data as rd
 
     out = validate_gray_zone(rd.from_arrow(_edges_table())).to_pandas()
-    by_left = dict(zip(out["left_url"], out["decision"]))
-    assert by_left["a"] == "auto_approve"  # untouched
-    assert by_left["d"] == "reject"        # untouched
-    assert by_left["b"] == "llm_approve"   # jaccard 0.7 ≥ 0.6
-    assert by_left["c"] == "review"        # 0.3 ≤ jaccard 0.4 < 0.6
+    by_left = dict(zip(out["left_id"], out["decision"]))
+    assert by_left[1] == "auto_approve"  # untouched
+    assert by_left[4] == "reject"        # untouched
+    assert by_left[2] == "llm_approve"   # jaccard 0.7 ≥ 0.6
+    assert by_left[3] == "review"        # 0.3 ≤ jaccard 0.4 < 0.6
 
 
 def test_breaker_opens_on_crashing_validator():
@@ -94,8 +94,8 @@ def test_llm_validator_factory_distributed(ray_session):
 
     edges = pa.table(
         {
-            "left_url": ["a", "b"],
-            "right_url": ["x", "y"],
+            "left_id": pa.array([1, 2], type=pa.int64()),
+            "right_id": pa.array([11, 12], type=pa.int64()),
             "block_key": pa.array([1, 1], type=pa.int64()),
             "score": pa.array([0.8, 0.8], type=pa.float64()),
             "jaccard": pa.array([0.7, 0.2], type=pa.float64()),
@@ -107,6 +107,6 @@ def test_llm_validator_factory_distributed(ray_session):
     out = validate_gray_zone(
         rd.from_arrow(edges), validator_factory=llm_validator_factory(transport), concurrency=1
     ).to_pandas()
-    by_pair = {(r.left_url, r.right_url): r.decision for r in out.itertuples()}
-    assert by_pair[("a", "x")] == "llm_approve"
-    assert by_pair[("b", "y")] == "llm_reject"
+    by_pair = {(r.left_id, r.right_id): r.decision for r in out.itertuples()}
+    assert by_pair[(1, 11)] == "llm_approve"
+    assert by_pair[(2, 12)] == "llm_reject"
