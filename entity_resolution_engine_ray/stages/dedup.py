@@ -310,7 +310,7 @@ def near_dup_edges(
             "mode": mode,
         },
         batch_format="pyarrow",
-        batch_size=2048,
+        batch_size=512,
     ).materialize()
 
     # hot-bucket salting (same scheme as the pages pipeline, same vectorized
@@ -324,16 +324,22 @@ def near_dup_edges(
     slim = feats.select_columns(["id", "band_keys"]).map_batches(
         _explode, batch_format="pyarrow"
     )
-    hot = hot_key_splits(slim, max_block_size)
+    # metadata-only count on the materialized features — skips the counting
+    # pass over the exploded rows inside hot_key_splits
+    hot = hot_key_splits(slim, max_block_size, n_rows_hint=feats.count() * bands)
 
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
+    # partition counts scale with the data (metadata-only count on the
+    # materialized features): full fan-out at size, no 32-task fixed cost
+    # on a 5k-doc fixture. Callers raise num_partitions for bigger clusters.
+    fat_parts = int(np.clip((feats.count() * bands) // 50_000 + 1, 4, num_partitions))
     raw = partition_map_groups(
         fat,
         ["block_key", "salt"],
         lambda p: _pair_verify_partition(p, max_block_size, threshold),
-        num_partitions,
+        fat_parts,
     ).materialize()
     # ONE pass over raw computes both the dropped total (over ALL rows —
     # is_marker rows exist exactly so a partition with drops but no
@@ -366,11 +372,12 @@ def near_dup_edges(
             }
         )
         return rd.from_arrow(empty), dropped
+    dedup_parts = int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
     edges = partition_map_groups(
         edges.drop_columns(["dropped", "is_marker"]),
         ["left_id", "right_id"],
         _dedup_pairs,
-        num_partitions,
+        dedup_parts,
     )
     return edges, dropped
 
@@ -494,31 +501,41 @@ def near_dup_clusters(
         # contraction rounds only pay off when the edge list dwarfs the node
         # set — for small edge sets fold the raw edges on the driver directly
         rounds = 0 if n_edges <= 100_000 else 2
-        label_map_ref = ray.put(
-            cluster_label_map(edges, num_partitions=num_partitions, contraction_rounds=rounds)
-        )
+        label_map = cluster_label_map(edges, num_partitions=num_partitions, contraction_rounds=rounds)
+        # every connected node is a label_map key, so non-singleton cluster
+        # sizes fold from the map's VALUES driver-side — the final sizes
+        # shuffle collapses into the same broadcast attach pass (docs not in
+        # the map are singletons: size 1)
+        sizes: dict[int, int] = {}
+        for lbl in label_map.values():
+            sizes[lbl] = sizes.get(lbl, 0) + 1
+        state_ref = ray.put((label_map, sizes))
 
         def attach(t: pa.Table) -> pa.Table:
-            label_map = ray.get(label_map_ref)
+            label_map, sizes = ray.get(state_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False)
             labels = np.fromiter(
                 (label_map.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+            )
+            counts = np.fromiter(
+                (sizes.get(int(l), 1) for l in labels), dtype=np.int64, count=len(labels)
             )
             return pa.table(
                 {
                     "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
                     "cluster_id": pa.array(labels, type=pa.int64()),
+                    "cluster_size": pa.array(counts, type=pa.int64()),
                 }
             )
 
-        labeled = ids_only.map_batches(attach, batch_format="pyarrow")
-    else:
-        int_edges = edges.map_batches(
-            lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
-            batch_format="pyarrow",
-        )
-        labels = connected_components_labelprop_ids(int_edges, num_partitions=num_partitions)
-        labeled = attach_cluster_labels(ids_only, labels, id_col, num_partitions)
+        return ids_only.map_batches(attach, batch_format="pyarrow")
+
+    int_edges = edges.map_batches(
+        lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_labelprop_ids(int_edges, num_partitions=num_partitions)
+    labeled = attach_cluster_labels(ids_only, labels, id_col, num_partitions)
 
     def sizes_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("cluster_id", sort=False)["doc_id"]

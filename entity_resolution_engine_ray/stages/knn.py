@@ -243,16 +243,29 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = (m.T / norms).T
+        d = mn.shape[1] if mn.size else 0
+        offsets = pa.array(np.arange(0, (len(mn) + 1) * d, d, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(mn.ravel(), type=pa.float64()))
         return pa.table(
             {
                 "id": pa.array(
                     t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
                 ),
-                "emb": pa.array(list(mn), type=pa.list_(pa.float64())),
+                "emb": emb,
             }
         )
 
-    blocks = ds.map_batches(norm_block, batch_format="pyarrow").materialize().to_arrow_refs()
+    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+    # Task count is quadratic in block count — coalesce small inputs so each
+    # block carries ~CHUNK rows (64-dim f64 ⇒ ~8 MB/block at 16k). A tiny
+    # corpus becomes ONE matmul task; a big one keeps B(B+1)/2 ≈
+    # (n/CHUNK)²/2 embarrassingly-parallel tasks of bounded memory.
+    CHUNK = 16384
+    n_rows = normed.count()
+    target_blocks = max(1, -(-n_rows // CHUNK))
+    if normed.num_blocks() > target_blocks:
+        normed = normed.repartition(target_blocks).materialize()
+    blocks = normed.to_arrow_refs()
 
     @ray.remote(num_returns=2)
     def _pair_task(ta: pa.Table, tb: pa.Table, same: bool):

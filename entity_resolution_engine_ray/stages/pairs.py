@@ -60,7 +60,10 @@ def hot_key_splits(
         from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
         partials = block_rows_ds.map_batches(partial, batch_format="pyarrow")
-        hot_ds = partition_map_groups(partials, ["k"], sum_over_cap, 32)
+        # partial tables are ~n_distinct_keys rows; scale the summing
+        # exchange with the input instead of paying 32 fixed tasks at 100k
+        n_parts = int(min(32, max(4, n_rows // 500_000)))
+        hot_ds = partition_map_groups(partials, ["k"], sum_over_cap, n_parts)
         out: dict[int, int] = {}
         for batch in hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             for k, n in zip(batch["k"].to_pylist(), batch["n"].to_pylist()):
