@@ -19,7 +19,6 @@ import os
 import time
 
 import pyarrow as pa
-import ray.data as rd
 
 from entity_resolution_engine_ray.config import PagesERConfig, config_hash
 from entity_resolution_engine_ray.stages.block import feature_stage
@@ -36,11 +35,13 @@ def run_pages_er(
     cfg: PagesERConfig | None = None,
     resume: bool = True,
     num_partitions: int | None = None,  # None → scale with cluster CPUs
+    pages_format: str = "parquet",
 ) -> dict:
     """Run the full pipeline.
 
-    ``pages``: a parquet path/dir or an existing Dataset with the input_hint
-    schema (url, warc_ts, html, text, lang).
+    ``pages``: a path/dir (``pages_format``: parquet|jsonl|csv, normalized
+    to the input_hint schema by sources.pages.read_pages) or an existing
+    Dataset with that schema (url, warc_ts, html, text, lang).
     """
     cfg = cfg or PagesERConfig()
     # the code version is part of the checkpoint identity: stage semantics /
@@ -66,7 +67,12 @@ def run_pages_er(
         features = store.read("features")
     else:
         with timed("features"):
-            ds = rd.read_parquet(pages) if isinstance(pages, str) else pages
+            if isinstance(pages, str):
+                from entity_resolution_engine_ray.sources.pages import read_pages
+
+                ds = read_pages(pages, format=pages_format)
+            else:
+                ds = pages
             extracted = extract_stage(ds)
             features = feature_stage(extracted, cfg)
             features = store.write(features, "features", phash)

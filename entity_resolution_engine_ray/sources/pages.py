@@ -237,3 +237,95 @@ def write_pages_fixture(
     with open(manifest_path, "w") as f:
         json.dump(params, f)
     return {"pages": pages_dir, "truth": os.path.join(out_dir, "truth.parquet")}
+
+
+# ---------------------------------------------------------------------------
+# Format-flexible page reads: Common-Crawl derivatives ship as Parquet, but
+# WET-style extractions commonly arrive as JSONL (and small vendor drops as
+# CSV). ``read_pages`` normalizes any of them to PAGES_SCHEMA so every
+# downstream stage sees one shape. Parquet is the scale path (columnar,
+# predicate/column pushdown at the read); JSONL/CSV decode whole rows —
+# column pruning there happens post-parse and is noted as such.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_pages_batch(t: pa.Table) -> pa.Table:
+    """Cast a parsed JSONL/CSV batch to PAGES_SCHEMA: ISO-8601 (or epoch-us)
+    warc_ts → timestamp[us], base64 html → binary, missing cols → typed
+    nulls. Vectorized: pyarrow casts + one base64 loop over binary rows."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    cols: dict[str, pa.Array] = {}
+    names = set(t.column_names)
+    for field in PAGES_SCHEMA:
+        if field.name not in names:
+            cols[field.name] = pa.nulls(n, type=field.type)
+            continue
+        col = t[field.name]
+        if field.name == "warc_ts" and not pa.types.is_timestamp(col.type):
+            if pa.types.is_integer(col.type):  # epoch microseconds
+                col = col.cast(pa.int64()).cast(pa.timestamp("us"))
+            else:  # ISO-8601 strings
+                col = pc.strptime(col.cast(pa.string()), format="%Y-%m-%dT%H:%M:%S", unit="us")
+        elif field.name == "html" and not pa.types.is_binary(col.type):
+            # JSON/CSV cannot carry raw bytes — the conventional transport is
+            # base64 text (empty/null → empty payload)
+            raw = [base64.b64decode(v) if v else b"" for v in col.to_pylist()]
+            col = pa.chunked_array([pa.array(raw, type=pa.binary())])
+        cols[field.name] = col.cast(field.type)
+    return pa.table(cols).cast(PAGES_SCHEMA)
+
+
+def read_pages(path: str, format: str = "parquet", columns: list[str] | None = None):
+    """Read a pages table (url, warc_ts, html, text, lang) from ``path``.
+
+    format="parquet" — the scale path: column pruning pushed into the read
+    so only requested columns leave storage. format="jsonl" / "csv" —
+    row-oriented transports: parse, then normalize types and prune columns
+    post-parse (these formats have no columnar projection to push into).
+    """
+    import ray.data as rd
+
+    if format == "parquet":
+        ds = rd.read_parquet(path, columns=columns)
+        return ds
+    if format == "jsonl":
+        ds = rd.read_json(path)
+    elif format == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unknown pages format {format!r} (parquet|jsonl|csv)")
+    ds = ds.map_batches(_normalize_pages_batch, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_pages_jsonl(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> str:
+    """Write a PAGES_SCHEMA table as sharded JSONL (base64 html, ISO-8601
+    warc_ts) — the transport ``read_pages(format="jsonl")`` reads back."""
+    import base64
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.remove(os.path.join(out_dir, old))
+    for shard, start in enumerate(range(0, pages.num_rows, shard_rows)):
+        chunk = pages.slice(start, shard_rows)
+        with open(os.path.join(out_dir, f"part-{shard:05d}.jsonl"), "w") as f:
+            for row in chunk.to_pylist():
+                f.write(
+                    json.dumps(
+                        {
+                            "url": row["url"],
+                            "warc_ts": row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                            "html": base64.b64encode(row["html"] or b"").decode(),
+                            "text": row["text"],
+                            "lang": row["lang"],
+                        }
+                    )
+                    + "\n"
+                )
+    return out_dir
