@@ -309,9 +309,15 @@ def _dedup_edges_partition(pdf):
 def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64):
     """features → scored+gated edge Dataset in two shuffles (fat-block
     sort shuffle + slim edge dedup), replacing the pairgen + 2-join + score
-    chain. Returns (edges_ds, dropped_pair_count)."""
+    chain. Returns (edges_ds, dropped_pair_count).
+
+    The two shuffles are CHAINED (exchange.hash_exchange_chained): the edge
+    dedup split for partition p is scheduled directly on the score reduce
+    ref for p, so dedup starts the moment each score partition finishes —
+    no driver barrier between the waves, and the per-partition dropped
+    counts fold in via side tasks instead of a driver-side full-column scan."""
     from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
-    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_chained
     from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
 
     cfg = cfg or PagesERConfig()
@@ -324,12 +330,15 @@ def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partiti
     fat = fat_block_rows_stage(features_ds).map_batches(
         _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
     )
-    raw = partition_map_groups(
-        fat, ["block_key", "salt"], lambda p: _pair_score_partition(p, cfg), num_partitions
-    ).materialize()
-    dropped = int(raw.sum("dropped") or 0)
-    edges = partition_map_groups(
-        raw.drop_columns(["dropped"]), ["left_id", "right_id"], _dedup_edges_partition, num_partitions
+    edges, dropped = hash_exchange_chained(
+        fat,
+        ["block_key", "salt"],
+        lambda p: _pair_score_partition(p, cfg),
+        num_partitions,
+        ["left_id", "right_id"],
+        _dedup_edges_partition,
+        num_partitions,
+        sum_col="dropped",
     )
     return edges, dropped
 
