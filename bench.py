@@ -142,10 +142,11 @@ def run_scaling() -> dict:
     linear region."""
     lo = int(os.environ.get("SCALE_LO", "4"))
     hi = int(os.environ.get("SCALE_HI", "16"))
+    n_reps = int(os.environ.get("SCALE_REPS", "3"))
     reps: dict[int, list[dict]] = {lo: [], hi: []}
-    # interleaved best-of-3: host load on this shared box is bursty, so
+    # interleaved best-of-N: host load on this shared box is bursty, so
     # alternating the levels samples comparable noise for both
-    for _rep in range(3):
+    for _rep in range(n_reps):
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
             out = subprocess.run(
@@ -169,6 +170,7 @@ def run_scaling() -> dict:
         f"pages_per_sec_{hi}": times[hi]["pages_per_sec"],
         "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         "all_reps_sec": {str(c): [r["value"] for r in rs] for c, rs in reps.items()},
+        "best_rep_stages": {str(c): t["stage_timings"] for c, t in times.items()},
         "hardware_calibration": calib,
         "n_pages": times[hi]["n_pages"],
     }

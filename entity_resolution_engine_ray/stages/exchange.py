@@ -109,6 +109,24 @@ def _reduce_partition(fn, *subtables: pa.Table):
 
 
 @ray.remote(num_returns=2)
+def _reduce_partition_arrow(fn, *subtables: pa.Table):
+    """Arrow-native reduce: ``fn(pa.Table) -> pa.Table`` with NO pandas
+    round-trip. ``_reduce_partition``'s ``to_pandas()`` explodes list
+    columns into one numpy object per row and copies every string — on a
+    fat (token_ids list) partition that conversion costs more than the
+    actual kernel work; partition fns that can consume Arrow directly
+    skip it entirely."""
+    parts = [t for t in subtables if t.num_rows > 0]
+    merged = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else subtables[0]  # zero-row table, keeps the input schema
+    )
+    out = fn(merged)
+    return out.replace_schema_metadata(None), out.num_rows
+
+
+@ray.remote(num_returns=2)
 def _reduce_cogroup(fn, n_left: int, *subtables: pa.Table):
     lefts = [t for t in subtables[:n_left] if t.num_rows > 0]
     rights = [t for t in subtables[n_left:] if t.num_rows > 0]
@@ -205,6 +223,7 @@ def hash_exchange_chained(
     fn2,
     p2: int,
     sum_col: str | None = None,
+    arrow_fns: bool = False,
 ):
     """Two chained hash exchanges with NO driver barrier between them.
 
@@ -220,6 +239,9 @@ def hash_exchange_chained(
     into a driver-side total via tiny side tasks (the column is dropped
     before ``fn2`` sees the rows). Returns (Dataset, total) — total is 0
     when ``sum_col`` is None.
+
+    ``arrow_fns``: both fns take and return ``pa.Table`` (no pandas
+    round-trip — see ``_reduce_partition_arrow``).
     """
     block_refs = _arrow_refs(ds)
     if not block_refs:
@@ -229,25 +251,35 @@ def hash_exchange_chained(
         for group in _coalesce_refs(block_refs, _default_split_tasks())
     ]
     drop_refs = []
+    reduce_task = _reduce_partition_arrow if arrow_fns else _reduce_partition
 
-    def _fn2_wrapped(pdf):
-        if sum_col is not None and sum_col in pdf.columns:
-            pdf = pdf.drop(columns=[sum_col])
-        return fn2(pdf)
+    if arrow_fns:
+
+        def _fn2_wrapped(tbl):
+            if sum_col is not None and sum_col in tbl.column_names:
+                tbl = tbl.drop_columns([sum_col])
+            return fn2(tbl)
+
+    else:
+
+        def _fn2_wrapped(pdf):
+            if sum_col is not None and sum_col in pdf.columns:
+                pdf = pdf.drop(columns=[sum_col])
+            return fn2(pdf)
 
     # stage-1 reduce → immediately a stage-2 split on the SAME ref: no
     # driver involvement between the waves
     splits2 = []
     for p in range(p1):
         subs = [s[p] for s in splits1] if p1 > 1 else list(splits1)
-        t_ref, _c_ref = _reduce_partition.remote(fn1, *subs)
+        t_ref, _c_ref = reduce_task.remote(fn1, *subs)
         if sum_col is not None:
             drop_refs.append(_col_sum.remote(t_ref, sum_col))
         splits2.append(_split_block.options(num_returns=p2).remote(keys2, p2, t_ref))
     reduced, counts = [], []
     for q in range(p2):
         subs = [s[q] for s in splits2] if p2 > 1 else list(splits2)
-        t_ref, c_ref = _reduce_partition.remote(_fn2_wrapped, *subs)
+        t_ref, c_ref = reduce_task.remote(_fn2_wrapped, *subs)
         reduced.append(t_ref)
         counts.append(c_ref)
     n_rows = ray.get(counts)

@@ -203,26 +203,107 @@ def _grouped_jaccard(
     return jac
 
 
-def _pair_score_partition(pdf, cfg: PagesERConfig):
+_EDGE_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.int64()),
+        ("right_id", pa.int64()),
+        ("block_key", pa.int64()),
+        ("score", pa.float64()),
+        ("jaccard", pa.float64()),
+        ("simhash_sim", pa.float64()),
+        ("title_sim", pa.float64()),
+        ("decision", pa.string()),
+        ("dropped", pa.int64()),
+    ]
+)
+
+
+def _grouped_jaccard_flat(
+    tvals: np.ndarray, tstarts: np.ndarray, tlens: np.ndarray, lidx: np.ndarray, ridx: np.ndarray
+) -> np.ndarray:
+    """``_grouped_jaccard`` over a FLAT token-id layout: doc i's sorted
+    unique ids are ``tvals[tstarts[i] : tstarts[i]+tlens[i]]``. Consuming
+    the Arrow ListArray's (values, offsets) buffers directly skips the
+    to_pandas conversion that would allocate one numpy object per row."""
+    n = len(lidx)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    order = np.argsort(lidx, kind="stable")
+    lo, ro = lidx[order], ridx[order]
+    bounds = np.r_[0, np.flatnonzero(lo[1:] != lo[:-1]) + 1, n]
+    inter = np.zeros(n, dtype=np.int64)
+    for gi in range(len(bounds) - 1):
+        s, e = bounds[gi], bounds[gi + 1]
+        left = lo[s]
+        la = tlens[left]
+        if la == 0:
+            continue
+        A = tvals[tstarts[left] : tstarts[left] + la]
+        rr = ro[s:e]
+        blens = tlens[rr]
+        nz = np.flatnonzero(blens)
+        if len(nz) == 0:
+            continue
+        cat = np.concatenate(
+            [tvals[tstarts[j] : tstarts[j] + tlens[j]] for j in rr[nz]]
+        )
+        pos = np.searchsorted(A, cat)
+        pos[pos >= la] = la - 1
+        hit = (A[pos] == cat).astype(np.int64)
+        # reduceat is undefined for zero-length segments — filtered above
+        cuts = np.r_[0, np.cumsum(blens[nz])[:-1]]
+        inter[s + nz] = np.add.reduceat(hit, cuts)
+    la_, lb_ = tlens[lo], tlens[ro]
+    union = la_ + lb_ - inter
+    jac_o = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    jac = np.empty(n, dtype=np.float64)
+    jac[order] = jac_o
+    return jac
+
+
+def _combined(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
     """One hash partition of fat (block_key, salt) sub-blocks → scored,
     gated edges, IDS ONLY (left_id/right_id int64 url hashes — no url
     strings ride the pair shuffle or the edge output; urls rejoin from the
     features side table after clustering). Sub-block members order by
     url_hash — the serial oracle orders identically, so pair identity, cap
-    truncation and left/right orientation stay in exact parity."""
-    import pandas as pd
+    truncation and left/right orientation stay in exact parity.
 
-    pdf = pdf.sort_values(["block_key", "salt", "url_hash"], kind="mergesort")
-    keys = pdf["block_key"].to_numpy()
-    salts = pdf["salt"].to_numpy()
-    url_hashes = pdf["url_hash"].to_numpy().astype(np.int64)
-    toks = pdf["token_ids"].to_numpy()
-    tok_lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
-    sims = pdf["simhash"].to_numpy().astype(np.int64)
-    titles = pdf["title_norm"].to_numpy()
+    Arrow-native: the partition table is consumed column-by-column
+    (``np.lexsort`` over int64 keys, token ids via the ListArray's flat
+    (values, offsets) buffers, titles dictionary-encoded in C++ so only
+    UNIQUE title strings ever materialize as Python objects). The previous
+    pandas form paid one numpy-object allocation per row for the token
+    list column plus a full-frame mergesort that copied every list —
+    conversion cost rivaled kernel cost on the hottest stage."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table()
+    keys = tbl["block_key"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    salts = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    url_hashes = tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    order = np.lexsort((url_hashes, salts, keys))  # primary key: block_key
+    keys, salts, url_hashes = keys[order], salts[order], url_hashes[order]
+
+    tok = _combined(tbl["token_ids"])
+    toffs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tvals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tstarts = toffs[:-1][order]
+    tlens = (toffs[1:] - toffs[:-1])[order]
+
+    sims = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)[order]
+    tenc = pc.dictionary_encode(_combined(tbl["title_norm"]))
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)[order]
+    tdict = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
+
     change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
     starts = np.r_[0, change]
-    ends = np.r_[change, len(pdf)]
+    ends = np.r_[change, tbl.num_rows]
     li, ri, okeys = [], [], []
     dropped = 0
     cap = cfg.pair_sample_cap
@@ -237,73 +318,73 @@ def _pair_score_partition(pdf, cfg: PagesERConfig):
         li.append(ii + s)
         ri.append(jj + s)
         okeys.append(np.full(len(ii), keys[s], dtype=np.int64))
-    cols = [
-        "left_id", "right_id", "block_key", "score",
-        "jaccard", "simhash_sim", "title_sim", "decision", "dropped",
-    ]
     if not li:
-        return pd.DataFrame(
-            {
-                c: pd.Series(
-                    [],
-                    dtype=(
-                        np.float64
-                        if c in ("score", "jaccard", "simhash_sim", "title_sim")
-                        else (object if c == "decision" else np.int64)
-                    ),
-                )
-                for c in cols
-            }
-        )
+        return _EDGE_SCHEMA.empty_table()
     lidx = np.concatenate(li)
     ridx = np.concatenate(ri)
+    okey = np.concatenate(okeys)
     # partition-local pre-dedup (same pair emitted by several bands that
     # hashed into this partition): keep min block_key, skip re-scoring.
     # The global cross-partition dedup still runs downstream.
-    okey = np.concatenate(okeys)
-    pre = pd.DataFrame(
-        {"l": url_hashes[lidx], "r": url_hashes[ridx], "k": okey, "li": lidx, "ri": ridx}
-    )
-    pre = pre.sort_values(["l", "r", "k"], kind="mergesort").drop_duplicates(["l", "r"], keep="first")
-    lidx = pre["li"].to_numpy()
-    ridx = pre["ri"].to_numpy()
-    okeys = [pre["k"].to_numpy()]
+    pl, pr = url_hashes[lidx], url_hashes[ridx]
+    perm = np.lexsort((okey, pr, pl))
+    pls, prs = pl[perm], pr[perm]
+    first = np.r_[True, (pls[1:] != pls[:-1]) | (prs[1:] != prs[:-1])]
+    sel = perm[first]
+    lidx, ridx, okey = lidx[sel], ridx[sel], okey[sel]
     n = len(lidx)
     sim_sim = 1.0 - _popcount64(
         np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
     ) / 64.0
-    jac = _grouped_jaccard(toks, tok_lens, lidx, ridx)
-    jw = _jw_unique_pairs(titles[lidx], titles[ridx])
+    jac = _grouped_jaccard_flat(tvals, tstarts, tlens, lidx, ridx)
+    nd = np.int64(max(len(tdict), 1))
+    code = tcodes[lidx] * nd + tcodes[ridx]
+    uniq, inv = np.unique(code, return_inverse=True)
+    jw_u = jaro_winkler_batch(tdict[uniq // nd], tdict[uniq % nd])
+    jw = jw_u[inv]
 
     score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
     gray_label = "gray_approve" if cfg.fallback_mode == "auto_approve" else "review"
-    decision = np.where(
-        score < cfg.gate_low, "reject", np.where(score >= cfg.gate_high, "auto_approve", gray_label)
+    dec_code = np.where(
+        score < cfg.gate_low, 0, np.where(score >= cfg.gate_high, 2, 1)
+    ).astype(np.int8)
+    decision = pc.take(
+        pa.array(["reject", gray_label, "auto_approve"], type=pa.string()),
+        pa.array(dec_code),
     )
     drops = np.zeros(n, dtype=np.int64)
     drops[0] = dropped
-    return pd.DataFrame(
+    return pa.table(
         {
-            "left_id": url_hashes[lidx],
-            "right_id": url_hashes[ridx],
-            "block_key": np.concatenate(okeys),
-            "score": score,
-            "jaccard": jac,
-            "simhash_sim": sim_sim,
-            "title_sim": jw,
+            "left_id": pa.array(url_hashes[lidx], type=pa.int64()),
+            "right_id": pa.array(url_hashes[ridx], type=pa.int64()),
+            "block_key": pa.array(okey, type=pa.int64()),
+            "score": pa.array(score, type=pa.float64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+            "simhash_sim": pa.array(sim_sim, type=pa.float64()),
+            "title_sim": pa.array(jw, type=pa.float64()),
             "decision": decision,
-            "dropped": drops,
+            "dropped": pa.array(drops, type=pa.int64()),
         }
     )
 
 
-def _dedup_edges_partition(pdf):
+def _dedup_edges_partition(tbl: pa.Table) -> pa.Table:
     """Keep the min-block_key instance of each scored pair (scores of
     duplicate instances are identical by construction). Keyed on the int64
     url-hash ids — 16-byte keys hash/sort far cheaper than url strings at
-    web scale (pair sets reach ~80 rows/page on dense fixtures)."""
-    pdf = pdf.sort_values(["left_id", "right_id", "block_key"], kind="mergesort")
-    return pdf.drop_duplicates(["left_id", "right_id"], keep="first")
+    web scale (pair sets reach ~80 rows/page on dense fixtures). Arrow
+    take keyed by a numpy lexsort — the string decision column never
+    converts to Python objects."""
+    if tbl.num_rows == 0:
+        return tbl
+    l = tbl["left_id"].to_numpy(zero_copy_only=False)
+    r = tbl["right_id"].to_numpy(zero_copy_only=False)
+    k = tbl["block_key"].to_numpy(zero_copy_only=False)
+    perm = np.lexsort((k, r, l))
+    ls, rs = l[perm], r[perm]
+    first = np.r_[True, (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1])]
+    return tbl.take(pa.array(perm[first]))
 
 
 def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64):
@@ -339,6 +420,7 @@ def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partiti
         _dedup_edges_partition,
         num_partitions,
         sum_col="dropped",
+        arrow_fns=True,
     )
     return edges, dropped
 
