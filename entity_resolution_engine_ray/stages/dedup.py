@@ -153,45 +153,69 @@ def _explode_fat(batch: pa.Table) -> pa.Table:
 
 _VERIFY_COLS = ["left_id", "right_id", "jaccard", "dropped", "is_marker"]
 
+_VERIFY_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.int64()),
+        ("right_id", pa.int64()),
+        ("jaccard", pa.float64()),
+        ("dropped", pa.int64()),
+        ("is_marker", pa.bool_()),
+    ]
+)
 
-def _empty_verify_frame() -> pd.DataFrame:
-    return pd.DataFrame(
+
+def _marker_table(dropped: int) -> pa.Table:
+    return pa.table(
         {
-            "left_id": pd.Series([], dtype=np.int64),
-            "right_id": pd.Series([], dtype=np.int64),
-            "jaccard": pd.Series([], dtype=np.float64),
-            "dropped": pd.Series([], dtype=np.int64),
-            "is_marker": pd.Series([], dtype=bool),
+            "left_id": pa.array([0], type=pa.int64()),
+            "right_id": pa.array([0], type=pa.int64()),
+            "jaccard": pa.array([0.0], type=pa.float64()),
+            "dropped": pa.array([dropped], type=pa.int64()),
+            "is_marker": pa.array([True], type=pa.bool_()),
         }
     )
 
 
-def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.DataFrame:
+def _pair_verify_partition(tbl: pa.Table, cap: int, threshold: float) -> pa.Table:
     """One hash partition of fat (id, token_ids, block_key[, salt]) rows →
     VERIFIED edges (exact Jaccard ≥ threshold). Hot buckets arrive pre-split
     by salt; the cap + ``dropped`` counter remain as the backstop for salt
     hash variance.
 
-    Jaccard runs on the int64 grouped-searchsorted kernel
-    (stages/score._grouped_jaccard) — no Python set objects in the hot loop.
-    When drops occur but no pair clears the threshold, the count rides on an
-    ``is_marker=True`` row (NEVER an id sentinel: any int64 — including
-    negative values — is a legal document id)."""
-    if "salt" not in pdf.columns:
-        pdf = pdf.assign(salt=np.zeros(len(pdf), dtype=np.int32))
-    pdf = pdf.sort_values(["block_key", "salt", "id"], kind="mergesort")
-    keys = pdf["block_key"].to_numpy()
-    salts = pdf["salt"].to_numpy()
-    ids = pdf["id"].to_numpy()
-    toks = pdf["token_ids"].to_numpy()
-    tok_lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
+    Arrow-native (same layout trick as the pages scorer,
+    stages/score._pair_score_partition): keys sort via ``np.lexsort``,
+    Jaccard runs on the grouped-searchsorted kernel over the token
+    ListArray's flat (values, offsets) buffers — no pandas conversion, no
+    per-row numpy objects, no Python set objects. When drops occur but no
+    pair clears the threshold, the count rides on an ``is_marker=True`` row
+    (NEVER an id sentinel: any int64 — including negative values — is a
+    legal document id)."""
+    from entity_resolution_engine_ray.stages.score import (
+        _combined,
+        _grouped_jaccard_flat,
+        triu_pairs,
+    )
+
+    if tbl.num_rows == 0:
+        return _VERIFY_SCHEMA.empty_table()
+    keys = tbl["block_key"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if "salt" in tbl.column_names:
+        salts = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        salts = np.zeros(len(keys), dtype=np.int64)
+    order = np.lexsort((ids, salts, keys))  # primary key: block_key
+    keys, salts, ids = keys[order], salts[order], ids[order]
+    tok = _combined(tbl["token_ids"])
+    toffs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tvals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tstarts = toffs[:-1][order]
+    tlens = (toffs[1:] - toffs[:-1])[order]
     change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
     starts = np.r_[0, change]
-    ends = np.r_[change, len(pdf)]
+    ends = np.r_[change, tbl.num_rows]
     lefts, rights = [], []
     dropped = 0
-    from entity_resolution_engine_ray.stages.score import _grouped_jaccard, triu_pairs
-
     for s, e in zip(starts, ends):
         m = e - s
         if m < 2:
@@ -204,52 +228,34 @@ def _pair_verify_partition(pdf: pd.DataFrame, cap: int, threshold: float) -> pd.
         lefts.append(ii + s)
         rights.append(jj + s)
     if not lefts:
-        out = _empty_verify_frame()
-        if dropped:
-            out = pd.DataFrame(
-                {
-                    "left_id": [np.int64(0)],
-                    "right_id": [np.int64(0)],
-                    "jaccard": [0.0],
-                    "dropped": [np.int64(dropped)],
-                    "is_marker": [True],
-                }
-            )
-        return out
+        return _marker_table(dropped) if dropped else _VERIFY_SCHEMA.empty_table()
     lidx = np.concatenate(lefts)
     ridx = np.concatenate(rights)
     # partition-local pair dedup before the (expensive) exact verify
-    pre = pd.DataFrame({"l": ids[lidx], "r": ids[ridx], "li": lidx, "ri": ridx})
-    pre = pre.drop_duplicates(["l", "r"])
-    lidx, ridx = pre["li"].to_numpy(), pre["ri"].to_numpy()
+    pl, pr = ids[lidx], ids[ridx]
+    perm = np.lexsort((pr, pl))
+    pls, prs = pl[perm], pr[perm]
+    first = np.r_[True, (pls[1:] != pls[:-1]) | (prs[1:] != prs[:-1])]
+    sel = perm[first]
+    lidx, ridx = lidx[sel], ridx[sel]
     # empty-set semantics match the old string-set path: union==0 (both
-    # docs empty) → 1.0 inside _grouped_jaccard; empty vs non-empty → 0.0
-    jac = _grouped_jaccard(toks, tok_lens, lidx, ridx)
+    # docs empty) → 1.0 inside the kernel; empty vs non-empty → 0.0
+    jac = _grouped_jaccard_flat(tvals, tstarts, tlens, lidx, ridx)
     keep = jac >= threshold
-    out = pd.DataFrame(
+    n_keep = int(keep.sum())
+    if n_keep == 0:
+        return _marker_table(dropped) if dropped else _VERIFY_SCHEMA.empty_table()
+    drops = np.zeros(n_keep, dtype=np.int64)
+    drops[0] = dropped
+    return pa.table(
         {
-            "left_id": ids[lidx[keep]].astype(np.int64),
-            "right_id": ids[ridx[keep]].astype(np.int64),
-            "jaccard": jac[keep],
+            "left_id": pa.array(ids[lidx[keep]], type=pa.int64()),
+            "right_id": pa.array(ids[ridx[keep]], type=pa.int64()),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+            "dropped": pa.array(drops, type=pa.int64()),
+            "is_marker": pa.array(np.zeros(n_keep, dtype=bool), type=pa.bool_()),
         }
     )
-    drops = np.zeros(len(out), dtype=np.int64)
-    markers = np.zeros(len(out), dtype=bool)
-    if len(out):
-        drops[0] = dropped
-    elif dropped:
-        # no surviving pair but drops to report — marker row, filtered out
-        # (with its count preserved) by near_dup_edges
-        return pd.DataFrame(
-            {
-                "left_id": [np.int64(0)],
-                "right_id": [np.int64(0)],
-                "jaccard": [0.0],
-                "dropped": [np.int64(dropped)],
-                "is_marker": [True],
-            }
-        )
-    return out.assign(dropped=drops, is_marker=markers)
 
 
 # process-global featureizer cache (the stages/block.featurize_batch
@@ -340,6 +346,7 @@ def near_dup_edges(
         ["block_key", "salt"],
         lambda p: _pair_verify_partition(p, max_block_size, threshold),
         fat_parts,
+        arrow_fns=True,
     ).materialize()
     # ONE pass over raw computes both the dropped total (over ALL rows —
     # is_marker rows exist exactly so a partition with drops but no

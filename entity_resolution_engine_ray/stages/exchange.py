@@ -290,11 +290,12 @@ def hash_exchange_chained(
     return rd.from_arrow_refs(keep), total
 
 
-def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
+def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int, arrow_fns: bool = False):
     """Raw-task hash exchange: apply ``fn(pdf)`` once per hash partition of
     ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),
     handle an empty input frame, and be per-group-pure — the same contract
-    as grouping.partition_map_groups."""
+    as grouping.partition_map_groups. ``arrow_fns=True``: ``fn`` takes and
+    returns ``pa.Table`` (no pandas round-trip)."""
     block_refs = _arrow_refs(ds)
     if not block_refs:
         return rd.from_items([])
@@ -304,11 +305,12 @@ def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int):
         )
         for group in _coalesce_refs(block_refs, _default_split_tasks())
     ]
+    reduce_task = _reduce_partition_arrow if arrow_fns else _reduce_partition
     # splits[b][p] = sub-table of block b for partition p
     reduced, counts = [], []
     for p in range(num_partitions):
         subs = [s[p] for s in splits] if num_partitions > 1 else list(splits)
-        table_ref, count_ref = _reduce_partition.remote(fn, *subs)
+        table_ref, count_ref = reduce_task.remote(fn, *subs)
         reduced.append(table_ref)
         counts.append(count_ref)
     # drop empty partitions (Ray's hash join mishandles some empty-block

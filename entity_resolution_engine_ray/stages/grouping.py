@@ -35,18 +35,25 @@ def _add_partition_col(batch, key_cols: list[str], num_partitions: int):
     return batch.append_column("__pg", pa.array(pg, type=pa.int32()))
 
 
-def partition_map_groups(ds, key_cols: list[str], fn, num_partitions: int, impl: str = "exchange"):
+def partition_map_groups(
+    ds, key_cols: list[str], fn, num_partitions: int, impl: str = "exchange", arrow_fns: bool = False
+):
     """Apply ``fn(pdf)`` once per hash partition of ``key_cols``; ``fn`` must
     itself group by ``key_cols`` (vectorized), tolerate an empty frame, and
     return a DataFrame.
 
     impl="exchange" (default): task-based hash exchange (stages/exchange) —
     no sort, one pass. impl="sort": Dataset.groupby sort shuffle (kept for
-    comparison and as a fallback)."""
+    comparison and as a fallback). ``arrow_fns=True`` (exchange impl only):
+    ``fn`` takes/returns ``pa.Table`` directly — use for partitions carrying
+    list or string payloads, where the pandas conversion allocates one
+    Python object per row."""
     if impl == "exchange":
         from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
 
-        return hash_exchange_map_groups(ds, key_cols, fn, num_partitions)
+        return hash_exchange_map_groups(ds, key_cols, fn, num_partitions, arrow_fns=arrow_fns)
+    if arrow_fns:
+        raise ValueError("arrow_fns requires impl='exchange'")
 
     def _wrapped(group: pd.DataFrame) -> pd.DataFrame:
         return fn(group.drop(columns="__pg"))

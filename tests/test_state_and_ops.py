@@ -494,14 +494,14 @@ def test_pair_verify_marker_row_reports_drops():
 
     ids = np.arange(10, dtype=np.int64)
     toks = [np.array([i], dtype=np.int64) for i in range(10)]  # disjoint sets
-    pdf = pd.DataFrame(
+    tbl = pa.table(
         {
-            "id": ids,
-            "token_ids": toks,
-            "block_key": np.zeros(10, dtype=np.int64),
+            "id": pa.array(ids, type=pa.int64()),
+            "token_ids": pa.array([t.tolist() for t in toks], type=pa.list_(pa.int64())),
+            "block_key": pa.array(np.zeros(10, dtype=np.int64), type=pa.int64()),
         }
     )
-    out = _pair_verify_partition(pdf, cap=4, threshold=0.5)
+    out = _pair_verify_partition(tbl, cap=4, threshold=0.5).to_pandas()
     assert out["is_marker"].all() and len(out) == 1
     # 10 members capped to 4: (10*9 - 4*3)/2 = 39 dropped pairs
     assert int(out["dropped"].iloc[0]) == 39
