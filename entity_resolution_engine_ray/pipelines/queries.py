@@ -643,6 +643,36 @@ def q_embedding_near_dup_exact(sf_dir: str):
     return cosine_all_pairs_exact(ds, id_col="vec_id", threshold=0.4)
 
 
+def q_events_asof(sf_dir: str):
+    """Distributed AS-OF join (stages/joins.asof_join): every event picks the
+    same user's most recent *purchase* value at-or-before its timestamp
+    (backward, exact matches allowed); users with no prior purchase get
+    -1.0. Oracle: DuckDB ``ASOF LEFT JOIN`` on the same predicate."""
+    from entity_resolution_engine_ray.stages.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "last_purchase": t["value"]}
+        )
+
+    joined = asof_join(ev, purchases.map_batches(prep_right, batch_format="pyarrow"),
+                       by="user_id", on="ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lp = pc.coalesce(pc.round(t["last_purchase"], 2), pa.scalar(-1.0))
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "last_purchase": lp}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -724,6 +754,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "sliding_window": q_sliding_window,
     "top_events": q_top_events,
+    "events_asof": q_events_asof,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -861,6 +892,14 @@ ORACLE_SQL = {
     "top_events": """
         SELECT event_id, ROUND(value, 2) AS value FROM events
         ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+    "events_asof": """
+        SELECT e.event_id, e.user_id,
+               COALESCE(ROUND(p.value, 2), -1.0) AS last_purchase
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
     "knn_cosine_top10": """
         SELECT vec_id,

@@ -52,3 +52,51 @@ def safe_join(
         aggregator_ray_remote_args={"num_cpus": 0.5},
     )
     return joined.materialize()
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    num_partitions: int | None = None,
+    allow_exact_matches: bool = True,
+):
+    """Distributed AS-OF join — an operator Ray Data has no primitive for.
+
+    For each left row, picks the nearest right row of the SAME ``by`` key at
+    or before (``backward``) / at or after (``forward``) its ``on`` value.
+    Both sides co-partition on ``hash(by)`` through one task-level hash
+    cogroup (stages/exchange.hash_exchange_cogroup — the partitioning
+    assumption: all rows of one key meet in one partition; key group sizes
+    must fit a worker, which holds for per-user/per-entity event streams);
+    each partition then runs pandas ``merge_asof`` (vectorized sorted merge
+    within key groups). Output = left columns + the right side's non-key
+    columns (callers pre-rename to avoid collisions; the shared ``on``
+    column stays the left value).
+
+    Tie semantics: among several right rows sharing the boundary ``on``
+    value, the sort-last one wins (same as DuckDB ASOF's max-ts contract
+    when the emitted columns are tie-invariant)."""
+    import pandas as pd
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    parts = num_partitions or default_join_partitions()
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof preserves right-side dtypes even on empty inputs (the
+        # zero-row frames arrive from Arrow with their schema intact), so
+        # empty partitions need no special casing
+        return pd.merge_asof(
+            lpdf.sort_values(on, kind="mergesort"),
+            rpdf.sort_values(on, kind="mergesort"),
+            on=on,
+            by=by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "_right"),
+        )
+
+    return hash_exchange_cogroup(left, right, [by], [by], fn, parts)
