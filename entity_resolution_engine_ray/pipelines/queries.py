@@ -673,6 +673,45 @@ def q_events_asof(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_range_join(sf_dir: str):
+    """Distributed range join (stages/joins.range_join): each purchase opens
+    a 1-hour window [ts, ts+1h]; emit every (event, purchase) pair of the
+    same user whose event ts falls inside the window. Partitioning
+    assumption holds here: windows and events are per-user bounded.
+    Oracle: DuckDB inequality join on the same predicate."""
+    from entity_resolution_engine_ray.stages.joins import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        one_hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "purchase_id": t["event_id"],
+                "start_ts": t["ts"],
+                "end_ts": pc.add(t["ts"], one_hour),
+            }
+        )
+
+    joined = range_join(
+        ev,
+        purchases.map_batches(prep_right, batch_format="pyarrow"),
+        by="user_id",
+        on="ts",
+        start="start_ts",
+        end="end_ts",
+    )
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "user_id", "purchase_id"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -755,6 +794,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "top_events": q_top_events,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -900,6 +940,12 @@ ORACLE_SQL = {
         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                         WHERE event_type = 'purchase') p
           ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "events_range_join": """
+        SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+        FROM events e
+        JOIN events p ON e.user_id = p.user_id AND p.event_type = 'purchase'
+                     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
     """,
     "knn_cosine_top10": """
         SELECT vec_id,

@@ -100,3 +100,39 @@ def asof_join(
         )
 
     return hash_exchange_cogroup(left, right, [by], [by], fn, parts)
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    num_partitions: int | None = None,
+):
+    """Distributed range (interval) join — another operator Ray Data has no
+    primitive for: inner-join each left row to every right interval of the
+    same ``by`` key with ``start <= on <= end``.
+
+    Both sides co-partition on ``hash(by)`` through one task-level hash
+    cogroup; each partition equi-merges on ``by`` and applies the interval
+    mask vectorized. Partitioning assumption (document per call site): the
+    per-key candidate product |left_k| x |right_k| is bounded — true for
+    per-user / per-entity event-vs-window joins, NOT for a handful of
+    mega-keys (salt those first, as the ER pair path does). Output = left
+    columns + right's non-``by`` columns (collisions suffixed ``_right``)."""
+    import pandas as pd
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    parts = num_partitions or default_join_partitions()
+
+    if on in (start, end):
+        raise ValueError("range_join: rename columns so `on` differs from `start`/`end`")
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        m = lpdf.merge(rpdf, on=by, how="inner", suffixes=("", "_right"))
+        return m[(m[start] <= m[on]) & (m[on] <= m[end])]
+
+    return hash_exchange_cogroup(left, right, [by], [by], fn, parts)

@@ -92,3 +92,71 @@ def test_asof_join_empty_right(ray_session):
     ).to_pandas()
     assert len(got) == len(left)
     assert got["rv"].isna().all()
+
+
+def _interval_fixture(n_left=4_000, n_right=600, n_keys=53, seed=11):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "uid": rng.integers(0, n_keys, n_left).astype(np.int64),
+            "t": rng.integers(0, 100_000, n_left).astype(np.int64),
+            "lv": np.arange(n_left, dtype=np.int64),
+        }
+    )
+    start = rng.integers(0, 100_000, n_right).astype(np.int64)
+    right = pd.DataFrame(
+        {
+            "uid": rng.integers(0, n_keys, n_right).astype(np.int64),
+            "lo": start,
+            # overlapping intervals on purpose — many windows can catch one row
+            "hi": start + rng.integers(0, 5_000, n_right).astype(np.int64),
+            "win_id": np.arange(n_right, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def test_range_join_matches_serial_oracle(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.joins import range_join
+
+    left, right = _interval_fixture()
+    got = range_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        by="uid",
+        on="t",
+        start="lo",
+        end="hi",
+        num_partitions=8,
+    ).to_pandas()
+
+    m = left.merge(right, on="uid", how="inner")
+    want = m[(m["lo"] <= m["t"]) & (m["t"] <= m["hi"])]
+
+    key = ["lv", "win_id"]
+    got_s = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    want_s = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[sorted(got.columns)], want_s[sorted(want.columns)])
+
+
+def test_range_join_empty_right_and_on_name_guard(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.joins import range_join
+
+    left, right = _interval_fixture(n_left=300, n_right=20)
+    got = range_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right.iloc[:0], preserve_index=False)),
+        by="uid",
+        on="t",
+        start="lo",
+        end="hi",
+        num_partitions=4,
+    ).to_pandas()
+    assert len(got) == 0
+
+    with pytest.raises(ValueError):
+        range_join(None, None, by="uid", on="lo", start="lo", end="hi")
