@@ -643,6 +643,18 @@ def q_embedding_near_dup_exact(sf_dir: str):
     return cosine_all_pairs_exact(ds, id_col="vec_id", threshold=0.4)
 
 
+def q_near_dup_simhash(sf_dir: str):
+    """SimHash near-dup pairs over documents: banded hamming-LSH (pigeonhole
+    recall = 100% at hamming <= 3) + vectorized XOR-popcount verify.
+    Rows-only driver check (the 64-bit token-hash SimHash isn't
+    SQL-expressible); exact parity vs an all-pairs brute force is pinned in
+    tests/test_dedup_simhash.py."""
+    from entity_resolution_engine_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
 def q_events_asof(sf_dir: str):
     """Distributed AS-OF join (stages/joins.asof_join): every event picks the
     same user's most recent *purchase* value at-or-before its timestamp
@@ -779,6 +791,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "near_dup_minhash": q_near_dup_minhash,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "near_dup_simhash": q_near_dup_simhash,
     "lineitem_pricing": q_lineitem_pricing,
     "top_customer_order": q_top_customer_order,
     "nation_revenue": q_nation_revenue,

@@ -590,3 +590,101 @@ def exact_dedup(ds, id_col: str, content_col: str, num_partitions: int = 32):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     return partition_map_groups(hashed, ["h"], first_per_key, num_partitions)
+
+
+def simhash_near_dup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_partitions: int = 32,
+    bucket_cap: int = 4096,
+):
+    """SimHash near-dup: (id, text) → verified pairs (left_id, right_id,
+    hamming) with hamming(simhash) <= ``max_hamming``.
+
+    Banded hamming-LSH with GUARANTEED recall: the 64-bit fingerprint splits
+    into B = max_hamming+1 contiguous bands; two fingerprints within
+    ``max_hamming`` differing bits agree exactly on at least one band
+    (pigeonhole), so bucketing on (band_index, band_bits) never misses a
+    qualifying pair. Per-bucket membership beyond ``bucket_cap`` is
+    deterministically truncated (sorted by id) — boilerplate-heavy web
+    corpora hit this; lift it with the salting pattern of stages/pairs
+    (_salt_batch) when precision-complete output matters. Duplicate pair
+    emissions across bands are removed by a second hash exchange keyed on
+    the id pair. max_hamming <= 7 keeps band width >= 8 bits."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("simhash_near_dup_pairs: max_hamming must be in [0, 7]")
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    fp = simhash_stage(ds, id_col=id_col, text_col=text_col)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        sh = t["simhash"].to_numpy().view(np.uint64)
+        n = len(ids)
+        key = np.empty(n * n_bands, dtype=np.uint64)
+        for b in range(n_bands):
+            bits = (sh >> np.uint64(b * width)) & mask
+            key[b * n : (b + 1) * n] = (np.uint64(b) << np.uint64(58)) | bits
+        return pa.table(
+            {
+                "band_key": pa.array(key.view(np.int64), type=pa.int64()),
+                id_col: pa.array(np.tile(ids, n_bands), type=pa.int64()),
+                "simhash": pa.array(np.tile(sh.view(np.int64), n_bands), type=pa.int64()),
+            }
+        )
+
+    exploded = fp.map_batches(explode_bands, batch_format="pyarrow")
+
+    empty_pairs = pd.DataFrame(
+        {
+            "left_id": pd.Series([], dtype=np.int64),
+            "right_id": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return empty_pairs.copy()
+        pdf = pdf.sort_values(["band_key", id_col], kind="mergesort")
+        keys = pdf["band_key"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        sh = pdf["simhash"].to_numpy().view(np.uint64)
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.r_[0, change]
+        ends = np.r_[change, len(pdf)]
+        lefts, rights, hams = [], [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, bucket_cap)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            sub_ids = ids[s : s + m]
+            x = np.bitwise_xor(sh[s : s + m][ii], sh[s : s + m][jj])
+            h = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = h <= max_hamming
+            lefts.append(sub_ids[ii[keep]])
+            rights.append(sub_ids[jj[keep]])
+            hams.append(h[keep].astype(np.int64))
+        if not lefts:
+            return empty_pairs.copy()
+        return pd.DataFrame(
+            {
+                "left_id": np.concatenate(lefts),
+                "right_id": np.concatenate(rights),
+                "hamming": np.concatenate(hams),
+            }
+        )
+
+    pairs = partition_map_groups(exploded, ["band_key"], bucket_pairs, num_partitions)
+
+    def distinct_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return empty_pairs.copy()
+        return pdf.drop_duplicates(["left_id", "right_id"])
+
+    return partition_map_groups(pairs, ["left_id", "right_id"], distinct_pairs, num_partitions)
