@@ -724,6 +724,173 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact grouped quantiles (stages/quantiles.grouped_quantiles): p50 /
+    p90 / p99 extended price per return flag — two passes, no sort shuffle
+    (per-batch (key, value, cnt) compression, one hash exchange, vectorized
+    count-weighted selection). Values are picked from the data, never
+    interpolated, so they hash-match DuckDB ``quantile_disc`` exactly."""
+    from entity_resolution_engine_ray.stages.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return grouped_quantiles(
+        ds,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        num_partitions=8,
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join + grouped revenue + global top-10.
+    Shape for scale: the BUILDING customer keys are deduped per batch and
+    cogrouped with orders (semi join, no customer payload shipped); the
+    filtered slim orders then cogroup with per-batch pre-aggregated lineitem
+    revenue on l_orderkey. Each order's rows land in one partition, so the
+    per-partition groupby is final and each partition emits only its local
+    top-10 — the driver merges P×10 rows, never the full join."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    cutoff = pd.Timestamp("1998-06-01")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).map_batches(
+        lambda t: pa.table({"c_custkey": pc.unique(t["c_custkey"])}),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cutoff),
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        pdf = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+        g = pdf.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def semi(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = o_pdf[o_pdf["o_custkey"].isin(c_pdf["c_custkey"])]
+        return keep[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    slim_orders = hash_exchange_cogroup(
+        orders, cust, ["o_custkey"], ["c_custkey"], semi, default_join_partitions()
+    )
+
+    def join_topk(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or o_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series([], dtype=object),
+                }
+            )
+        g = l_pdf.groupby("l_orderkey", as_index=False)["rev"].sum()
+        m = g.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        m = m.rename(columns={"rev": "revenue"})
+        m = m.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(10)
+        return m[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    partials = hash_exchange_cogroup(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        slim_orders,
+        ["l_orderkey"],
+        ["o_orderkey"],
+        join_topk,
+        default_join_partitions(),
+    ).to_pandas()
+    top = partials.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(10)
+    top["revenue"] = _rha(top["revenue"], 2)
+    return top.reset_index(drop=True)
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with per-event-type
+    counts as columns plus the value total — per-batch one-hot partials
+    (vectorized ``pd.get_dummies``), then one hash exchange where a plain
+    per-partition sum finishes every user (combine-then-reduce; only
+    ~n_types+1 numeric cells per (batch, user) cross the shuffle)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pa.Table:
+        oh = pd.get_dummies(pdf["event_type"]).reindex(columns=types, fill_value=0)
+        oh = oh.astype(np.int64)
+        oh.columns = [f"n_{t}" for t in types]
+        oh["user_id"] = pdf["user_id"].to_numpy()
+        oh["sum_value"] = pdf["value"].to_numpy()
+        return pa.Table.from_pandas(
+            oh.groupby("user_id", as_index=False).sum(), preserve_index=False
+        )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f"n_{t}" for t in types]
+        if pdf.empty:
+            empty = {"user_id": pd.Series([], dtype=np.int64)}
+            empty.update({c: pd.Series([], dtype=np.int64) for c in cols})
+            empty["sum_value"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(empty)
+        g = pdf.groupby("user_id", as_index=False).sum()
+        g["sum_value"] = _rha(g["sum_value"], 2)
+        return g
+
+    return partition_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], finish, 8
+    )
+
+
+def q_doc_quality_gate(sf_dir: str):
+    """Quantile-threshold quality gate — the training-data use the quantile
+    stage exists for: compute each language's median token count
+    (grouped_quantiles → tiny table), broadcast it, keep only docs strictly
+    above their language's median, count survivors per language. Thresholds
+    are O(n_languages) rows, so the driver pull + in-task lookup is the
+    broadcast-small-side pattern, never a shuffle join."""
+    from entity_resolution_engine_ray.functions.textstats import token_count
+    from entity_resolution_engine_ray.stages.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "n_tokens": token_count(t["text"])})
+
+    toks = ds.map_batches(tok, batch_format="pyarrow")
+    thr = grouped_quantiles(toks, ["lang"], "n_tokens", {"p50": 0.5}, 4).to_pandas()
+    p50 = dict(zip(thr["lang"], thr["p50"]))
+
+    def gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf[pdf["n_tokens"] > pdf["lang"].map(p50)]
+        return keep.groupby("lang", as_index=False).size().rename(columns={"size": "n_docs_kept"})
+
+    partials = toks.map_batches(gate, batch_format="pandas").to_pandas()
+    out = partials.groupby("lang", as_index=False)["n_docs_kept"].sum()
+    out["n_docs_kept"] = out["n_docs_kept"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -808,6 +975,10 @@ QUERIES = {
     "top_events": q_top_events,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "shipping_priority": q_shipping_priority,
+    "user_event_pivot": q_user_event_pivot,
+    "doc_quality_gate": q_doc_quality_gate,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -959,6 +1130,51 @@ ORACLE_SQL = {
         FROM events e
         JOIN events p ON e.user_id = p.user_id AND p.event_type = 'purchase'
                      AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+    "lineitem_quantiles": """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.9) AS p90,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "shipping_priority": """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                 o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    "user_event_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    "doc_quality_gate": f"""
+        WITH t AS (
+            SELECT lang, len(regexp_extract_all(text, '{_TOK}')) AS n_tokens
+            FROM documents
+        ),
+        thr AS (
+            SELECT lang, quantile_disc(n_tokens, 0.5) AS p50 FROM t GROUP BY lang
+        )
+        SELECT t.lang, COUNT(*) AS n_docs_kept
+        FROM t JOIN thr ON t.lang = thr.lang
+        WHERE t.n_tokens > thr.p50
+        GROUP BY t.lang
     """,
     "knn_cosine_top10": """
         SELECT vec_id,
