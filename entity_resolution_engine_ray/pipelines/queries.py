@@ -891,6 +891,107 @@ def q_doc_quality_gate(sf_dir: str):
     return out
 
 
+def q_user_cumulative_value(sf_dir: str):
+    """Per-key running aggregate — the ORDER-BY window family
+    (``SUM(...) OVER (PARTITION BY k ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``). Events hash-partition ONCE on user_id; inside each
+    partition a single lexsort + pandas groupby-cumsum produces every
+    user's running total vectorized. No global sort shuffle: ordering is
+    only ever needed WITHIN a key, so a hash exchange + in-partition sort
+    is the 100-TB shape (partitioning assumption: one user's events fit a
+    worker — true for per-user event streams)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def running(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "cum_value": pd.Series([], dtype=np.float64),
+                }
+            )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        pdf["cum_value"] = _rha(pdf.groupby("user_id")["value"].cumsum(), 2)
+        return pdf[["event_id", "user_id", "cum_value"]]
+
+    return partition_map_groups(ds, ["user_id"], running, 16)
+
+
+def q_user_click_purchase_outer(sf_dir: str):
+    """FULL OUTER join of two grouped aggregates: per-user counts of
+    high-value (>95) clicks vs high-value purchases — the threshold makes
+    users appear on only one side, so both unmatched directions are
+    genuinely exercised (pinned in tests/test_query_ops.py). Each side
+    pre-aggregates per batch (combiner), then ONE hash cogroup aligns both
+    sides' partials per user and an outer merge finishes with 0-fill — two
+    shuffles' worth of grouped joins collapse into a single 8-byte-key
+    exchange."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(pc.equal(t["event_type"], kind), pc.greater(t["value"], 95.0))
+            )
+            pdf = pa.table({"user_id": t["user_id"]}).to_pandas()
+            g = pdf.groupby("user_id", as_index=False).size().rename(columns={"size": "n"})
+            g["n"] = g["n"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return fn
+
+    clicks = ev.map_batches(partial("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(partial("purchase"), batch_format="pyarrow")
+
+    def outer(c_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        c = c_pdf.groupby("user_id", as_index=False)["n"].sum().rename(columns={"n": "n_clicks"})
+        p = (
+            p_pdf.groupby("user_id", as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "n_purchases"})
+        )
+        m = c.merge(p, on="user_id", how="outer")
+        m["user_id"] = m["user_id"].astype(np.int64)
+        m["n_clicks"] = m["n_clicks"].fillna(0).astype(np.int64)
+        m["n_purchases"] = m["n_purchases"].fillna(0).astype(np.int64)
+        return m
+
+    return hash_exchange_cogroup(clicks, purchases, ["user_id"], ["user_id"], outer, 16)
+
+
+def q_doc_sample_per_lang(sf_dir: str):
+    """Deterministic stratified sampling — k docs per language, chosen as
+    the k smallest Knuth multiplicative hashes of doc_id: uniform,
+    seed-free, identical across engines/runs/cluster sizes (the property a
+    training-data pipeline needs for reproducible eval splits). Per-batch
+    partial top-k bounds shuffle traffic to batches x langs x k rows; a
+    tiny driver final picks per language. The hash is SQL-expressible, so
+    the sample is value-hash-checked against a ROW_NUMBER oracle."""
+    k = 10
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["hkey"] = (pdf["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        pdf = pdf.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
+        return pdf.groupby("lang", as_index=False).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        partials.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
+        .groupby("lang", as_index=False)
+        .head(k)
+    )
+    return out[["lang", "doc_id", "hkey"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -979,6 +1080,9 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "user_event_pivot": q_user_event_pivot,
     "doc_quality_gate": q_doc_quality_gate,
+    "user_cumulative_value": q_user_cumulative_value,
+    "user_click_purchase_outer": q_user_click_purchase_outer,
+    "doc_sample_per_lang": q_doc_sample_per_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1175,6 +1279,33 @@ ORACLE_SQL = {
         FROM t JOIN thr ON t.lang = thr.lang
         WHERE t.n_tokens > thr.p50
         GROUP BY t.lang
+    """,
+    "user_cumulative_value": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        FROM events
+    """,
+    "user_click_purchase_outer": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' AND value > 95 GROUP BY user_id),
+             p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+                   WHERE event_type = 'purchase' AND value > 95 GROUP BY user_id)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    "doc_sample_per_lang": """
+        SELECT lang, doc_id, hkey FROM (
+            SELECT lang, doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS hkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 10
     """,
     "knn_cosine_top10": """
         SELECT vec_id,
