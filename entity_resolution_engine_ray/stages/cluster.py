@@ -204,9 +204,15 @@ def _lp_emit(url_part: pa.Table, labels_part: pa.Table):
 def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -> list:
     """The labelprop round loop shared by the url and int-id entry points:
     stationary edge partitions, min-label propagation + pointer jumping +
-    union hooking per round, exit at the exact changed==0 fixpoint. The only
-    per-round driver sync is ONE aggregated changed-count get (the per-ref
-    gets were a measured scaling drag at high parallelism)."""
+    union hooking per round, exit at the exact changed==0 fixpoint.
+
+    The convergence check is DELAYED BY ONE ROUND: each wave of tasks is
+    submitted before the previous wave's aggregated changed-count is read,
+    so the driver never sits between waves waiting on the slowest
+    partition (the straggler stall was the measured scaling drag at high
+    parallelism). Cost: one speculative wave runs after the fixpoint
+    round — harmless, because a fixpoint is stable under propagate / jump
+    / hook, so the speculative wave's labels are identical."""
     from entity_resolution_engine_ray.stages.exchange import _split_block
 
     def _refine_with(cand_refs, parts):
@@ -224,6 +230,7 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
 
     pending_hooks: list = []
     converged = False
+    prev_check = None  # aggregated changed-count of the previous round
     for _ in range(max_iterations):
         # three candidate sources, ONE refine per round:
         # 1. edge propagation: min neighbor label
@@ -243,10 +250,18 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
         # minimum spreads one edge-hop per round and long chains stall
         cand_refs += pending_hooks
         labels_parts, changed_refs, pending_hooks = _refine_with(cand_refs, labels_parts)
-        # changed==0 implies no hooks were emitted either — true fixpoint
-        if ray.get(_sum_ints.remote(*changed_refs)) == 0:
+        # consume the PREVIOUS round's count only after this wave is
+        # submitted — it resolved while this wave was being scheduled, so
+        # the get is (nearly) free and stragglers never stall the driver.
+        # changed==0 implies no hooks were emitted either — true fixpoint.
+        if prev_check is not None and ray.get(prev_check) == 0:
             converged = True
             break
+        prev_check = _sum_ints.remote(*changed_refs)
+    if not converged and prev_check is not None:
+        # the final round may itself have been the fixpoint — the loop just
+        # never got a following iteration to observe it
+        converged = ray.get(prev_check) == 0
     if not converged:
         # truncated convergence must not masquerade as correct clustering
         raise RuntimeError(
