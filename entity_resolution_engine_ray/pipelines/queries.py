@@ -992,6 +992,46 @@ def q_doc_sample_per_lang(sf_dir: str):
     return out[["lang", "doc_id", "hkey"]].reset_index(drop=True)
 
 
+def q_doc_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing — the LLM-training-data operator:
+    per language, documents are (logically) concatenated in doc_id order
+    and split at exact 2048-token boundaries; emit each doc's first/last
+    training-chunk index. The global per-key running token total comes from
+    the distributed scan (stages/scan.grouped_prefix_sum): one range-shuffle
+    sort, per-block boundary metadata, an O(blocks) driver carry walk, and
+    a vectorized per-block finish. Integer token counts stay integers, so
+    the result hash-matches the SQL window-SUM oracle exactly."""
+    from entity_resolution_engine_ray.functions.textstats import token_count
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    budget = 2048
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": token_count(t["text"])}
+        )
+
+    cum = grouped_prefix_sum(
+        ds.map_batches(tok, batch_format="pyarrow"), ["lang"], ["doc_id"], "n_tokens", "cum"
+    )
+
+    def chunks(t: pa.Table) -> pa.Table:
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"],
+                "start_chunk": pa.array((c - n) // budget, type=pa.int64()),
+                "end_chunk": pa.array((c - 1) // budget, type=pa.int64()),
+            }
+        )
+
+    return cum.map_batches(chunks, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -1083,6 +1123,7 @@ QUERIES = {
     "user_cumulative_value": q_user_cumulative_value,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
+    "doc_pack_chunks": q_doc_pack_chunks,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1306,6 +1347,23 @@ ORACLE_SQL = {
                    ) AS rn
             FROM documents
         ) WHERE rn <= 10
+    """,
+    "doc_pack_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '{_TOK}')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS start_chunk,
+               CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS end_chunk
+        FROM c
     """,
     "knn_cosine_top10": """
         SELECT vec_id,

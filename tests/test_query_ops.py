@@ -55,7 +55,12 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
 
 @pytest.mark.parametrize(
     "name",
-    ["user_cumulative_value", "user_click_purchase_outer", "doc_sample_per_lang"],
+    [
+        "user_cumulative_value",
+        "user_click_purchase_outer",
+        "doc_sample_per_lang",
+        "doc_pack_chunks",
+    ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
     a, b = _run_pair(name)
