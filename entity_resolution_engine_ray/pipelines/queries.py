@@ -1032,6 +1032,27 @@ def q_doc_pack_chunks(sf_dir: str):
     return cum.map_batches(chunks, batch_format="pyarrow")
 
 
+def q_approx_distinct_by_lang(sf_dir: str):
+    """HyperLogLog approximate distinct texts per language
+    (stages/sketch.hll_count_distinct, p=14 → ~0.8% standard error): the
+    shuffle carries at most 2^14 register rows per (batch, key) instead of
+    one row per document — the honest 100-TB path when distinct counts
+    feed monitoring rather than billing. Rows-only driver check (a sketch
+    has no SQL twin); accuracy vs exact COUNT DISTINCT is pinned to <2%
+    in tests/test_sketch.py."""
+    from entity_resolution_engine_ray.stages.sketch import hll_count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def add_hash(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(pdf["text"].to_numpy(), hash_key="0123456789abcdef")
+        return pd.DataFrame({"lang": pdf["lang"], "h": h.astype(np.uint64)})
+
+    return hll_count_distinct(
+        ds.map_batches(add_hash, batch_format="pandas"), ["lang"], "h", p=14
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -1124,6 +1145,7 @@ QUERIES = {
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "approx_distinct_by_lang": q_approx_distinct_by_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,

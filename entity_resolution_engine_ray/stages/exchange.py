@@ -79,9 +79,23 @@ def _coalesce_refs(refs: list, max_groups: int) -> list[list]:
     return [refs[bounds[i] : bounds[i + 1]] for i in range(g) if bounds[i] < bounds[i + 1]]
 
 
+def _ensure_table(block) -> pa.Table:
+    # blocks are Arrow throughout this engine, but two sources of pandas
+    # blocks exist: from_pandas datasets, and the source blocks a 0-row
+    # dataset surfaces when its lazy map_batches is skipped entirely
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
 @ray.remote
 def _split_block(key_cols: list[str], num_partitions: int, *tbls: pa.Table):
+    tbls = [_ensure_table(t) for t in tbls]
     tbl = pa.concat_tables(tbls, promote_options="default") if len(tbls) > 1 else tbls[0]
+    if tbl.num_rows == 0:
+        # nothing to hash — a 0-row dataset's skipped lazy map can surface
+        # zero-COLUMN source blocks that would KeyError on the key lookup
+        return tuple([tbl] * num_partitions) if num_partitions > 1 else tbl
     pg = _partition_hash(tbl, key_cols, num_partitions)
     order = np.argsort(pg, kind="stable")
     sorted_pg = pg[order]

@@ -1,0 +1,100 @@
+"""HyperLogLog grouped approximate count-distinct.
+
+The exact grouped distinct (pipelines/queries.q_doc_distinct_by_lang) ships
+one 8-byte content hash per ROW through the exchange — correct, but at
+100 TB the shuffle is O(rows). The HLL sketch bounds per-(batch, key)
+traffic at 2^p register rows and per-key state at 2^p bytes, for a relative
+standard error of ~1.04/sqrt(2^p) (~0.8% at p=14): the classic
+accuracy-for-traffic trade when distinct counts feed monitoring or quality
+gates rather than billing.
+
+Shape: per-batch vectorized register build (hash → top-p-bit register
+index, rho = leading-zero rank of the rest) compressed to per-(key,
+register) maxima; ONE hash exchange on the group key; a per-partition fold
+maxes registers and applies the standard estimator (bias-corrected raw +
+linear counting in the small range). Flajolet et al.'s published HLL — no
+proprietary anything.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _registers(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes → (register index, rho). rho = 1 + count of leading
+    zeros in the low (64-p) bits, capped at 64-p+1 when those bits are 0."""
+    h = values.astype(np.uint64)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # low bits moved to the top for a clz scan
+    rho = np.full(len(h), 64 - p + 1, dtype=np.int64)
+    found = np.zeros(len(h), dtype=bool)
+    probe = rest
+    for i in range(64 - p):
+        hit = ~found & (probe >> np.uint64(63) == 1)
+        rho[hit] = i + 1
+        found |= hit
+        if found.all():
+            break
+        probe = probe << np.uint64(1)
+    return reg, rho
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** (-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = float(np.count_nonzero(regs == 0))
+        if zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_count_distinct(
+    ds, key_cols: list[str], value_col: str, p: int = 14, num_partitions: int = 8
+):
+    """→ one row per key: ``approx_distinct`` (int64 rounded estimate).
+    ``value_col`` must already be a 64-bit hash column (pair with
+    functions.similarity.stable_hash64 or pd.util.hash_array upstream so
+    the hash choice is the caller's contract)."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    def partial(pdf: pd.DataFrame) -> pa.Table:
+        # emits an ARROW block: the downstream hash exchange splits Arrow
+        if pdf.empty:
+            out = {c: pdf[c] for c in key_cols}
+            out["reg"] = pd.Series([], dtype=np.int64)
+            out["rho"] = pd.Series([], dtype=np.int64)
+            return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+        reg, rho = _registers(pdf[value_col].to_numpy(np.uint64), p)
+        t = pdf[key_cols].copy()
+        t["reg"] = reg
+        t["rho"] = rho
+        g = t.groupby(key_cols + ["reg"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            # an all-empty input may arrive as a zero-column frame
+            out = {
+                c: (pdf[c] if c in pdf.columns else pd.Series([], dtype=object))
+                for c in key_cols
+            }
+            out["approx_distinct"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(out)
+        folded = pdf.groupby(key_cols + ["reg"], as_index=False)["rho"].max()
+        rows = []
+        for key, grp in folded.groupby(key_cols):
+            regs = np.zeros(1 << p, dtype=np.int64)
+            regs[grp["reg"].to_numpy()] = grp["rho"].to_numpy()
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append(dict(zip(key_cols, key), approx_distinct=round(_estimate(regs))))
+        out = pd.DataFrame(rows)
+        out["approx_distinct"] = out["approx_distinct"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partition_map_groups(partials, key_cols, finish, num_partitions)
