@@ -61,8 +61,10 @@ def q_exact_dedup_docs(sf_dir: str):
     """Exact dedup on text: representative doc_id + duplicate count per
     distinct text. Hash-partition + per-group first (SURVEY.md §2.7).
 
-    Grouping is on a 64-bit stable content hash (collision-free at any
-    realistic scale) so the shuffle moves 8-byte keys, not full documents."""
+    Grouping is on a 64-bit stable content hash so the shuffle moves 8-byte
+    keys, not full documents. HASH-exact: a blake2b-64 collision
+    (probability ~ n²/2⁶⁵) would merge two distinct texts; resolve within
+    the partition against the text itself if that ever matters."""
     from entity_resolution_engine_ray.functions.similarity import stable_hash64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -4,10 +4,14 @@ Binary payloads are opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate, …). Each operator routes through
 a decoder registry:
 
-- ``decoder="bmp"`` — REAL pixel work, no codec library: a pure-numpy
-  24-bit uncompressed BMP codec (``decode_bmp``/``encode_bmp``) plus
+- ``decoder="bmp"`` / ``"ppm"`` — REAL pixel work, no codec library:
+  pure-numpy 24-bit uncompressed BMP (``decode_bmp``/``encode_bmp``) and
+  binary PPM P6 (``decode_ppm``/``encode_ppm``) codecs plus
   nearest-neighbor resize; resize and grid-feature extraction operate on
   actual decoded pixels and are pinned by exact-pixel tests.
+- ``decoder="auto"`` — magic-byte sniffing across the real codecs, each
+  payload re-encoded in its own input format (mixed-format columns, the
+  web-corpus case).
 - ``decoder="wav"`` — REAL signal work, no codec library: a pure-numpy
   RIFF PCM16 WAV codec (``decode_wav``/``encode_wav``) plus linear
   resample; feature extraction embeds true per-window RMS energies and
@@ -102,6 +106,53 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pixel_bytes
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (height, width, 3) uint8 RGB array.
+    Header = three ASCII tokens (w, h, maxval) with optional # comments."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raw pixels
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval=255 PPM is supported (got {maxval})")
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB array → binary PPM (P6) bytes."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Magic-byte sniffing decode for the formats this container can do
+    without Pillow: BMP and binary PPM. Returns (rgb array, format) so a
+    transform can re-encode in the input's own format — the mixed-format
+    column case a real web corpus presents."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload), "bmp"
+    if payload[:2] == b"P6":
+        return decode_ppm(payload), "ppm"
+    raise NotImplementedError(
+        "only BMP/PPM are decodable without Pillow (JPEG/PNG need the pillow decoder)"
+    )
+
+
+_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm}
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize (pixel-center sampling) — exact, dependency-
     free, and what the resize-stage contract pins in tests."""
@@ -126,15 +177,21 @@ class ImageFeatureExtractor:
                 raise NotImplementedError(
                     "pillow decoder requires PIL; install pillow or use decoder='bmp'/'stub'"
                 ) from exc
-        elif decoder not in ("stub", "bmp"):
+        elif decoder not in ("stub", "bmp", "ppm", "auto"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
-    def _bmp_features(self, p: bytes) -> tuple[np.ndarray, int, int]:
-        """REAL decode path: parse the BMP, report true dimensions, and
-        embed a grid of mean RGB values (resize to g×g, flatten, L2
-        normalize) — a deterministic pixel-derived feature vector."""
-        img = decode_bmp(p)
+    def _real_features(self, p: bytes) -> tuple[np.ndarray, int, int]:
+        """REAL decode path: parse the image (BMP/PPM, or sniffed when
+        decoder='auto'), report true dimensions, and embed a grid of mean
+        RGB values (resize to g×g, flatten, L2 normalize) — a deterministic
+        pixel-derived feature vector."""
+        if self.decoder == "bmp":
+            img = decode_bmp(p)
+        elif self.decoder == "ppm":
+            img = decode_ppm(p)
+        else:
+            img, _ = decode_image(p)
         g = max(1, int(np.sqrt(self.dim / 3)))
         grid = resize_nearest(img, g, g).astype(np.float32).reshape(-1) / 255.0
         v = np.zeros(self.dim, dtype=np.float32)
@@ -149,8 +206,8 @@ class ImageFeatureExtractor:
         widths = np.zeros(n, dtype=np.int32)
         heights = np.zeros(n, dtype=np.int32)
         for i, p in enumerate(payloads):
-            if self.decoder == "bmp":
-                emb[i], widths[i], heights[i] = self._bmp_features(p)
+            if self.decoder in ("bmp", "ppm", "auto"):
+                emb[i], widths[i], heights[i] = self._real_features(p)
             else:
                 # STUB decode: dimensions derived from the digest, embedding
                 # from seeded noise — the pillow path replaces this with a
@@ -403,23 +460,29 @@ def image_resize_stage(
     """Image resize: (id, image:binary) → (id, image:binary, width:int32,
     height:int32).
 
-    ``decoder="bmp"`` does REAL pixel work end-to-end with no codec library:
-    pure-numpy 24-bit BMP decode → nearest-neighbor resize → BMP re-encode
-    (``decode_bmp`` / ``resize_nearest`` / ``encode_bmp``). Compressed
+    ``decoder="bmp"`` / ``"ppm"`` do REAL pixel work end-to-end with no
+    codec library: pure-numpy decode → nearest-neighbor resize → re-encode.
+    ``decoder="auto"`` sniffs magic bytes per payload and re-encodes each
+    image in its own input format (mixed-format columns). Compressed
     formats (JPEG/PNG) require Pillow, which is absent here — requesting
     any other real decoder raises. ``decoder="stub"`` keeps the
     deterministic digest-stream fake for shape-only testing."""
-    if decoder not in ("stub", "bmp"):
+    if decoder not in ("stub", "bmp", "ppm", "auto"):
         raise NotImplementedError(
             "JPEG/PNG decoding requires Pillow, which is not available in "
-            "this environment — use decoder='bmp' (pure numpy, real pixels) "
-            "or decoder='stub'"
+            "this environment — use decoder='bmp'/'ppm'/'auto' (pure numpy, "
+            "real pixels) or decoder='stub'"
         )
     from entity_resolution_engine_ray.stages.block import default_pool_size
 
     def resize_one(payload: bytes) -> bytes:
         if decoder == "bmp":
             return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+        if decoder == "ppm":
+            return encode_ppm(resize_nearest(decode_ppm(payload), width, height))
+        if decoder == "auto":
+            img, fmt = decode_image(payload)
+            return _ENCODERS[fmt](resize_nearest(img, width, height))
         # STUB: deterministic digest-stream "resized pixels" of the target
         # size (3 bytes/px) — stands in for a real decode+resize
         out = b""

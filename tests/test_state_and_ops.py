@@ -259,6 +259,60 @@ def test_image_features_real_bmp(ray_session):
     assert not np.allclose(e1, e3)      # different color → different embed
 
 
+def test_ppm_codec_roundtrip_and_comments():
+    """Pure-numpy binary-PPM codec: encode→decode is the pixel identity,
+    and headers with # comments / extra whitespace parse correctly."""
+    from entity_resolution_engine_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(5)
+    for w, h in ((5, 3), (4, 4), (1, 7)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    commented = b"P6\n# made by a test\n3 2\n# maxval next\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(commented), img)
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_image_resize_stage_auto_mixed_formats(ray_session):
+    """decoder='auto' sniffs each payload's format and re-encodes the
+    resized pixels in the SAME format — BMP in/BMP out, PPM in/PPM out,
+    byte-exact against the serial codec path."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        image_resize_stage,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(23)
+    bmp_img = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    ppm_img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "image": pa.array(
+                [encode_bmp(bmp_img), encode_ppm(ppm_img)], type=pa.binary()
+            ),
+        }
+    )
+    out = (
+        image_resize_stage(rd.from_arrow(tbl), width=4, height=4, decoder="auto", concurrency=1)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["image"].iloc[0] == encode_bmp(resize_nearest(bmp_img, 4, 4))
+    assert out["image"].iloc[1] == encode_ppm(resize_nearest(ppm_img, 4, 4))
+    assert np.array_equal(decode_bmp(out["image"].iloc[0]), resize_nearest(bmp_img, 4, 4))
+    assert np.array_equal(decode_ppm(out["image"].iloc[1]), resize_nearest(ppm_img, 4, 4))
+
+
 def test_wav_codec_roundtrip_and_resample():
     """Pure-numpy WAV codec: encode→decode is the identity on PCM16 samples
     (mono and stereo), and linear resample hits exact interpolated values."""
