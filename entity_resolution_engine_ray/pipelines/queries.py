@@ -518,6 +518,193 @@ def q_doc_top_tokens(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _explode_tokens(t: pa.Table, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized single-space tokenize of a batch: returns (row_index,
+    token) numpy arrays with empty tokens removed — the exact semantics of
+    the oracles' ``list_filter(string_split(text, ' '), x -> x <> '')``.
+    Row boundaries are preserved via the repeat of the ListArray offsets."""
+    col = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    lists = pc.split_pattern(col, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(
+        np.arange(len(lists)), pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    )
+    mask = flat != ""
+    return row_idx[mask], flat[mask]
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination screen — the eval-leak guard a training
+    corpus runs before export. The "benchmark set" is a deterministic
+    stand-in (first 5 words of every 25th doc); at 100 TB it would be the
+    real eval suites. Snippets are a SMALL side: collected once,
+    deduplicated, broadcast via ``ray.put``, and scanned per batch with
+    Arrow's vectorized ``match_substring`` — O(snippets) kernel passes per
+    batch, zero shuffle of the corpus. With a large benchmark set, swap the
+    per-snippet pass for an Aho-Corasick automaton built once per actor (or
+    an n-gram-hash join); the broadcast/scan shape is unchanged."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def make_snips(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 25 == 0))
+        if len(sel) == 0:
+            return pa.table({"s": pa.array([], type=pa.string())})
+        words = pc.split_pattern(sel["text"].combine_chunks(), " ")
+        first5 = pc.binary_join(pc.list_slice(words, 0, 5), " ")
+        return pa.table({"s": first5})
+
+    snips = sorted(
+        set(ds.map_batches(make_snips, batch_format="pyarrow").to_pandas()["s"])
+    )
+    snip_ref = ray.put(snips)
+
+    def scan(t: pa.Table) -> pa.Table:
+        s_list = ray.get(snip_ref)  # node-local fetch, cached by the object store
+        counts = np.zeros(len(t), dtype=np.int64)
+        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        for s in s_list:
+            counts += pc.match_substring(texts, s).to_numpy(zero_copy_only=False)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)[keep]),
+                "n_hits": pa.array(counts[keep]),
+            }
+        )
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_doc_tfidf_top3(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (sklearn-style smooth IDF:
+    ``ln((1+N)/(1+df)) + 1``). Two passes, both shuffle-light:
+
+    1. document frequency: per-batch distinct (doc, term) pairs reduce to
+       (term, partial_df) — exact because each doc lives in one batch row —
+       then one small ``groupby(term).sum()``. The resulting IDF map is
+       broadcast via ``ray.put`` (vocab ≪ corpus; for an unbounded vocab,
+       replace the broadcast with a term-hash cogroup of the same two
+       datasets — stages/exchange — and the rest is unchanged).
+    2. score: per-batch vectorized tf × idf and a per-doc top-3; the driver
+       only concatenates pre-reduced 3-rows-per-doc partials."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = float(ds.count())  # parquet metadata, no execution
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        row_idx, toks = _explode_tokens(t)
+        pairs = pd.DataFrame({"d": row_idx, "term": toks}).drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pa.table(
+            {"term": pa.array(vc.index.to_numpy()), "df": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    ).to_pandas()
+    idf = dict(
+        zip(df_tbl["term"], np.log((1.0 + n_docs) / (1.0 + df_tbl["df"].to_numpy(np.float64))) + 1.0)
+    )
+    idf_ref = ray.put(idf)
+
+    def top3(t: pa.Table) -> pa.Table:
+        row_idx, toks = _explode_tokens(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = (
+            pd.DataFrame({"doc_id": ids[row_idx], "term": toks})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["raw"] = tf["tf"].to_numpy(np.float64) * tf["term"].map(ray.get(idf_ref)).to_numpy()
+        tf = tf.sort_values(
+            ["doc_id", "raw", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = tf.groupby("doc_id", sort=False).head(3)
+        return pa.Table.from_pandas(
+            top[["doc_id", "term", "raw"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out = ds.map_batches(top3, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["doc_id", "raw", "term"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["tfidf"] = _rha(out["raw"], 6)
+    return out[["doc_id", "term", "tfidf"]]
+
+
+def q_doc_top_bigrams(sf_dir: str):
+    """Corpus top-20 word bigrams: per-batch vectorized bigram forming
+    (adjacent tokens within a doc after empty-token removal) + per-batch
+    value_counts partial, one small ``groupby(bigram).sum()``, 20-row
+    driver final. The n-gram-counting primitive under shingle dedup and
+    contamination screens, demonstrated as a standalone aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        row_idx, toks = _explode_tokens(t)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+        same = row_idx[:-1] == row_idx[1:]
+        bigrams = pd.Series(toks[:-1][same]) + " " + pd.Series(toks[1:][same])
+        vc = bigrams.value_counts()
+        return pa.table(
+            {"bigram": pa.array(vc.index.to_numpy()), "n": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    out = agg.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort").head(20)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality rule: per-doc token totals, distinct
+    counts, duplicate-token ratio and most-frequent-token fraction. Entirely
+    embarrassing-parallel — each doc is complete inside its batch, so the
+    per-batch partials ARE the final rows; no shuffle at all."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        row_idx, toks = _explode_tokens(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = (
+            pd.DataFrame({"doc_id": ids[row_idx], "term": toks})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        g = tf.groupby("doc_id", as_index=False).agg(
+            n_tokens=("c", "sum"), n_distinct=("c", "size"), mx=("c", "max")
+        )
+        nt = g["n_tokens"].to_numpy(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+                "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64)),
+                "dup_ratio": pa.array(_rha(1.0 - g["n_distinct"].to_numpy(np.float64) / nt, 4)),
+                "top_token_frac": pa.array(_rha(g["mx"].to_numpy(np.float64) / nt, 4)),
+            }
+        )
+
+    out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # events: windows / sessionization / top-k
 # ---------------------------------------------------------------------------
@@ -1133,6 +1320,10 @@ QUERIES = {
     "doc_distinct_by_lang": q_doc_distinct_by_lang,
     "ann_ivf_top10": q_ann_ivf_top10,
     "doc_top_tokens": q_doc_top_tokens,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_tfidf_top3": q_doc_tfidf_top3,
+    "doc_top_bigrams": q_doc_top_bigrams,
+    "doc_repetition": q_doc_repetition,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "sliding_window": q_sliding_window,
@@ -1253,6 +1444,62 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 20
+    """,
+    "doc_decontaminate": """
+        WITH snip AS (
+            SELECT DISTINCT array_to_string(string_split(text, ' ')[1:5], ' ') AS s
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT d.doc_id, COUNT(*) AS n_hits
+        FROM documents d JOIN snip ON contains(d.text, snip.s)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    "doc_tfidf_top3": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term <> '' GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE term <> '' GROUP BY term
+        ), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) AS raw,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) DESC, tf.term ASC
+                   ) AS rk
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, ROUND(raw, 6) AS tfidf FROM scored
+        WHERE rk <= 3 ORDER BY doc_id, raw DESC, term
+    """,
+    "doc_top_bigrams": """
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ), b0 AS (
+            SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM t
+        ), b AS (
+            SELECT a.word || ' ' || c.word AS bigram
+            FROM b0 a JOIN b0 c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        )
+        SELECT bigram, COUNT(*) AS n FROM b
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "doc_repetition": """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+        )
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+               ROUND(1.0 - COUNT(*) / SUM(c)::DOUBLE, 4) AS dup_ratio,
+               ROUND(MAX(c) / SUM(c)::DOUBLE, 4) AS top_token_frac
+        FROM tf GROUP BY doc_id ORDER BY doc_id
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,

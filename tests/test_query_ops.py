@@ -60,6 +60,10 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "user_click_purchase_outer",
         "doc_sample_per_lang",
         "doc_pack_chunks",
+        "doc_decontaminate",
+        "doc_tfidf_top3",
+        "doc_top_bigrams",
+        "doc_repetition",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
