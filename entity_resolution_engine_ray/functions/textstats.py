@@ -146,3 +146,33 @@ def rolling_fingerprint64(texts: list[str | None], window: int = 8) -> np.ndarra
                 acc = acc * c + data[j : n + j]
             out[i] = acc.min()
     return out
+
+
+# --- PII redaction (training-corpus scrub) ---------------------------------
+# RE2-compatible patterns (pyarrow's regex engine: no backrefs/lookaround).
+# Order matters: more-specific patterns run first so e.g. an SSN is redacted
+# as [SSN], not half-eaten by the looser phone pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    text: "pa.ChunkedArray | pa.Array",
+    patterns: dict[str, str] | None = None,
+) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized PII scrub: replace every pattern match with ``[<NAME>]``
+    and return (redacted_text, per-row total match count). Pure Arrow RE2
+    kernels (``count_substring_regex`` + ``replace_substring_regex``) — no
+    Python loop over rows, so the stage stays zero-copy-in / Arrow-out."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    pats = PII_PATTERNS if patterns is None else patterns
+    counts = np.zeros(len(text), dtype=np.int64)
+    for name, pat in pats.items():
+        counts += pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        text = pc.replace_substring_regex(text, pat, f"[{name.upper()}]")
+    return text, counts

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from entity_resolution_engine_ray.functions.textstats import (
     PUNCT_PATTERN,
@@ -600,6 +600,10 @@ def q_doc_tfidf_top3(sf_dir: str):
 
     def df_partial(t: pa.Table) -> pa.Table:
         row_idx, toks = _explode_tokens(t)
+        if len(toks) == 0:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+            )
         pairs = pd.DataFrame({"d": row_idx, "term": toks}).drop_duplicates()
         vc = pairs["term"].value_counts()
         return pa.table(
@@ -618,6 +622,14 @@ def q_doc_tfidf_top3(sf_dir: str):
 
     def top3(t: pa.Table) -> pa.Table:
         row_idx, toks = _explode_tokens(t)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "raw": pa.array([], type=pa.float64()),
+                }
+            )
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         tf = (
             pd.DataFrame({"doc_id": ids[row_idx], "term": toks})
@@ -680,6 +692,16 @@ def q_doc_repetition(sf_dir: str):
 
     def per_doc(t: pa.Table) -> pa.Table:
         row_idx, toks = _explode_tokens(t)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "n_distinct": pa.array([], type=pa.int64()),
+                    "dup_ratio": pa.array([], type=pa.float64()),
+                    "top_token_frac": pa.array([], type=pa.float64()),
+                }
+            )
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         tf = (
             pd.DataFrame({"doc_id": ids[row_idx], "term": toks})
@@ -703,6 +725,102 @@ def q_doc_repetition(sf_dir: str):
 
     out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_doc_shuffle_shards(sf_dir: str):
+    """Deterministic export sharding — the write-side partitioning a
+    resumable 100-TB corpus export needs (restart skips finished shards,
+    any worker recomputes the same assignment). Shard id is a pure
+    function of the key (Knuth multiplicative hash mod 8) computed
+    vectorized per batch; the per-shard manifest (count / min / max /
+    checksum) folds from per-batch partials through one 8-group groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    empty = pa.table(
+        {
+            "shard": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "min_doc": pa.array([], type=pa.int64()),
+            "max_doc": pa.array([], type=pa.int64()),
+            "sum_doc": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shard = (ids * 2654435761) % 4294967296 % 8
+        pdf = pd.DataFrame({"shard": shard, "doc_id": ids})
+        g = pdf.groupby("shard", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            min_doc=("doc_id", "min"),
+            max_doc=("doc_id", "max"),
+            sum_doc=("doc_id", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_doc", alias_name="min_doc"),
+            Max("max_doc", alias_name="max_doc"),
+            Sum("sum_doc", alias_name="sum_doc"),
+        )
+    ).to_pandas()
+    agg = agg.sort_values("shard", kind="mergesort").reset_index(drop=True)
+    for c in ("shard", "n_docs", "min_doc", "max_doc", "sum_doc"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the vector aggregate under k-means /
+    IVF training. Per-batch partial (label, dim) sums via one
+    ``np.add.at`` over the ListArray's flat buffer (no per-row Python),
+    then a small ``groupby(label, dim).sum()`` and a driver divide: the
+    shuffle moves labels × dims rows, never the vectors."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int32()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        emb = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = int(pc.list_value_length(emb)[0].as_py())
+        mat = flat.reshape(-1, d)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    ).to_pandas()
+    agg = agg.sort_values(["label", "dim"], kind="mergesort").reset_index(drop=True)
+    agg["centroid"] = _rha(agg["s"] / agg["n"], 6)
+    agg["dim"] = agg["dim"].astype(np.int64)
+    return agg[["label", "dim", "centroid"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1324,6 +1442,8 @@ QUERIES = {
     "doc_tfidf_top3": q_doc_tfidf_top3,
     "doc_top_bigrams": q_doc_top_bigrams,
     "doc_repetition": q_doc_repetition,
+    "doc_shuffle_shards": q_doc_shuffle_shards,
+    "label_centroids": q_label_centroids,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "sliding_window": q_sliding_window,
@@ -1500,6 +1620,21 @@ ORACLE_SQL = {
                ROUND(1.0 - COUNT(*) / SUM(c)::DOUBLE, 4) AS dup_ratio,
                ROUND(MAX(c) / SUM(c)::DOUBLE, 4) AS top_token_frac
         FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    "doc_shuffle_shards": """
+        SELECT (doc_id * 2654435761) % 4294967296 % 8 AS shard,
+               COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+               SUM(doc_id)::BIGINT AS sum_doc
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "label_centroids": """
+        SELECT label, i AS dim, ROUND(AVG(x), 6) AS centroid
+        FROM (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        )
+        GROUP BY label, i ORDER BY label, i
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,

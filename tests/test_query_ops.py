@@ -32,7 +32,7 @@ def _run_pair(name: str):
     res = QUERIES[name](SF_DIR)
     rdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     con = duckdb.connect()
-    for tb in ("events", "documents"):
+    for tb in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{SF_DIR}/{tb}.parquet')"
         )
@@ -64,6 +64,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_tfidf_top3",
         "doc_top_bigrams",
         "doc_repetition",
+        "doc_shuffle_shards",
+        "label_centroids",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -101,3 +103,46 @@ def test_sample_is_stable_across_partitionings(ray_session):
         .reset_index(drop=True)
     )
     _assert_match(_canon(base), _canon(alt))
+
+
+def test_redact_stage_scrubs_pii(ray_session):
+    """PII scrub: emails/phones/IPs/SSNs replaced with typed tags, per-row
+    counts exact, clean rows untouched, custom out_col leaves the original."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.redact import redact_stage
+
+    rows = [
+        ("mail me at bob.smith+x@example.co.uk today", 1),
+        ("call +1 (415) 555-0199 or 415-555-0100 now", 2),
+        ("server 192.168.0.1 and ssn 123-45-6789", 2),
+        ("perfectly clean text with no pii at all", 0),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+            "text": pa.array([r[0] for r in rows]),
+        }
+    )
+    out = (
+        redact_stage(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_redacted"]) == [r[1] for r in rows]
+    assert out["text"][0] == "mail me at [EMAIL] today"
+    assert "[PHONE]" in out["text"][1] and "555" not in out["text"][1]
+    assert out["text"][2] == "server [IPV4] and ssn [SSN]"
+    assert out["text"][3] == rows[3][0]
+
+    # out_col keeps the original column intact
+    out2 = (
+        redact_stage(rd.from_arrow(tbl), out_col="clean")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["text"][0] == rows[0][0]
+    assert out2["clean"][0] == "mail me at [EMAIL] today"
