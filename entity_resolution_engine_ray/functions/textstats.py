@@ -176,3 +176,17 @@ def redact_pii(
         counts += pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
         text = pc.replace_substring_regex(text, pat, f"[{name.upper()}]")
     return text, counts
+
+
+# GPT-2-style pre-tokenizer shape, RE2-compatible (no lookarounds): letter
+# runs, digit runs, punctuation runs, each optionally absorbing one leading
+# space. Whitespace between tokens is simply skipped by the regex scan, so
+# match count == token count. DuckDB's regexp engine is RE2 too, so the SAME
+# pattern string is the SQL oracle (len(regexp_extract_all(text, pat))).
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+
+def bpe_token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish token count per row — the training-cost estimator a corpus
+    pipeline runs before packing. Vectorized RE2 match count, no Python."""
+    return pc.count_substring_regex(text, BPE_SPLIT_PATTERN)

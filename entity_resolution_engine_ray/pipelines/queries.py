@@ -727,6 +727,29 @@ def q_doc_repetition(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_token_counts(sf_dir: str):
+    """Per-doc token counts, whitespace AND BPE-ish (GPT-2-style regex
+    pre-tokenizer shape) — the training-cost estimate a corpus pipeline
+    computes before packing/pricing. Both counts are single vectorized RE2
+    kernels per batch; the oracle runs the IDENTICAL pattern strings
+    through DuckDB's RE2 (``len(regexp_extract_all(...))``)."""
+    from entity_resolution_engine_ray.functions.textstats import bpe_token_count, token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe_token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_shuffle_shards(sf_dir: str):
     """Deterministic export sharding — the write-side partitioning a
     resumable 100-TB corpus export needs (restart skips finished shards,
@@ -1442,6 +1465,7 @@ QUERIES = {
     "doc_tfidf_top3": q_doc_tfidf_top3,
     "doc_top_bigrams": q_doc_top_bigrams,
     "doc_repetition": q_doc_repetition,
+    "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
     "events_hourly": q_events_hourly,
@@ -1620,6 +1644,13 @@ ORACLE_SQL = {
                ROUND(1.0 - COUNT(*) / SUM(c)::DOUBLE, 4) AS dup_ratio,
                ROUND(MAX(c) / SUM(c)::DOUBLE, 4) AS top_token_frac
         FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    "doc_token_counts": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'))
+                   AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
     """,
     "doc_shuffle_shards": """
         SELECT (doc_id * 2654435761) % 4294967296 % 8 AS shard,

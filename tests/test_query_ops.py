@@ -66,6 +66,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_repetition",
         "doc_shuffle_shards",
         "label_centroids",
+        "doc_token_counts",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -146,3 +147,34 @@ def test_redact_stage_scrubs_pii(ray_session):
     )
     assert out2["text"][0] == rows[0][0]
     assert out2["clean"][0] == "mail me at [EMAIL] today"
+
+
+def test_bpe_token_count_on_punctuation_rich_text():
+    """The BPE-ish counter diverges from whitespace counts exactly where a
+    GPT-2-style pre-tokenizer would split: punctuation runs, digit runs,
+    and intra-word symbols. Python re with the same pattern is the oracle."""
+    import re
+
+    import pyarrow as pa
+
+    from entity_resolution_engine_ray.functions.textstats import (
+        BPE_SPLIT_PATTERN,
+        bpe_token_count,
+        token_count,
+    )
+
+    texts = [
+        "hello,world! it's 3.14 foo_bar",
+        "a--b  c",
+        "plain words only here",
+        "",
+        "2026-08-17T12:00:00Z",
+    ]
+    arr = pa.array(texts)
+    got = bpe_token_count(arr).to_pylist()
+    expect = [len(re.findall(BPE_SPLIT_PATTERN, t)) for t in texts]
+    assert got == expect
+    # punctuation-rich rows really split more
+    ws = token_count(arr).to_pylist()
+    assert got[0] > ws[0] and got[4] > ws[4]
+    assert got[2] == ws[2]
