@@ -846,6 +846,43 @@ def q_label_centroids(sf_dir: str):
     return agg[["label", "dim", "centroid"]]
 
 
+def q_pagerank_top20(sf_dir: str):
+    """Link-graph authority ranking (simplified fixed-iteration PageRank, 3
+    rounds, d=0.85) over the customer→supplier purchase graph — the
+    quality-weighting signal a web corpus computes over its hyperlink graph.
+    Edge build: ONE orderkey hash-cogroup with per-partition dedup, then
+    ``stages/pagerank.pagerank`` (stationary src-partitioned edges,
+    partition-local rank joins, O(|V|) contribution rows per round, zero
+    driver syncs inside the loop). Oracle: the same three rounds as layered
+    SQL CTEs."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+    from entity_resolution_engine_ray.stages.pagerank import pagerank
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+
+    def edge_pairs(o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty or l_pdf.empty:
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype=np.int64), "dst": pd.Series([], dtype=np.int64)}
+            )
+        m = o_pdf.merge(l_pdf, left_on="o_orderkey", right_on="l_orderkey")
+        return pd.DataFrame(
+            {"src": m["o_custkey"].to_numpy(np.int64), "dst": m["l_suppkey"].to_numpy(np.int64) + 1000000}
+        ).drop_duplicates()
+
+    edges = hash_exchange_cogroup(
+        orders, lineitem, ["o_orderkey"], ["l_orderkey"], edge_pairs, default_join_partitions()
+    )
+    ranks = pagerank(edges, n_iters=3, damping=0.85)
+    top = ranks.sort_values(["r", "node"], ascending=[False, True], kind="mergesort").head(20)
+    out = pd.DataFrame(
+        {"node": top["node"].to_numpy(np.int64), "pr": _rha(top["r"], 6)}
+    )
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # events: windows / sessionization / top-k
 # ---------------------------------------------------------------------------
@@ -1468,6 +1505,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
+    "pagerank_top20": q_pagerank_top20,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "sliding_window": q_sliding_window,
@@ -1657,6 +1695,40 @@ ORACLE_SQL = {
                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
                SUM(doc_id)::BIGINT AS sum_doc
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "pagerank_top20": """
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        deg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 AS r FROM nodes),
+        r1 AS (
+            SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(r0.r / deg.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN r0 ON r0.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY n.node
+        ),
+        r2 AS (
+            SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(r1.r / deg.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN r1 ON r1.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY n.node
+        ),
+        r3 AS (
+            SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(r2.r / deg.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN r2 ON r2.node = e.src
+            LEFT JOIN deg ON deg.src = e.src
+            GROUP BY n.node
+        )
+        SELECT node, ROUND(r, 6) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20
     """,
     "label_centroids": """
         SELECT label, i AS dim, ROUND(AVG(x), 6) AS centroid

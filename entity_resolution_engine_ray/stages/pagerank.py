@@ -1,0 +1,140 @@
+"""Distributed PageRank over an edge list — the link-graph quality signal
+web-corpus pipelines attach to documents before filtering/weighting.
+
+Simplified fixed-iteration formulation (init r=1, no dangling-mass
+redistribution): ``r'[n] = (1-d) + d * Σ_{(s,n)∈E} r[s] / outdeg[s]`` —
+exactly expressible as K layered SQL CTEs, so the driver can hash-check it
+against DuckDB (see pipelines/queries.q_pagerank_top20).
+
+Scale shape (the labelprop-CC pattern, stages/cluster.py):
+- edges are hash-partitioned by ``src`` ONCE (stationary across rounds);
+  edge dedup and out-degree are computed partition-locally after that
+  exchange — correct because every (src, *) lands in one partition.
+- rank rows are partitioned by the SAME value hash, so the rank⋈edge join
+  on src is partition-local every round; only per-dst contribution
+  partials (pre-aggregated within the partition before the split) move
+  between rounds — O(|V|) rows per round, never the edges.
+- rounds are chained on object refs with NO driver sync inside the loop;
+  the single ``ray.get`` happens when the final ranks are collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from entity_resolution_engine_ray.stages.exchange import (
+    _partition_hash,
+    exchange_partition_refs,
+)
+
+
+@ray.remote
+def _prep_edges(part: pa.Table, src_col: str, dst_col: str) -> pa.Table:
+    """Partition-local edge dedup + out-degree (global-exact: the partition
+    owns every out-edge of its src keys)."""
+    pdf = part.to_pandas()[[src_col, dst_col]].drop_duplicates()
+    if len(pdf):
+        pdf["outdeg"] = pdf.groupby(src_col)[dst_col].transform("size").astype(np.int64)
+    else:
+        pdf["outdeg"] = pd.Series([], dtype=np.int64)
+    pdf = pdf.rename(columns={src_col: "src", dst_col: "dst"})
+    return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
+
+
+@ray.remote
+def _init_ranks(part: pa.Table) -> pa.Table:
+    nodes = pd.unique(part.to_pandas()["node"])
+    return pa.table(
+        {"node": pa.array(np.sort(nodes)), "r": pa.array(np.ones(len(nodes), dtype=np.float64))}
+    )
+
+
+def _contrib_impl(edge_part: pa.Table, rank_part: pa.Table, P: int):
+    e = edge_part.to_pandas()
+    r = rank_part.to_pandas()
+    if len(e) == 0 or len(r) == 0:
+        empty = pa.table(
+            {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.float64())}
+        )
+        return tuple([empty] * P) if P > 1 else empty
+    m = e.merge(r, left_on="src", right_on="node", how="left")
+    contrib = (
+        pd.DataFrame(
+            {"dst": m["dst"], "c": m["r"].to_numpy(np.float64) / m["outdeg"].to_numpy(np.float64)}
+        )
+        .groupby("dst", as_index=False)["c"]
+        .sum()
+    )
+    tbl = pa.Table.from_pandas(contrib, preserve_index=False).replace_schema_metadata(None)
+    pg = _partition_hash(tbl, ["dst"], P)
+    order = np.argsort(pg, kind="stable")
+    bounds = np.searchsorted(pg[order], np.arange(P + 1))
+    out = [tbl.take(pa.array(order[bounds[p] : bounds[p + 1]])) for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+def _update_impl(rank_part: pa.Table, damping: float, *contribs: pa.Table) -> pa.Table:
+    r = rank_part.to_pandas()
+    parts = [c.to_pandas() for c in contribs if c.num_rows > 0]
+    if parts:
+        summed = pd.concat(parts).groupby("dst", as_index=False)["c"].sum()
+        m = r.merge(summed, left_on="node", right_on="dst", how="left")
+        total = m["c"].fillna(0.0).to_numpy(np.float64)
+    else:
+        total = np.zeros(len(r), dtype=np.float64)
+    return pa.table(
+        {"node": rank_part["node"], "r": pa.array((1.0 - damping) + damping * total)}
+    )
+
+
+def pagerank(
+    edges_ds,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """Run ``n_iters`` synchronous PageRank rounds over ``edges_ds``
+    (directed, duplicates tolerated) and return (node, r) for every node.
+    The returned frame is |V|-sized — callers at corpus scale should take a
+    top-k or write it out instead of holding all ranks on the driver; the
+    iteration itself never materializes edges or ranks driver-side."""
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    P = num_partitions or default_join_partitions()
+
+    edge_parts = [
+        _prep_edges.remote(p, src_col, dst_col)
+        for p in exchange_partition_refs(edges_ds, [src_col], P)
+    ]
+
+    # node universe = src ∪ dst, partitioned by the same value hash
+    import ray.data as rd
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        cols = [t[src_col], t[dst_col]]
+        merged = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols])
+        return pa.table({"node": pa.array(np.unique(np.asarray(merged)))})
+
+    nodes_ds = edges_ds.map_batches(to_nodes, batch_format="pyarrow")
+    rank_parts = [_init_ranks.remote(p) for p in exchange_partition_refs(nodes_ds, ["node"], P)]
+
+    contrib = ray.remote(_contrib_impl).options(num_returns=P if P > 1 else 1)
+    update = ray.remote(_update_impl)
+    for _ in range(n_iters):
+        splits = [contrib.remote(edge_parts[p], rank_parts[p], P) for p in range(P)]
+        rank_parts = [
+            update.remote(
+                rank_parts[q],
+                damping,
+                *([s[q] for s in splits] if P > 1 else splits),
+            )
+            for q in range(P)
+        ]
+
+    out = pd.concat([t.to_pandas() for t in ray.get(rank_parts)], ignore_index=True)
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)

@@ -32,7 +32,7 @@ def _run_pair(name: str):
     res = QUERIES[name](SF_DIR)
     rdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     con = duckdb.connect()
-    for tb in ("events", "documents", "embeddings"):
+    for tb in ("events", "documents", "embeddings", "orders", "lineitem"):
         con.execute(
             f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{SF_DIR}/{tb}.parquet')"
         )
@@ -67,6 +67,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_shuffle_shards",
         "label_centroids",
         "doc_token_counts",
+        "pagerank_top20",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
