@@ -843,6 +843,7 @@ def q_label_centroids(sf_dir: str):
     agg = agg.sort_values(["label", "dim"], kind="mergesort").reset_index(drop=True)
     agg["centroid"] = _rha(agg["s"] / agg["n"], 6)
     agg["dim"] = agg["dim"].astype(np.int64)
+    agg["label"] = agg["label"].astype(np.int32)  # parquet/oracle dtype
     return agg[["label", "dim", "centroid"]]
 
 

@@ -98,3 +98,65 @@ def hll_count_distinct(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partition_map_groups(partials, key_cols, finish, num_partitions)
+
+
+def histogram_quantiles(
+    ds, value_col: str, qs: list[float], bins: int = 4096
+) -> pd.DataFrame:
+    """Approximate quantiles via a fixed-width histogram sketch — the
+    mergeable alternative to the exact sort-based ``stages/quantiles`` when
+    the column is numeric and a bounded absolute error is acceptable.
+
+    Two streaming passes, no sort, no row shuffle:
+    1. global min/max (tiny aggregate);
+    2. per-batch histogram partials (``np.histogram`` against the shared
+       edges) — merge is a vector ADD, so any partitioning gives the same
+       sketch — then a driver-side cumsum + linear interpolation.
+
+    Error bound: within-bin interpolation cannot miss the true quantile by
+    more than one bin width, ``(max - min) / bins`` — the guarantee the
+    test pins. Returns a DataFrame (q, value)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(
+        Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"),
+        Count(value_col, alias_name="n"),
+    )
+    lo, hi, n_rows = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    if n_rows == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": np.nan})
+    if hi == lo:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": lo})
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bin": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+            )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        counts, _ = np.histogram(v, bins=edges)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bin": pa.array(nz), "n": pa.array(counts[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    hist = np.zeros(bins, dtype=np.int64)
+    hist[agg["bin"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    cum = np.cumsum(hist)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q * (total - 1) + 1  # rank in [1, total], linear-ish
+        b = int(np.searchsorted(cum, target))
+        b = min(b, bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        inbin = hist[b]
+        frac = (target - prev) / inbin if inbin > 0 else 0.0
+        out.append(edges[b] + frac * (edges[b + 1] - edges[b]))
+    return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": np.array(out)})

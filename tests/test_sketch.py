@@ -72,3 +72,35 @@ def test_hll_empty(ray_session):
     )
     out = hll_count_distinct(rd.from_pandas(pdf), ["lang"], "h").to_pandas()
     assert len(out) == 0
+
+
+def test_histogram_quantiles_error_bound_and_merge_invariance(ray_session):
+    """Histogram quantile sketch: within one bin width of the exact
+    quantile (the documented bound), identical across partitionings
+    (merge is a vector add), and exact on constant columns."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(19)
+    vals = np.concatenate(
+        [rng.normal(50, 10, 20000), rng.exponential(5, 5000) + 90]
+    )  # bimodal + heavy tail
+    tbl = pa.table({"v": pa.array(vals)})
+    qs = [0.1, 0.5, 0.9, 0.99]
+    bins = 2048
+    bound = (vals.max() - vals.min()) / bins
+
+    got = histogram_quantiles(rd.from_arrow(tbl).repartition(9), "v", qs, bins=bins)
+    exact = np.quantile(vals, qs)
+    assert np.abs(got["value"].to_numpy() - exact).max() <= bound * 1.0001
+
+    got2 = histogram_quantiles(rd.from_arrow(tbl).repartition(3), "v", qs, bins=bins)
+    np.testing.assert_array_equal(got["value"].to_numpy(), got2["value"].to_numpy())
+
+    const = histogram_quantiles(
+        rd.from_arrow(pa.table({"v": pa.array(np.full(100, 7.5))})), "v", [0.25, 0.75]
+    )
+    assert (const["value"] == 7.5).all()
