@@ -1,0 +1,73 @@
+"""Distributed PCA vs a serial numpy oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emb_table(mat: np.ndarray) -> pa.Table:
+    n, d = mat.shape
+    arr = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(mat.reshape(-1).astype(np.float32)),
+    )
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)), "embedding": arr})
+
+
+def test_pca_matches_numpy_and_is_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.linalg import pca_fit, pca_project
+
+    rng = np.random.default_rng(13)
+    # anisotropic data: distinct spectrum so eigenvectors are unique up to sign
+    basis, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    scales = np.linspace(8, 0.5, 16)
+    mat = (rng.normal(size=(3000, 16)) * scales) @ basis.T + rng.normal(size=16)
+    mat = mat.astype(np.float32).astype(np.float64)  # match list<float> storage
+
+    k = 4
+    ds = rd.from_arrow(_emb_table(mat)).repartition(7)
+    model = pca_fit(ds, k=k)
+
+    # serial oracle on the same float32-quantized data
+    mean = mat.mean(axis=0)
+    cov = (mat - mean).T @ (mat - mean) / len(mat)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    want = evecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(want[i])))
+        if want[i, j] < 0:
+            want[i] = -want[i]
+
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+    np.testing.assert_allclose(model["components"], want, atol=1e-7)
+    np.testing.assert_allclose(model["explained_var"], evals[order], atol=1e-7)
+
+    # partitioning invariance of the fit (partials merge by addition)
+    model3 = pca_fit(rd.from_arrow(_emb_table(mat)).repartition(3), k=k)
+    np.testing.assert_allclose(model["components"], model3["components"], atol=1e-9)
+
+    # projection: vs direct matmul, and variance actually concentrates
+    out = (
+        pca_project(ds, model)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got_proj = np.vstack(out["pca"].to_numpy())
+    want_proj = ((mat - mean) @ want.T).astype(np.float32)
+    np.testing.assert_allclose(got_proj, want_proj, atol=1e-4)
+    var = got_proj.astype(np.float64).var(axis=0)
+    assert (np.diff(var) <= 1e-6).all()  # decreasing variance per component
+
+
+def test_pca_empty_raises(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.linalg import pca_fit
+
+    empty = _emb_table(np.zeros((0, 4)))
+    with pytest.raises(ValueError):
+        pca_fit(rd.from_arrow(empty), k=2)
