@@ -1,4 +1,6 @@
-"""HyperLogLog grouped approximate count-distinct.
+"""Mergeable sketches: HyperLogLog count-distinct, histogram quantiles,
+self-certifying heavy hitters. Each trades bounded error for O(sketch)
+instead of O(rows) shuffle traffic.
 
 The exact grouped distinct (pipelines/queries.q_doc_distinct_by_lang) ships
 one 8-byte content hash per ROW through the exchange — correct, but at
@@ -160,3 +162,69 @@ def histogram_quantiles(
         frac = (target - prev) / inbin if inbin > 0 else 0.0
         out.append(edges[b] + frac * (edges[b + 1] - edges[b]))
     return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64), "value": np.array(out)})
+
+
+def heavy_hitters(
+    ds, col: str, k: int, candidates_per_batch: int | None = None
+) -> pd.DataFrame:
+    """Approximate top-k frequent values with SELF-CERTIFYING bounds —
+    the scale answer to ``doc_top_tokens``-style exact counting when the
+    key universe (vocab, n-grams, urls) is too large to shuffle whole.
+
+    Per batch: an exact local ``value_counts`` truncated to the top
+    ``candidates_per_batch`` (default ``8k``) candidates; the count of the
+    first DROPPED value is the batch's error bound ε_b (no surviving key
+    can be undercounted by more, and no dropped key can exceed it).
+    Partials merge by sum; a key absent from a batch may have had up to
+    that batch's ε_b occurrences there, giving per-key lower/upper count
+    bounds. The result is ordered by lower bound and carries ``exact``:
+    True iff the k-th lower bound beats every excluded key's upper bound —
+    i.e. the sketch PROVES its own top-k is the true top-k (typical for
+    zipf-shaped data; flips False instead of lying on flat data)."""
+    m = candidates_per_batch or 8 * k
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "eps": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = (
+            pd.Series(t[col].to_numpy(zero_copy_only=False))
+            .dropna()  # null keys carry the per-batch ε marker (below)
+            .value_counts()
+        )
+        eps = int(vc.iloc[m]) if len(vc) > m else 0
+        top = vc.iloc[:m]
+        # one null-key marker row per batch holds that batch's ε exactly
+        # once — deterministic, no batch-id bookkeeping
+        keys = np.concatenate([top.index.to_numpy(), [None]])
+        return pa.table(
+            {
+                col: pa.array(keys, type=pa.string()),
+                "n": pa.array(np.concatenate([top.to_numpy(np.int64), [0]])),
+                "eps": pa.array(np.full(len(top) + 1, eps, dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or col not in parts.columns:
+        return pd.DataFrame(
+            {col: [], "count_lo": [], "count_hi": [], "exact": pd.Series([], dtype=bool)}
+        )
+    total_eps = int(parts.loc[parts[col].isna(), "eps"].sum())
+    g = parts.dropna(subset=[col]).groupby(col).agg(
+        count_lo=("n", "sum"), present_eps=("eps", "sum")
+    )
+    # a key missing from a batch may have occurred up to that batch's eps
+    g["count_hi"] = g["count_lo"] + (total_eps - g["present_eps"])
+    g = g.sort_values(["count_lo", "count_hi"], ascending=False, kind="mergesort")
+    top = g.iloc[:k]
+    excluded_hi = int(g["count_hi"].iloc[k:].max()) if len(g) > k else 0
+    exact = bool(len(top) and int(top["count_lo"].iloc[-1]) > excluded_hi)
+    out = top.reset_index()[[col, "count_lo", "count_hi"]]
+    out["exact"] = exact
+    return out

@@ -104,3 +104,33 @@ def test_histogram_quantiles_error_bound_and_merge_invariance(ray_session):
         rd.from_arrow(pa.table({"v": pa.array(np.full(100, 7.5))})), "v", [0.25, 0.75]
     )
     assert (const["value"] == 7.5).all()
+
+
+def test_heavy_hitters_certifies_exact_on_zipf(ray_session):
+    """On skewed (zipf) data the sketch proves its top-k equals exact
+    counting; on flat data it must flip exact=False rather than lie."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    zipf = np.minimum(rng.zipf(1.4, 60000), 5000)
+    vals = pd.Series([f"tok{z}" for z in zipf])
+    ds = rd.from_arrow(pa.table({"tok": pa.array(vals)})).repartition(11)
+
+    k = 10
+    got = heavy_hitters(ds, "tok", k)
+    assert len(got) == k and got["exact"].all()
+    exact = vals.value_counts().iloc[:k]
+    assert list(got["tok"]) == list(exact.index)
+    assert list(got["count_lo"]) == list(exact.to_numpy())      # certified ⇒ exact counts
+    assert (got["count_hi"] >= got["count_lo"]).all()
+
+    # flat data, tiny candidate budget: bounds can't separate top-k
+    flat = pd.Series([f"u{v}" for v in rng.integers(0, 3000, 30000)])
+    ds_flat = rd.from_arrow(pa.table({"tok": pa.array(flat)})).repartition(11)
+    got_flat = heavy_hitters(ds_flat, "tok", 5, candidates_per_batch=8)
+    assert not got_flat["exact"].any()
