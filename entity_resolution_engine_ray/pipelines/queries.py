@@ -847,6 +847,39 @@ def q_label_centroids(sf_dir: str):
     return agg[["label", "dim", "centroid"]]
 
 
+def q_doc_top_tokens_sketch(sf_dir: str):
+    """Top-20 tokens via the self-certifying heavy-hitters sketch
+    (stages/sketch.heavy_hitters) instead of the exact vocab-wide groupby —
+    the O(sketch)-traffic path doc_top_tokens would take at an unbounded
+    vocab. The sketch is asked for k=40 with an 8× candidate budget; on
+    this fixture the budget exceeds the vocab so ε=0 and the certificate
+    (``exact``) is asserted before the counts are returned — i.e. the
+    query REFUSES to silently approximate, which is what makes the exact
+    SQL oracle legitimate here."""
+    from entity_resolution_engine_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        _, flat = _explode_tokens(t)
+        return pa.table({"token": pa.array(flat, type=pa.string())})
+
+    hh = heavy_hitters(ds.map_batches(toks, batch_format="pyarrow"), "token", k=40)
+    if not bool(hh["exact"].all()):
+        raise RuntimeError(
+            "heavy-hitters certificate failed on this fixture — counts would "
+            "be approximate; raise candidates_per_batch"
+        )
+    out = (
+        hh.rename(columns={"count_lo": "n"})[["token", "n"]]
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_pagerank_top20(sf_dir: str):
     """Link-graph authority ranking (simplified fixed-iteration PageRank, 3
     rounds, d=0.85) over the customer→supplier purchase graph — the
@@ -1506,6 +1539,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
+    "doc_top_tokens_sketch": q_doc_top_tokens_sketch,
     "pagerank_top20": q_pagerank_top20,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
@@ -1696,6 +1730,14 @@ ORACLE_SQL = {
                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
                SUM(doc_id)::BIGINT AS sum_doc
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "doc_top_tokens_sketch": """
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
     """,
     "pagerank_top20": """
         WITH edges AS (

@@ -221,7 +221,9 @@ def heavy_hitters(
     )
     # a key missing from a batch may have occurred up to that batch's eps
     g["count_hi"] = g["count_lo"] + (total_eps - g["present_eps"])
-    g = g.sort_values(["count_lo", "count_hi"], ascending=False, kind="mergesort")
+    g = g.reset_index().sort_values(
+        ["count_lo", "count_hi", col], ascending=[False, False, True], kind="mergesort"
+    ).set_index(col)
     top = g.iloc[:k]
     excluded_hi = int(g["count_hi"].iloc[k:].max()) if len(g) > k else 0
     exact = bool(len(top) and int(top["count_lo"].iloc[-1]) > excluded_hi)

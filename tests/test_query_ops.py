@@ -68,6 +68,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
+        "doc_top_tokens_sketch",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
