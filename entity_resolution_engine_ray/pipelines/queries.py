@@ -190,6 +190,60 @@ def q_near_dup_minhash(sf_dir: str):
     )
 
 
+def q_near_dup_keep_best(sf_dir: str):
+    """The dedup pipeline's actual DELIVERABLE: one representative document
+    kept per near-dup cluster (longest text wins, ties → min doc_id) — what
+    a training-corpus export writes after MinHash-LSH clustering. One
+    doc_id hash-cogroup attaches n_chars to the cluster labels, then a
+    cluster_id-partitioned grouped argmax picks the keeper. Oracle: the
+    near_dup_minhash recursive-closure SQL extended with a per-cluster
+    ROW_NUMBER window."""
+    from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    clusters = minhash_near_dup_clusters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    )
+    meta = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def join_meta(c_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_chars": pd.Series([], dtype=np.int64),
+                    "cluster_size": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = c_pdf.merge(d_pdf, on="doc_id")
+        return m[["cluster_id", "doc_id", "n_chars", "cluster_size"]]
+
+    joined = hash_exchange_cogroup(
+        clusters, meta, ["doc_id"], ["doc_id"], join_meta, default_join_partitions()
+    )
+
+    def best(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            pdf.sort_values(
+                ["cluster_id", "n_chars", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates("cluster_id", keep="first")
+            .rename(columns={"doc_id": "kept_doc_id"})
+        )
+        return top[["cluster_id", "kept_doc_id", "cluster_size"]]
+
+    out = partition_map_groups(joined, ["cluster_id"], best, 8).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_simhash_fingerprint(sf_dir: str):
     """64-bit SimHash per document (no SQL oracle)."""
     from entity_resolution_engine_ray.stages.dedup import simhash_stage
@@ -1520,6 +1574,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
     "near_dup_minhash": q_near_dup_minhash,
+    "near_dup_keep_best": q_near_dup_keep_best,
     "simhash_fingerprint": q_simhash_fingerprint,
     "near_dup_simhash": q_near_dup_simhash,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1565,6 +1620,46 @@ QUERIES = {
 
 _TOK = TOKEN_PATTERN
 _PUN = PUNCT_PATTERN
+
+# Shared by near_dup_minhash / near_dup_keep_best: exhaustive 3-shingle
+# Jaccard pairs + recursive-CTE transitive closure (cluster = min doc_id).
+_NEAR_DUP_CLOSURE_CTE = r"""
+        WITH RECURSIVE arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT l, r
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.l
+            JOIN sizes sb ON sb.doc_id = inter.r
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        ),
+        bidir AS (
+            SELECT l AS src, r AS dst FROM edges
+            UNION ALL
+            SELECT r AS src, l AS dst FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
+        ),
+        lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+"""
 
 ORACLE_SQL = {
     "exact_dedup_docs": (
@@ -1942,45 +2037,25 @@ ORACLE_SQL = {
     # on these fixtures (see q_near_dup_minhash docstring). Tokenization
     # mirrors oracle.serial.canonical_tokens (lower → non-word → space →
     # whitespace split); shingles are positional 3-grams of tokens.
-    "near_dup_minhash": r"""
-        WITH RECURSIVE arrs AS (
-            SELECT doc_id,
-                   regexp_split_to_array(
-                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
-                       '\s+') AS a
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
-            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        edges AS (
-            SELECT l, r
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = inter.l
-            JOIN sizes sb ON sb.doc_id = inter.r
-            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
-        ),
-        bidir AS (
-            SELECT l AS src, r AS dst FROM edges
-            UNION ALL
-            SELECT r AS src, l AS dst FROM edges
-        ),
-        reach(a, b) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
-        ),
-        lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    "near_dup_minhash": _NEAR_DUP_CLOSURE_CTE
+    + """
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab
+    """,
+    "near_dup_keep_best": _NEAR_DUP_CLOSURE_CTE
+    + """
+        , ranked AS (
+            SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lab.cluster_id
+                       ORDER BY d.n_chars DESC, lab.doc_id ASC
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+            FROM lab JOIN documents d USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS kept_doc_id, cluster_size
+        FROM ranked WHERE rk = 1 ORDER BY cluster_id
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

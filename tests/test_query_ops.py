@@ -69,6 +69,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_token_counts",
         "pagerank_top20",
         "doc_top_tokens_sketch",
+        "near_dup_keep_best",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
