@@ -218,3 +218,107 @@ def run_pages_er(
         "quality_gate": gate_result,
         "timings": timings,
     }
+
+
+def run_pages_er_incremental(
+    prev_out_dir: str,
+    new_pages,
+    out_dir: str,
+    cfg: PagesERConfig | None = None,
+    num_partitions: int | None = None,
+    pages_format: str = "parquet",
+) -> dict:
+    """Incremental resolution: fold a NEW batch of pages into a completed
+    run without re-scoring the old corpus against itself.
+
+    The pair-scoring stage is the pipeline's dominant cost and is block-
+    local, so only blocks containing at least one new page can produce new
+    or changed edges. This path:
+
+    1. featurizes ONLY the new batch and unions it with the previous
+       ``features`` checkpoint;
+    2. re-runs fused pair-scoring restricted (``key_filter``) to block keys
+       the new batch touches — old-old pairs inside a touched block rescore
+       to byte-identical edges; untouched blocks never enter the shuffle;
+    3. unions the new edges with the previous ``edges`` checkpoint and
+       dedups on (left_id, right_id) — either copy of a rescored edge is
+       identical, so keep-first is exact;
+    4. writes both unions as COMPLETED checkpoints in ``out_dir`` and
+       delegates to ``run_pages_er(resume=True)``, which skips straight to
+       clustering/merge/metrics — the incremental path exercises the exact
+       resume contract the kill/resume tests pin.
+
+    Equality contract (pinned in tests/test_incremental.py): the result
+    equals a full run over old ∪ new — same edges, same cluster partitions
+    — while scoring only O(touched blocks) pairs. Cost at 100 TB: a small
+    daily batch touches a small fraction of blocks, so step 2 is ~|new| ×
+    avg-block-size pair scores instead of |corpus|²-shaped work; steps 3-5
+    stay O(corpus) but shuffle-light (labels move O(|V|) rows)."""
+    import numpy as np
+
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    cfg = cfg or PagesERConfig()
+    phash = f"{config_hash(cfg)}-v{PIPELINE_VERSION}"
+    prev = CheckpointStore(prev_out_dir, enabled=True)
+    if not (prev.is_done("features", phash) and prev.is_done("edges", phash)):
+        raise ValueError(
+            "previous run is incomplete or was produced by a different "
+            "config/pipeline version — run the full pipeline instead"
+        )
+    features_prev = prev.read("features")
+    edges_prev = prev.read("edges")
+
+    store = CheckpointStore(out_dir, enabled=True)
+    if not (store.is_done("features", phash) and store.is_done("edges", phash)):
+        # ---- new-batch features + union checkpoint
+        if isinstance(new_pages, str):
+            from entity_resolution_engine_ray.sources.pages import read_pages
+
+            new_ds = read_pages(new_pages, format=pages_format)
+        else:
+            new_ds = new_pages
+        features_new = feature_stage(extract_stage(new_ds), cfg)
+        features_new = features_new.materialize()
+
+        # ---- touched block keys (small side: |new| × bands int64 keys)
+        from entity_resolution_engine_ray.stages.block import block_keys_stage
+
+        touched = np.unique(
+            block_keys_stage(features_new).to_pandas()["block_key"].to_numpy(np.int64)
+        )
+
+        features = features_prev.union(features_new)
+        features = store.write(features, "features", phash)
+
+        # ---- rescore ONLY touched blocks over the unioned corpus
+        edges_new, dropped_new = fused_edges_stage(
+            features, cfg, key_filter=touched
+        )
+
+        # ---- edge union + exact dedup on the id pair
+        def dedup_pairs(pdf):
+            return pdf.drop_duplicates(["left_id", "right_id"], keep="first")
+
+        edges = partition_map_groups(
+            edges_prev.union(edges_new),
+            ["left_id", "right_id"],
+            dedup_pairs,
+            num_partitions or 16,
+        )
+        store.write(
+            edges,
+            "edges",
+            phash,
+            extra={
+                "dropped_pairs": dropped_new,
+                "incremental_from": prev_out_dir,
+                "touched_blocks": int(len(touched)),
+            },
+        )
+
+    # ---- clustering / merge / metrics: the standard resume path
+    return run_pages_er(
+        new_pages, out_dir, cfg, resume=True, num_partitions=num_partitions,
+        pages_format=pages_format,
+    )

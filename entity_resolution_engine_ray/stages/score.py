@@ -387,7 +387,12 @@ def _dedup_edges_partition(tbl: pa.Table) -> pa.Table:
     return tbl.take(pa.array(perm[first]))
 
 
-def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64):
+def fused_edges_stage(
+    features_ds,
+    cfg: PagesERConfig | None = None,
+    num_partitions: int = 64,
+    key_filter=None,
+):
     """features → scored+gated edge Dataset in two shuffles (fat-block
     sort shuffle + slim edge dedup), replacing the pairgen + 2-join + score
     chain. Returns (edges_ds, dropped_pair_count).
@@ -396,19 +401,46 @@ def fused_edges_stage(features_ds, cfg: PagesERConfig | None = None, num_partiti
     dedup split for partition p is scheduled directly on the score reduce
     ref for p, so dedup starts the moment each score partition finishes —
     no driver barrier between the waves, and the per-partition dropped
-    counts fold in via side tasks instead of a driver-side full-column scan."""
+    counts fold in via side tasks instead of a driver-side full-column scan.
+
+    ``key_filter``: optional sorted int64 array of block keys — only blocks
+    with those keys are paired/scored (the incremental-resolution path:
+    blocks untouched by a new batch keep their previously-scored edges).
+    Broadcast once via ``ray.put``; filtering is a vectorized searchsorted
+    per batch on both the key-only and fat paths, so untouched blocks never
+    enter the shuffle at all."""
     from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_chained
     from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
+    keys_ds = block_keys_stage(features_ds)  # key-only explode: 8 bytes/row
+    fat = fat_block_rows_stage(features_ds)
+    if key_filter is not None:
+        import ray
+
+        allowed_ref = ray.put(np.asarray(key_filter, dtype=np.int64))
+
+        def keep_keys(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            allowed = ray.get(allowed_ref)
+            k = t["block_key"].to_numpy(zero_copy_only=False)
+            if len(allowed) == 0:
+                return t.filter(pa.array(np.zeros(len(k), dtype=bool)))
+            pos = np.searchsorted(allowed, k)
+            pos[pos >= len(allowed)] = len(allowed) - 1
+            return t.filter(pa.array(allowed[pos] == k))
+
+        keys_ds = keys_ds.map_batches(keep_keys, batch_format="pyarrow")
+        fat = fat.map_batches(keep_keys, batch_format="pyarrow")
     hot = hot_key_splits(
-        block_keys_stage(features_ds),  # key-only explode: 8 bytes/row
+        keys_ds,
         cfg.max_block_size,
         n_rows_hint=features_ds.count() * cfg.bands,  # metadata-only count
     )
-    fat = fat_block_rows_stage(features_ds).map_batches(
+    fat = fat.map_batches(
         _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
     )
     edges, dropped = hash_exchange_chained(
