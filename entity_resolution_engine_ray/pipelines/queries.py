@@ -244,6 +244,81 @@ def q_near_dup_keep_best(sf_dir: str):
     return out.sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_corpus_export(sf_dir: str):
+    """END-TO-END training-corpus export, hash-checked as ONE pipeline:
+    quality filter (≥30 tokens) → benchmark decontamination (broadcast
+    snippet screen) → MinHash-LSH near-dup clustering over the survivors →
+    keep-best representative per cluster → deterministic shard assignment.
+    The composition is the point: each stage streams Arrow batches into the
+    next (the two filters fuse into a single map over the read), and the
+    whole thing still matches a single DuckDB query built from the same
+    pieces — filter predicates, EXISTS screen, recursive closure, window."""
+    import ray
+
+    from entity_resolution_engine_ray.functions.textstats import token_count
+    from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+
+    def make_snips(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 25 == 0))
+        if len(sel) == 0:
+            return pa.table({"s": pa.array([], type=pa.string())})
+        words = pc.split_pattern(sel["text"].combine_chunks(), " ")
+        return pa.table({"s": pc.binary_join(pc.list_slice(words, 0, 5), " ")})
+
+    snips = sorted(set(docs.map_batches(make_snips, batch_format="pyarrow").to_pandas()["s"]))
+    snip_ref = ray.put(snips)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(token_count(t["text"]), pa.int64())
+        t = t.append_column("n_tokens", ntok)
+        t = t.filter(pc.greater_equal(t["n_tokens"], 30))
+        if t.num_rows == 0:
+            return t
+        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for s in ray.get(snip_ref):
+            hits += pc.match_substring(texts, s).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hits == 0))
+
+    clean = docs.map_batches(prefilter, batch_format="pyarrow").materialize()
+    clusters = minhash_near_dup_clusters(
+        clean.select_columns(["doc_id", "text"]), id_col="doc_id", text_col="text"
+    )
+    meta = clean.select_columns(["doc_id", "n_chars", "n_tokens"])
+
+    def join_meta(c_pdf: pd.DataFrame, m_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=np.int64)
+                    for c in ("cluster_id", "doc_id", "n_chars", "n_tokens", "cluster_size")
+                }
+            )
+        m = c_pdf.merge(m_pdf, on="doc_id")
+        return m[["cluster_id", "doc_id", "n_chars", "n_tokens", "cluster_size"]]
+
+    joined = hash_exchange_cogroup(
+        clusters, meta, ["doc_id"], ["doc_id"], join_meta, default_join_partitions()
+    )
+
+    def best(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = pdf.sort_values(
+            ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("cluster_id", keep="first")
+        return top[["doc_id", "n_tokens", "cluster_size"]]
+
+    out = partition_map_groups(joined, ["cluster_id"], best, 8).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    out["shard"] = (out["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296 % 8
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_simhash_fingerprint(sf_dir: str):
     """64-bit SimHash per document (no SQL oracle)."""
     from entity_resolution_engine_ray.stages.dedup import simhash_stage
@@ -1575,6 +1650,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "near_dup_minhash": q_near_dup_minhash,
     "near_dup_keep_best": q_near_dup_keep_best,
+    "corpus_export": q_corpus_export,
     "simhash_fingerprint": q_simhash_fingerprint,
     "near_dup_simhash": q_near_dup_simhash,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1621,15 +1697,16 @@ QUERIES = {
 _TOK = TOKEN_PATTERN
 _PUN = PUNCT_PATTERN
 
-# Shared by near_dup_minhash / near_dup_keep_best: exhaustive 3-shingle
-# Jaccard pairs + recursive-CTE transitive closure (cluster = min doc_id).
-_NEAR_DUP_CLOSURE_CTE = r"""
-        WITH RECURSIVE arrs AS (
+# Shared by near_dup_minhash / near_dup_keep_best / corpus_export:
+# exhaustive 3-shingle Jaccard pairs + recursive-CTE transitive closure
+# (cluster = min doc_id) over the SRC relation.
+_NEAR_DUP_CLOSURE_BODY = r"""
+        arrs AS (
             SELECT doc_id,
                    regexp_split_to_array(
                        trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
                        '\s+') AS a
-            FROM documents
+            FROM SRC
         ),
         sh AS (
             SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
@@ -1654,12 +1731,17 @@ _NEAR_DUP_CLOSURE_CTE = r"""
             SELECT r AS src, l AS dst FROM edges
         ),
         reach(a, b) AS (
-            SELECT doc_id, doc_id FROM documents
+            SELECT doc_id, doc_id FROM SRC
             UNION
             SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
         ),
         lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
 """
+
+
+def _near_dup_closure(src: str) -> str:
+    return "WITH RECURSIVE " + _NEAR_DUP_CLOSURE_BODY.replace("SRC", src)
+
 
 ORACLE_SQL = {
     "exact_dedup_docs": (
@@ -2037,13 +2119,45 @@ ORACLE_SQL = {
     # on these fixtures (see q_near_dup_minhash docstring). Tokenization
     # mirrors oracle.serial.canonical_tokens (lower → non-word → space →
     # whitespace split); shingles are positional 3-grams of tokens.
-    "near_dup_minhash": _NEAR_DUP_CLOSURE_CTE
+    "corpus_export": (
+        r"""WITH RECURSIVE filtered AS (
+            SELECT doc_id, text, n_chars,
+                   len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens
+            FROM documents
+            WHERE len(regexp_extract_all(text, '[^ \t\n\r]+')) >= 30
+        ),
+        snip AS (
+            SELECT DISTINCT array_to_string(string_split(text, ' ')[1:5], ' ') AS s
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        clean AS (
+            SELECT f.* FROM filtered f
+            WHERE NOT EXISTS (SELECT 1 FROM snip WHERE contains(f.text, snip.s))
+        ),
+        """
+        + _NEAR_DUP_CLOSURE_BODY.replace("SRC", "clean")
+        + """
+        , ranked AS (
+            SELECT lab.cluster_id, lab.doc_id, c.n_chars, c.n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lab.cluster_id
+                       ORDER BY c.n_chars DESC, lab.doc_id ASC
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+            FROM lab JOIN clean c USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, cluster_size,
+               (doc_id * 2654435761) % 4294967296 % 8 AS shard
+        FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """
+    ),
+    "near_dup_minhash": _near_dup_closure("documents")
     + """
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab
     """,
-    "near_dup_keep_best": _NEAR_DUP_CLOSURE_CTE
+    "near_dup_keep_best": _near_dup_closure("documents")
     + """
         , ranked AS (
             SELECT lab.cluster_id, lab.doc_id, d.n_chars,

@@ -70,6 +70,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "pagerank_top20",
         "doc_top_tokens_sketch",
         "near_dup_keep_best",
+        "corpus_export",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
