@@ -250,7 +250,9 @@ def run_pages_er_incremental(
 
     Equality contract (pinned in tests/test_incremental.py): the result
     equals a full run over old ∪ new — same edges, same cluster partitions
-    — while scoring only O(touched blocks) pairs. Cost at 100 TB: a small
+    — while scoring only O(touched blocks) pairs. Assumes the new batch's
+    urls are NEW (a re-crawled url would union two feature rows; dedup by
+    url upstream if re-ingestion is possible). Cost at 100 TB: a small
     daily batch touches a small fraction of blocks, so step 2 is ~|new| ×
     avg-block-size pair scores instead of |corpus|²-shaped work; steps 3-5
     stay O(corpus) but shuffle-light (labels move O(|V|) rows)."""
