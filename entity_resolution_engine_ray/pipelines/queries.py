@@ -812,6 +812,30 @@ def q_doc_top_bigrams(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_doc_dup_windows(sf_dir: str):
+    """Exact substring-duplication stats: per doc, how many of its 8-token
+    windows occur more than once in the corpus (stages/substr — rolling-hash
+    windows through ONE slim int64 shuffle; the suffix-array-dedup stand-in).
+    Oracle compares actual window STRINGS, so it also certifies the rolling
+    hash collision-free on this corpus."""
+    from entity_resolution_engine_ray.stages.substr import substring_dup_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = substring_dup_counts(ds, "doc_id", "text", window_tokens=8).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """Maximal duplicated token spans per doc — the cut list a
+    substring-dedup export applies (duplicated 8-token windows merged
+    gaps-and-islands into [start_tok, end_tok) spans)."""
+    from entity_resolution_engine_ray.stages.substr import substring_dup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = substring_dup_spans(ds, "doc_id", "text", window_tokens=8).to_pandas()
+    return out.sort_values(["doc_id", "start_tok"], kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality rule: per-doc token totals, distinct
     counts, duplicate-token ratio and most-frequent-token fraction. Entirely
@@ -1667,6 +1691,8 @@ QUERIES = {
     "doc_tfidf_top3": q_doc_tfidf_top3,
     "doc_top_bigrams": q_doc_top_bigrams,
     "doc_repetition": q_doc_repetition,
+    "doc_dup_windows": q_doc_dup_windows,
+    "doc_dup_spans": q_doc_dup_spans,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -1790,6 +1816,65 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    # 8-token duplicated windows over whitespace tokens — split pattern is
+    # the IDENTICAL RE2 string as stages/substr.TOKEN_SPLIT_PATTERN; the
+    # oracle groups actual window STRINGS where the engine groups 64-bit
+    # rolling hashes (hash-exactness certified by the comparison itself)
+    "doc_dup_windows": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM toks WHERE len(ts) >= 8
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS w
+            FROM idx
+        ),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2)
+        SELECT doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN w IN (SELECT w FROM dup) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows
+        FROM wins GROUP BY doc_id
+    """,
+    "doc_dup_spans": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM toks WHERE len(ts) >= 8
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS w
+            FROM idx
+        ),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+        dupw AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM dupw
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flagged
+        )
+        SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 8 AS end_tok
+        FROM islands GROUP BY doc_id, island
+    """,
     "lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
