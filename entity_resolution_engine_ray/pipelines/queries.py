@@ -836,6 +836,19 @@ def q_doc_dup_spans(sf_dir: str):
     return out.sort_values(["doc_id", "start_tok"], kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_cut_dup_spans(sf_dir: str):
+    """Substring-dedup export: duplicated 8-token spans removed from every
+    occurrence, survivors re-joined single-spaced (whitespace-normalized
+    output). The SQL oracle reconstructs the same text token-by-token
+    (unnest WITH ORDINALITY anti-joined to the span islands + ordered
+    string_agg)."""
+    from entity_resolution_engine_ray.stages.substr import cut_dup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = cut_dup_spans(ds, "doc_id", "text", window_tokens=8).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality rule: per-doc token totals, distinct
     counts, duplicate-token ratio and most-frequent-token fraction. Entirely
@@ -1693,6 +1706,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_dup_windows": q_doc_dup_windows,
     "doc_dup_spans": q_doc_dup_spans,
+    "doc_cut_dup_spans": q_doc_cut_dup_spans,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -1874,6 +1888,60 @@ ORACLE_SQL = {
         )
         SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 8 AS end_tok
         FROM islands GROUP BY doc_id, island
+    """,
+    "doc_cut_dup_spans": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+            FROM toks WHERE len(ts) >= 8
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS w
+            FROM idx
+        ),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+        dupw AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM dupw
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM islands GROUP BY doc_id, island
+        ),
+        tokpos AS (
+            SELECT doc_id, unnest(ts) AS tok,
+                   generate_subscripts(ts, 1) - 1 AS p
+            FROM toks
+        ),
+        marked AS (
+            SELECT t.doc_id, t.tok, t.p,
+                   NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.p >= s.s AND t.p < s.e) AS keep
+            FROM tokpos t
+        )
+        SELECT doc_id,
+               coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep),
+                        '') AS clean_text,
+               CAST(coalesce(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0)
+                    AS BIGINT) AS n_cut_tokens
+        FROM marked GROUP BY doc_id
     """,
     "lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,

@@ -42,6 +42,8 @@ actual window strings, so the driver gate would surface any miscount.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -324,3 +326,104 @@ def substring_dup_spans(
         )
 
     return partition_map_groups(dup_rows, ["doc_id"], spans, num_partitions, arrow_fns=True)
+
+
+def cut_dup_spans(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    sample_mod: int = 1,
+    num_partitions: int = 32,
+):
+    """The substring-dedup EXPORT: (id, text) -> (doc_id, clean_text,
+    n_cut_tokens) with every duplicated span's tokens removed from every
+    occurrence and the survivors re-joined with single spaces (i.e. output
+    text is whitespace-normalized; a doc with no duplicated spans comes back
+    as its normalized self). Docs with zero tokens are dropped.
+
+    One doc_id cogroup of the span list against the corpus; the span side is
+    tiny (merged islands, not windows), the text never re-shuffles beyond
+    this single co-partitioned exchange."""
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "text": pc.cast(pc.coalesce(t[text_col], ""), pa.string()),
+                "start_tok": pa.array(np.full(n, -1, dtype=np.int64)),
+                "end_tok": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def span_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array([None] * t.num_rows, type=pa.string()),
+                "start_tok": t["start_tok"],
+                "end_tok": t["end_tok"],
+            }
+        )
+
+    spans_ds = substring_dup_spans(
+        ds, id_col, text_col, window_tokens=window_tokens, sample_mod=sample_mod,
+        num_partitions=num_partitions,
+    )
+    tagged = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        spans_ds.map_batches(span_side, batch_format="pyarrow")
+    )
+
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "clean_text": pa.array([], type=pa.string()),
+                "n_cut_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        is_doc = pc.is_valid(tbl["text"]).to_numpy(zero_copy_only=False)
+        span_d = tbl["doc_id"].to_numpy(zero_copy_only=False)[~is_doc]
+        span_s = tbl["start_tok"].to_numpy(zero_copy_only=False)[~is_doc]
+        span_e = tbl["end_tok"].to_numpy(zero_copy_only=False)[~is_doc]
+        cuts: dict[int, list[tuple[int, int]]] = {}
+        for d, s, e in zip(span_d, span_s, span_e):
+            cuts.setdefault(int(d), []).append((int(s), int(e)))
+        doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)[is_doc]
+        texts = tbl["text"].filter(pa.array(is_doc)).to_pylist()
+        out_id, out_text, out_cut = [], [], []
+        split = re.compile(TOKEN_SPLIT_PATTERN).split  # NOT str.split: must
+        # tokenize with the exact RE2 class the window featurizer (and the
+        # SQL oracle) uses — str.split also breaks on \v/\f/unicode spaces
+        for d, text in zip(doc_ids, texts):
+            toks = [t for t in split(text) if t]
+            if not toks:
+                continue
+            spans = cuts.get(int(d))
+            if spans:
+                keep = np.ones(len(toks), dtype=bool)
+                for s, e in spans:
+                    keep[s:e] = False
+                kept = [t for t, k in zip(toks, keep) if k]
+                out_cut.append(len(toks) - len(kept))
+                toks = kept
+            else:
+                out_cut.append(0)
+            out_id.append(int(d))
+            out_text.append(" ".join(toks))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "clean_text": pa.array(out_text, type=pa.string()),
+                "n_cut_tokens": pa.array(out_cut, type=pa.int64()),
+            }
+        )
+
+    return partition_map_groups(tagged, ["doc_id"], rebuild, num_partitions, arrow_fns=True)

@@ -6,6 +6,7 @@ import pytest
 import ray.data as rd
 
 from entity_resolution_engine_ray.stages.substr import (
+    cut_dup_spans,
     dup_window_rows,
     substring_dup_counts,
     substring_dup_spans,
@@ -128,6 +129,30 @@ def test_substring_dup_spans_merge_islands(ray_session):
         assert by_doc.get(d, []) == _serial_spans(ps, L), f"doc {d}"
     # doc 5's twelve 'rep' tokens must merge into ONE maximal span
     assert by_doc[5] == [(0, 12)]
+
+
+def test_cut_dup_spans_removes_both_copies(ray_session):
+    got = (
+        cut_dup_spans(_docs_ds(), window_tokens=L, num_partitions=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    oracle = _serial_dup_positions(DOCS, L)
+    for d, text in DOCS.items():
+        toks = text.split()
+        keep = [True] * len(toks)
+        for s, e in _serial_spans(oracle[d], L):
+            for i in range(s, e):
+                keep[i] = False
+        expect = " ".join(t for t, k in zip(toks, keep) if k)
+        assert got.loc[d, "clean_text"] == expect, f"doc {d}"
+        assert got.loc[d, "n_cut_tokens"] == keep.count(False)
+    # the shared run in docs 1/2 is gone from BOTH, unique flanks survive
+    assert "quick brown fox" not in got.loc[1, "clean_text"]
+    assert got.loc[2, "clean_text"].startswith("intro words")
+    assert got.loc[3, "clean_text"] == DOCS[3]  # untouched doc normalizes to itself
+    assert got.loc[5, "clean_text"] == ""  # fully-duplicated doc cut to nothing
 
 
 def test_sampled_spans_subset_and_catch_long_runs(ray_session):
