@@ -111,6 +111,51 @@ def q_doc_stats_by_lang(sf_dir: str):
     return out
 
 
+def q_doc_stats_rollup(sf_dir: str):
+    """Multi-level (ROLLUP) corpus stats: (lang, len_bucket) -> (lang, ALL)
+    -> (ALL, ALL). The finest level aggregates distributed (per-batch
+    partials + one tiny groupby); the coarser levels derive EXACTLY from the
+    finest aggregate on the driver (sums/counts are re-aggregable), so the
+    rollup costs zero extra passes over the data. Rolled-up keys use the
+    'ALL' sentinel (= SQL's COALESCE over ROLLUP NULLs) to keep the value
+    hash engine-independent."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+        bucket = pc.if_else(pc.less(toks, 50), "short", "long")
+        tmp = pa.table({"lang": t["lang"], "len_bucket": bucket, "toks": toks}).to_pandas()
+        g = tmp.groupby(["lang", "len_bucket"], as_index=False).agg(
+            n_docs=("toks", "size"), total_tokens=("toks", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "len_bucket"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    ).to_pandas()
+    by_lang = fine.groupby("lang", as_index=False)[["n_docs", "total_tokens"]].sum()
+    by_lang["len_bucket"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "len_bucket": ["ALL"],
+            "n_docs": [fine["n_docs"].sum()],
+            "total_tokens": [fine["total_tokens"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_lang, grand], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out[["lang", "len_bucket", "n_docs", "total_tokens"]].sort_values(
+        ["lang", "len_bucket"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-document quality features (length / punctuation ratios) with a
     quality filter — vectorized Arrow kernels, no Python row loop."""
@@ -1707,6 +1752,7 @@ QUERIES = {
     "doc_dup_windows": q_doc_dup_windows,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_cut_dup_spans": q_doc_cut_dup_spans,
+    "doc_stats_rollup": q_doc_stats_rollup,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -1830,6 +1876,20 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "doc_stats_rollup": f"""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(len_bucket, 'ALL') AS len_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM (
+            SELECT lang,
+                   CASE WHEN len(regexp_extract_all(text, '{_TOK}')) < 50
+                        THEN 'short' ELSE 'long' END AS len_bucket,
+                   len(regexp_extract_all(text, '{_TOK}')) AS n_toks
+            FROM documents
+        )
+        GROUP BY ROLLUP (lang, len_bucket)
+    """,
     # 8-token duplicated windows over whitespace tokens — split pattern is
     # the IDENTICAL RE2 string as stages/substr.TOKEN_SPLIT_PATTERN; the
     # oracle groups actual window STRINGS where the engine groups 64-bit

@@ -65,6 +65,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_top_bigrams",
         "doc_repetition",
         "doc_shuffle_shards",
+        "doc_stats_rollup",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
