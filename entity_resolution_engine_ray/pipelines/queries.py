@@ -755,6 +755,78 @@ def q_doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_cross_corpus_dedup(sf_dir: str):
+    """Cross-corpus dedup — the incremental-ingestion guard: drop incoming
+    crawl docs whose content key (5-word prefix fingerprint) already exists
+    in the ingested corpus. "Ingested" = sources lexically < 'src5',
+    "incoming" = the rest (deterministic split of the fixture's source
+    column; at 100 TB these are yesterday's corpus and today's crawl).
+
+    Scale shape: the ingested side is only sketched — a Bloom filter built
+    distributed (per-batch partials, OR-merged bit arrays) and broadcast
+    once via ``ray.put``. Incoming docs that MISS the bloom are guaranteed
+    non-duplicates (no false negatives) and go straight to the output with
+    ZERO shuffle; only the ~(dup_rate + fpp) bloom hits enter the exact
+    hash-cogroup anti-join, which compares the full key string so bloom /
+    hash collisions can never drop a unique doc. The marked key table
+    (doc_id + key + side, no text) is materialized once so the count, the
+    bloom build and both branches never re-scan the corpus text."""
+    from entity_resolution_engine_ray.stages.bloom import build_bloom, bloom_prefilter
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        words = pc.split_pattern(texts, " ")
+        key5 = pc.binary_join(pc.list_slice(words, 0, 5), " ")
+        khash = pd.util.hash_array(np.asarray(key5.to_pylist(), dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "key5": key5,
+                "khash": pa.array(khash, type=pa.int64()),
+                "incoming": pc.greater_equal(t["source"], "src5"),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    old_keys = keyed.filter(expr="incoming == False").select_columns(["key5", "khash"])
+    n_old = old_keys.count()
+    bf = build_bloom(old_keys, "khash", n_expected=max(n_old, 1), fpp=0.01)
+    incoming = keyed.filter(expr="incoming == True").select_columns(
+        ["doc_id", "key5", "khash"]
+    )
+
+    import ray
+
+    bf_ref = ray.put(bf)
+
+    def bloom_miss(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        hit = ray.get(bf_ref).contains(t["khash"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t.filter(pa.array(~hit))["doc_id"]})
+
+    fast_keep = incoming.map_batches(bloom_miss, batch_format="pyarrow").to_pandas()
+
+    candidates = bloom_prefilter(incoming, bf, "khash")
+
+    def anti(new_pdf: pd.DataFrame, old_pdf: pd.DataFrame) -> pd.DataFrame:
+        if new_pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        return new_pdf[~new_pdf["key5"].isin(old_pdf["key5"])][["doc_id"]]
+
+    confirmed = hash_exchange_cogroup(
+        candidates, old_keys, ["khash"], ["khash"], anti, default_join_partitions()
+    )
+    cdf = confirmed if isinstance(confirmed, pd.DataFrame) else confirmed.to_pandas()
+    out = pd.concat([fast_keep, cdf], ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_tfidf_top3(sf_dir: str):
     """Per-document top-3 TF-IDF terms (sklearn-style smooth IDF:
     ``ln((1+N)/(1+df)) + 1``). Two passes, both shuffle-light:
@@ -1753,6 +1825,7 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_cut_dup_spans": q_doc_cut_dup_spans,
     "doc_stats_rollup": q_doc_stats_rollup,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -1876,6 +1949,16 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "cross_corpus_dedup": """
+        WITH k AS (
+            SELECT doc_id, source,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS key5
+            FROM documents
+        )
+        SELECT doc_id FROM k
+        WHERE source >= 'src5'
+          AND key5 NOT IN (SELECT key5 FROM k WHERE source < 'src5')
+    """,
     "doc_stats_rollup": f"""
         SELECT coalesce(lang, 'ALL') AS lang,
                coalesce(len_bucket, 'ALL') AS len_bucket,

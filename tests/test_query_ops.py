@@ -66,6 +66,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_repetition",
         "doc_shuffle_shards",
         "doc_stats_rollup",
+        "cross_corpus_dedup",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
