@@ -235,6 +235,44 @@ def q_near_dup_minhash(sf_dir: str):
     )
 
 
+def q_dup_cluster_histogram(sf_dir: str):
+    """Near-dup cluster-size distribution — the corpus-health report a
+    dedup run ships (how much of the crawl is singleton vs boilerplate
+    families). Downstream of the MinHash-LSH clustering, the histogram is
+    two cheap aggregations: one int64-keyed groupby counts docs per
+    cluster (the only corpus-sized shuffle, 8-byte keys), then a per-batch
+    partial histogram collapses into a tiny global groupby over the
+    distinct sizes. n_docs = size x n_clusters is derived exactly on the
+    driver from the aggregate (no extra pass)."""
+    from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
+
+    clusters = minhash_near_dup_clusters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    )
+    per_cluster = clusters.groupby("cluster_id").aggregate(Count(alias_name="sz"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster_size": t["sz"]})
+            .to_pandas()
+            .groupby("cluster_size", as_index=False)
+            .agg(n_clusters=("cluster_size", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        per_cluster.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    ).to_pandas()
+    hist["cluster_size"] = hist["cluster_size"].astype(np.int64)
+    hist["n_clusters"] = hist["n_clusters"].astype(np.int64)
+    hist["n_docs"] = (hist["cluster_size"] * hist["n_clusters"]).astype(np.int64)
+    return hist.sort_values("cluster_size", kind="mergesort").reset_index(drop=True)
+
+
 def q_near_dup_keep_best(sf_dir: str):
     """The dedup pipeline's actual DELIVERABLE: one representative document
     kept per near-dup cluster (longest text wins, ties → min doc_id) — what
@@ -1803,6 +1841,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
     "near_dup_minhash": q_near_dup_minhash,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
     "near_dup_keep_best": q_near_dup_keep_best,
     "corpus_export": q_corpus_export,
     "simhash_fingerprint": q_simhash_fingerprint,
@@ -2452,6 +2491,16 @@ ORACLE_SQL = {
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab
+    """,
+    "dup_cluster_histogram": _near_dup_closure("documents")
+    + """
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM (
+            SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+        )
+        GROUP BY cluster_size ORDER BY cluster_size
     """,
     "near_dup_keep_best": _near_dup_closure("documents")
     + """

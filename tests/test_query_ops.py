@@ -67,6 +67,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_shuffle_shards",
         "doc_stats_rollup",
         "cross_corpus_dedup",
+        "dup_cluster_histogram",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
