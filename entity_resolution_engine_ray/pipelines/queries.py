@@ -793,6 +793,60 @@ def q_doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_lang_balanced_sample(sf_dir: str):
+    """Temperature-balanced language resampling — the multilingual-corpus
+    rebalancer (upweight low-resource languages relative to raw frequency,
+    alpha = 0.5). Two passes, no shuffle of the corpus: a tiny per-lang
+    count aggregate (per-batch partials), then a map-side deterministic
+    filter with the per-lang quotas broadcast in the closure.
+
+    All quota math is INTEGER (isqrt weights, floor divisions, Knuth
+    multiplicative hash threshold scaled by n_l so no float division
+    happens anywhere) — the SQL oracle reproduces every boundary doc
+    bit-for-bit. Quota: k_l = min(n_l, (0.6*N) * isqrt(n_l) / sum isqrt);
+    keep doc iff hash32(doc_id) * n_l < 2^32 * k_l (expected k_l keeps,
+    deterministic in doc_id)."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"]})
+            .to_pandas()
+            .groupby("lang", as_index=False)
+            .agg(n=("lang", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    n_by_lang = dict(zip(counts["lang"], counts["n"].astype(int)))
+    total = sum(n_by_lang.values())
+    weights = {lang: math.isqrt(n) for lang, n in n_by_lang.items()}
+    sum_w = sum(weights.values())
+    target = (6 * total) // 10
+    quota = {
+        lang: min(n_by_lang[lang], (target * weights[lang]) // sum_w) for lang in n_by_lang
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hkey = (ids * 2654435761) % 4294967296
+        langs = pd.Series(t["lang"].to_pylist())
+        n = langs.map(n_by_lang).to_numpy(dtype=np.int64)
+        k = langs.map(quota).to_numpy(dtype=np.int64)
+        mask = hkey * n < 4294967296 * k
+        return pa.table(
+            {"doc_id": pa.array(ids[mask]), "lang": pa.array(langs[mask].tolist())}
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_cross_corpus_dedup(sf_dir: str):
     """Cross-corpus dedup — the incremental-ingestion guard: drop incoming
     crawl docs whose content key (5-word prefix fingerprint) already exists
@@ -1865,6 +1919,7 @@ QUERIES = {
     "doc_cut_dup_spans": q_doc_cut_dup_spans,
     "doc_stats_rollup": q_doc_stats_rollup,
     "cross_corpus_dedup": q_cross_corpus_dedup,
+    "lang_balanced_sample": q_lang_balanced_sample,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -1988,6 +2043,18 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "lang_balanced_sample": """
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wt FROM c),
+        tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS sw, CAST(SUM(n) AS BIGINT) AS nn FROM w),
+        q AS (
+            SELECT lang, n, LEAST(n, (((6 * nn) // 10) * wt) // sw) AS k
+            FROM w, tot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN q USING (lang)
+        WHERE ((d.doc_id * 2654435761) % 4294967296) * q.n < 4294967296 * q.k
+    """,
     "cross_corpus_dedup": """
         WITH k AS (
             SELECT doc_id, source,

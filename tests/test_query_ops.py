@@ -68,6 +68,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_stats_rollup",
         "cross_corpus_dedup",
         "dup_cluster_histogram",
+        "lang_balanced_sample",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
