@@ -793,6 +793,99 @@ def q_doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+_BM25_TERMS = ("hash", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 keyword search (top-20 docs for a fixed 3-term query) without an
+    inverted index — the retrieval primitive for corpus triage / dataset
+    search. Two streaming passes: (1) tiny global stats — per-term document
+    frequency plus N and avg doc length — from per-batch partials; (2)
+    per-doc scoring with the stats broadcast in the closure, per-batch
+    local top-20, global top-20 from the <=20-per-block survivors. The
+    corpus itself is never shuffled or materialized.
+
+    Scores are round-half-away to 6 dp in BOTH engines so the float SUM
+    over terms hashes identically; ranking ties break on doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _tok_frame(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            " ",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "toks": toks.to_pylist(),
+                "dl": pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        f = _tok_frame(t)
+        ex = f[["doc_id", "toks"]].explode("toks")
+        ex = ex[ex["toks"].isin(_BM25_TERMS)]
+        df_counts = ex.groupby("toks")["doc_id"].nunique()
+        return pa.table(
+            {
+                "term": pa.array(list(_BM25_TERMS)),
+                "df": pa.array(
+                    [int(df_counts.get(x, 0)) for x in _BM25_TERMS], type=pa.int64()
+                ),
+                "n_docs": pa.array([len(f)] * len(_BM25_TERMS), type=pa.int64()),
+                "sum_dl": pa.array([int(f["dl"].sum())] * len(_BM25_TERMS), type=pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl"),
+        )
+    ).to_pandas()
+    n_total = int(st["n_docs"].iloc[0])
+    avgdl = float(st["sum_dl"].iloc[0]) / n_total
+    idf = {
+        r["term"]: np.log((n_total - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        for _, r in st.iterrows()
+    }
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        f = _tok_frame(t)
+        if f.empty:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64())}
+            )
+        ex = f[["doc_id", "toks"]].explode("toks")
+        ex = ex[ex["toks"].isin(_BM25_TERMS)]
+        tf = ex.groupby(["doc_id", "toks"], as_index=False).size()
+        tf = tf.merge(f[["doc_id", "dl"]], on="doc_id")
+        norm = tf["size"] * (_BM25_K1 + 1.0) / (
+            tf["size"] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * tf["dl"] / avgdl)
+        )
+        tf["part"] = tf["toks"].map(idf).to_numpy() * norm.to_numpy()
+        sc = tf.groupby("doc_id", as_index=False)["part"].sum()
+        sc["score"] = _rha(sc["part"], 6)
+        sc = sc.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        top = sc.head(20)
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].astype(np.int64)),
+                "score": pa.array(top["score"].astype(np.float64)),
+            }
+        )
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return cand.head(20).reset_index(drop=True)
+
+
 def q_lang_balanced_sample(sf_dir: str):
     """Temperature-balanced language resampling — the multilingual-corpus
     rebalancer (upweight low-resource languages relative to raw frequency,
@@ -1920,6 +2013,7 @@ QUERIES = {
     "doc_stats_rollup": q_doc_stats_rollup,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "lang_balanced_sample": q_lang_balanced_sample,
+    "bm25_search": q_bm25_search,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -2043,6 +2137,28 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "bm25_search": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+            WHERE tok IN ('hash', 'vector', 'merge') GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        sc AS (
+            SELECT tf.doc_id,
+                   SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(s, 6) AS score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 20
+    """,
     "lang_balanced_sample": """
         WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
         w AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wt FROM c),

@@ -69,6 +69,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "cross_corpus_dedup",
         "dup_cluster_histogram",
         "lang_balanced_sample",
+        "bm25_search",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
