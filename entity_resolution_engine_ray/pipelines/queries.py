@@ -793,6 +793,55 @@ def q_doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_export_manifest(sf_dir: str):
+    """Merkle-style export manifest: one digest per language that commits to
+    every document's content AND its position in the export order — the
+    reproducibility check two runs of a corpus export compare. Level 1
+    hashes each doc (md5, matching DuckDB); level 2 digests each
+    (lang, shard=doc_id//64) group over its docs in doc_id order; level 3
+    digests each lang over its shard digests in shard order. Every level is
+    a bounded ordered reduction: the corpus-sized pass is embarrassingly
+    parallel, the shard level shuffles 8-byte keys + 32-char digests, and
+    the per-lang level sees one ROW per shard (add more levels log-wise if
+    a single lang's shard list outgrows a partition)."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def doc_level(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": t["lang"],
+                "shard": pa.array(ids // 64),
+                "h": pa.array(md5_fingerprint(t["text"].to_pylist())),
+            }
+        )
+
+    def shard_level(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"lang": [], "shard": [], "sh": []})
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        g = pdf.groupby(["lang", "shard"], as_index=False)["h"].agg("".join)
+        g["sh"] = [hashlib.md5(x.encode()).hexdigest() for x in g["h"]]
+        return g[["lang", "shard", "sh"]]
+
+    def lang_level(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"lang": [], "digest": [], "n_shards": []})
+        pdf = pdf.sort_values("shard", kind="mergesort")
+        g = pdf.groupby("lang", as_index=False).agg(cat=("sh", "".join), n_shards=("sh", "size"))
+        g["digest"] = [hashlib.md5(x.encode()).hexdigest() for x in g["cat"]]
+        g["n_shards"] = g["n_shards"].astype(np.int64)
+        return g[["lang", "digest", "n_shards"]]
+
+    docs = ds.map_batches(doc_level, batch_format="pyarrow")
+    shards = partition_map_groups(docs, ["lang", "shard"], shard_level, num_partitions=16)
+    out = partition_map_groups(shards, ["lang"], lang_level, num_partitions=4).to_pandas()
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
 _BM25_TERMS = ("hash", "vector", "merge")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -2014,6 +2063,7 @@ QUERIES = {
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "lang_balanced_sample": q_lang_balanced_sample,
     "bm25_search": q_bm25_search,
+    "export_manifest": q_export_manifest,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -2137,6 +2187,19 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "export_manifest": """
+        WITH f AS (
+            SELECT lang, doc_id, doc_id // 64 AS shard, md5(text) AS h FROM documents
+        ),
+        s AS (
+            SELECT lang, shard, md5(string_agg(h, '' ORDER BY doc_id)) AS sh
+            FROM f GROUP BY lang, shard
+        )
+        SELECT lang,
+               md5(string_agg(sh, '' ORDER BY shard)) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_shards
+        FROM s GROUP BY lang ORDER BY lang
+    """,
     "bm25_search": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

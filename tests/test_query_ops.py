@@ -70,6 +70,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "dup_cluster_histogram",
         "lang_balanced_sample",
         "bm25_search",
+        "export_manifest",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
