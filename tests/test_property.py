@@ -98,3 +98,36 @@ def test_canonical_tokens_stable(s):
     t2 = canonical_tokens(s)
     assert t1 == t2
     assert all(" " not in tok for tok in t1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_grouped_jaccard_flat_matches_set_oracle(seed):
+    """The flagship's hot Jaccard kernel (flat ListArray layout, per-left
+    grouped searchsorted) == per-pair python-set Jaccard, including empty
+    token sets, negative int64 token ids and repeated pairs."""
+    from entity_resolution_engine_ray.stages.score import _grouped_jaccard_flat
+
+    rng = np.random.default_rng(seed)
+    nd = int(rng.integers(1, 60))
+    lens = rng.integers(0, 12, nd)
+    lens[:: max(1, nd // 5)] = 0  # sprinkle empty docs
+    starts = np.zeros(nd, dtype=np.int64)
+    flat, pos = [], 0
+    for i in range(nd):
+        a = np.unique(rng.integers(-(2**62), 2**62, lens[i]))
+        lens[i], starts[i] = len(a), pos
+        pos += len(a)
+        flat.append(a)
+    tvals = np.concatenate(flat) if pos else np.empty(0, dtype=np.int64)
+    tlens = lens.astype(np.int64)
+    npairs = int(rng.integers(1, 300))
+    lidx = rng.integers(0, nd, npairs)
+    ridx = rng.integers(0, nd, npairs)
+    got = _grouped_jaccard_flat(tvals, starts, tlens, lidx, ridx)
+    for p in range(npairs):
+        A = set(tvals[starts[lidx[p]] : starts[lidx[p]] + tlens[lidx[p]]])
+        B = set(tvals[starts[ridx[p]] : starts[ridx[p]] + tlens[ridx[p]]])
+        u = len(A | B)
+        exp = len(A & B) / u if u else 1.0
+        assert abs(got[p] - exp) < 1e-12
