@@ -183,6 +183,48 @@ def q_doc_quality(sf_dir: str):
     return ds.map_batches(features, batch_format="pyarrow")
 
 
+def q_doc_quality_decile(sf_dir: str):
+    """Distributed GLOBAL ranking → quality-decile assignment, the
+    stratification step before per-stratum sampling or curriculum
+    ordering. Exact rank (not quantile-boundary buckets, so ties split
+    deterministically like SQL ROW_NUMBER): one distributed sort by
+    (n_tokens, doc_id), then each block learns its global row offset from
+    block METADATA only (stages/scan's prefix-offset walk — O(blocks)
+    driver work, rows never leave their block), and rank = offset + local
+    position. decile = (rank-1)*10 // N with pure-integer math."""
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tokens,
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+                "g": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    feat = ds.map_batches(features, batch_format="pyarrow")
+    ranked = grouped_prefix_sum(feat, ["g"], ["n_tokens", "doc_id"], "one", "rk")
+    n_total = ranked.count()
+
+    def decile(t: pa.Table) -> pa.Table:
+        rk = t["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "decile": pa.array((rk - 1) * 10 // n_total),
+            }
+        )
+
+    return ranked.map_batches(decile, batch_format="pyarrow")
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Deterministic md5 document fingerprint (DuckDB-identical)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1780,6 +1822,60 @@ def q_user_event_pivot(sf_dir: str):
     )
 
 
+def q_funnel_conversion(sf_dir: str):
+    """Ordered funnel analysis (view → click → purchase): how many users
+    completed each stage IN ORDER (a click only counts after the first
+    view, a purchase only after the first qualifying click). One hash
+    partition per user set, then fully vectorized per-partition stage
+    timestamps (grouped mins via pandas, no per-user Python) — the classic
+    sessionized-funnel shape: the corpus shuffles ONCE on user_id and every
+    stage's qualification is a column comparison."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["view", "click", "purchase"]),
+    )
+
+    def funnel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "stage": pd.Series([], dtype=str),
+                    "n_users": pd.Series([], dtype=np.int64),
+                }
+            )
+        t0 = (
+            pdf[pdf["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t_view")
+        )
+        clicks = pdf[pdf["event_type"] == "click"].merge(
+            t0, left_on="user_id", right_index=True
+        )
+        t1 = (
+            clicks[clicks["ts"] > clicks["t_view"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t_click")
+        )
+        buys = pdf[pdf["event_type"] == "purchase"].merge(
+            t1, left_on="user_id", right_index=True
+        )
+        t2 = buys[buys["ts"] > buys["t_click"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "stage": ["view", "view_click", "view_click_purchase"],
+                "n_users": np.array([len(t0), len(t1), len(t2)], dtype=np.int64),
+            }
+        )
+
+    out = (
+        partition_map_groups(ds, ["user_id"], funnel, num_partitions=16)
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("stage", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_quality_gate(sf_dir: str):
     """Quantile-threshold quality gate — the training-data use the quantile
     stage exists for: compute each language's median token count
@@ -2060,6 +2156,7 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_cut_dup_spans": q_doc_cut_dup_spans,
     "doc_stats_rollup": q_doc_stats_rollup,
+    "doc_quality_decile": q_doc_quality_decile,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "lang_balanced_sample": q_lang_balanced_sample,
     "bm25_search": q_bm25_search,
@@ -2079,6 +2176,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "user_event_pivot": q_user_event_pivot,
     "doc_quality_gate": q_doc_quality_gate,
+    "funnel_conversion": q_funnel_conversion,
     "user_cumulative_value": q_user_cumulative_value,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
@@ -2187,6 +2285,38 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_buy
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        ORDER BY stage
+    """,
+    "doc_quality_decile": f"""
+        SELECT doc_id, n_tokens,
+               ((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) * 10)
+                   // COUNT(*) OVER () AS decile
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+    """,
     "export_manifest": """
         WITH f AS (
             SELECT lang, doc_id, doc_id // 64 AS shard, md5(text) AS h FROM documents

@@ -71,6 +71,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "lang_balanced_sample",
         "bm25_search",
         "export_manifest",
+        "doc_quality_decile",
+        "funnel_conversion",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
