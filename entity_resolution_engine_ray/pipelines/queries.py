@@ -1579,6 +1579,19 @@ def q_knn_cosine_top10(sf_dir: str):
     return out
 
 
+def q_reciprocal_nn(sf_dir: str):
+    """Mutual (reciprocal) 10-NN pairs over the embedding table — the
+    high-confidence match filter (b in a's top-10 AND a in b's). Blocked
+    distributed matmul emits per-row local-top-k SUPERSETS, a src-keyed
+    hash partition merges them into exact global ROW_NUMBER top-10s, and
+    an unordered-pair groupby keeps only pairs seen from both sides (see
+    stages/knn.reciprocal_topk_pairs)."""
+    from entity_resolution_engine_ray.stages.knn import reciprocal_topk_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return reciprocal_topk_pairs(ds, k=10, id_col="vec_id")
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (no SQL oracle — uses the
     LSH-bucketed scale path with exact verification; its ~94% bucket recall
@@ -2183,6 +2196,7 @@ QUERIES = {
     "doc_pack_chunks": q_doc_pack_chunks,
     "approx_distinct_by_lang": q_approx_distinct_by_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
+    "reciprocal_nn": q_reciprocal_nn,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "er_pages_entities": q_er_pages_entities,
@@ -2815,6 +2829,22 @@ ORACLE_SQL = {
                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
                  vec_id ASC
         LIMIT 10
+    """,
+    "reciprocal_nn": """
+        WITH cos AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT src, dst, c,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+            FROM cos
+        )
+        SELECT t1.src AS left_id, t1.dst AS right_id, t1.c AS cos
+        FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+        WHERE t1.rk <= 10 AND t2.rk <= 10 AND t1.src < t1.dst
     """,
     "embedding_near_dup_exact": """
         SELECT a.vec_id AS left_id, b.vec_id AS right_id,

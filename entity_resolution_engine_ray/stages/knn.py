@@ -408,3 +408,138 @@ def knn_ivf(
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return partials.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k).reset_index(drop=True)
+
+
+def reciprocal_topk_pairs(ds, k: int = 10, id_col: str = "vec_id", chunk: int = 4096):
+    """Reciprocal k-NN pairs: (a, b) such that b is in a's cosine top-k AND
+    a is in b's — the mutual-nearest-neighbor filter dedup/alignment
+    pipelines use to keep only high-confidence matches.
+
+    Three bounded stages, no global broadcast:
+    1. blocked distributed matmul (like ``cosine_all_pairs_exact`` but each
+       (block_i, block_j) task emits, per row of BOTH blocks, a SUPERSET of
+       its local top-k — every candidate with rounded-cos >= the row's k-th
+       largest, so rounding ties can never cut a true neighbor;
+    2. per-src global top-k: one hash partition per src set, vectorized
+       (sort + head-k) — ROW_NUMBER semantics, ties break on neighbor id;
+    3. mutuality: unordered-pair groupby, keep pairs seen from BOTH sides.
+
+    cos is round-half-away to 4 (DuckDB ROUND) BEFORE selection so ranking
+    is reproducible across engines. Blocks are ``chunk`` rows so one task's
+    similarity matrix stays ~chunk^2*8 bytes."""
+    import ray
+    import ray.data as rd
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        d = mn.shape[1] if mn.size else 0
+        offsets = pa.array(np.arange(0, (len(mn) + 1) * d, d, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(mn.ravel(), type=pa.float64()))
+        return pa.table(
+            {
+                "id": pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
+                ),
+                "emb": emb,
+            }
+        )
+
+    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+    n_rows = normed.count()
+    target_blocks = max(1, -(-n_rows // chunk))
+    if normed.num_blocks() != target_blocks:
+        normed = normed.repartition(target_blocks).materialize()
+    blocks = normed.to_arrow_refs()
+
+    def _row_candidates(cr: np.ndarray, ia: np.ndarray, ib: np.ndarray):
+        """Per row of cr (rows ~ ia): all cols with cr >= row's k-th largest."""
+        nb = cr.shape[1]
+        if nb > k:
+            thr = np.partition(cr, nb - k, axis=1)[:, nb - k]
+        else:
+            thr = np.full(cr.shape[0], -np.inf)
+        mask = cr >= thr[:, None]
+        ri, ci = np.nonzero(mask)
+        return ia[ri], ib[ci], cr[ri, ci]
+
+    @ray.remote
+    def _cand_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta["id"].to_numpy(zero_copy_only=False)
+        ib = tb["id"].to_numpy(zero_copy_only=False)
+        c = _to_matrix(ta["emb"]) @ _to_matrix(tb["emb"]).T
+        p = 10.0**4
+        cr = np.where(c >= 0, np.floor(c * p + 0.5), np.ceil(c * p - 0.5)) / p
+        if same:
+            np.fill_diagonal(cr, -np.inf)
+        srcs, dsts, coss = [], [], []
+        a_src, a_dst, a_cos = _row_candidates(cr, ia, ib)
+        srcs.append(a_src), dsts.append(a_dst), coss.append(a_cos)
+        if not same:
+            # same-block: the row scan above already emits BOTH directions
+            # (cr is symmetric); a transpose scan would duplicate every
+            # candidate and crowd real neighbors out of the top-k head.
+            b_src, b_dst, b_cos = _row_candidates(
+                np.ascontiguousarray(cr.T), ib, ia
+            )
+            srcs.append(b_src), dsts.append(b_dst), coss.append(b_cos)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+                "cos": pa.array(np.concatenate(coss), type=pa.float64()),
+            }
+        )
+
+    refs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            refs.append(_cand_task.remote(blocks[i], blocks[j], i == j))
+    cands = rd.from_arrow_refs(refs)
+
+    def topk_per_src(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype=np.int64),
+                    "dst": pd.Series([], dtype=np.int64),
+                    "cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        pdf = pdf.sort_values(["src", "cos", "dst"], ascending=[True, False, True],
+                              kind="mergesort")
+        return pdf.groupby("src", as_index=False).head(k)
+
+    topk = partition_map_groups(cands, ["src"], topk_per_src, num_partitions=16)
+
+    def mutual(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype=np.int64),
+                    "right_id": pd.Series([], dtype=np.int64),
+                    "cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        g = pdf.groupby(["left_id", "right_id"], as_index=False).agg(
+            n=("cos", "size"), cos=("cos", "max")
+        )
+        return g[g["n"] == 2][["left_id", "right_id", "cos"]]
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left_id": pa.array(np.minimum(s, d), type=pa.int64()),
+                "right_id": pa.array(np.maximum(s, d), type=pa.int64()),
+                "cos": t["cos"],
+            }
+        )
+
+    keyed = topk.map_batches(add_pair_key, batch_format="pyarrow")
+    out = partition_map_groups(keyed, ["left_id", "right_id"], mutual, num_partitions=16)
+    pdf = out.to_pandas()
+    return pdf.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(drop=True)

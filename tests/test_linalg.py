@@ -71,3 +71,37 @@ def test_pca_empty_raises(ray_session):
     empty = _emb_table(np.zeros((0, 4)))
     with pytest.raises(ValueError):
         pca_fit(rd.from_arrow(empty), k=2)
+
+
+def test_reciprocal_topk_blocked_equals_single_block(ray_session):
+    """reciprocal_topk_pairs must be block-count invariant: tiny chunks
+    (many cross-block candidate tasks) == one-block result == numpy mutual
+    top-k oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import reciprocal_topk_pairs
+
+    rng = np.random.default_rng(7)
+    n, d, k = 120, 8, 5
+    mat = rng.standard_normal((n, d))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(r) for r in mat]}
+    )
+
+    one = reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=4096)
+    many = reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=17)
+    pd.testing.assert_frame_equal(one, many)
+
+    # numpy oracle
+    mn = (mat.T / np.linalg.norm(mat, axis=1)).T
+    c = mn @ mn.T
+    p = 1e4
+    cr = np.where(c >= 0, np.floor(c * p + 0.5), np.ceil(c * p - 0.5)) / p
+    np.fill_diagonal(cr, -np.inf)
+    tops = [set(np.lexsort((np.arange(n), -cr[i]))[:k]) for i in range(n)]
+    want = sorted(
+        (i, j) for i in range(n) for j in tops[i] if i < j and i in tops[j]
+    )
+    got = list(map(tuple, one[["left_id", "right_id"]].values.tolist()))
+    assert got == want

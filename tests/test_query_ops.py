@@ -73,6 +73,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "export_manifest",
         "doc_quality_decile",
         "funnel_conversion",
+        "reciprocal_nn",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
