@@ -1835,6 +1835,135 @@ def q_user_event_pivot(sf_dir: str):
     )
 
 
+def q_supplier_triangles(sf_dir: str):
+    """Distributed triangle counting on the supplier co-occurrence graph
+    (suppliers sharing an order) — the standard degree-oriented wedge-join
+    algorithm (Suri & Vassilvitskii's MR node-iterator):
+
+    1. edge build: one l_orderkey hash partition → per-order distinct
+       supplier pairs (vectorized triu over group boundaries, no per-order
+       Python), then a global (s1,s2) dedup partition;
+    2. orientation: each edge points low→high in (degree, id) order, which
+       bounds every out-neighborhood by ~sqrt(m) — hub-proof wedge counts
+       (degrees are a tiny aggregate, broadcast in the closure; swap for a
+       degree cogroup when the NODE set outgrows a broadcast);
+    3. wedges: one src hash partition emits each out-neighbor pair
+       (vectorized triu again);
+    4. count: wedge ∩ edge via one (v,w)-keyed hash cogroup — a wedge
+       closed by an existing edge is a triangle, counted exactly once."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.score import triu_pairs
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+
+    def order_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"s1": pd.Series([], dtype=np.int64), "s2": pd.Series([], dtype=np.int64)}
+            )
+        pdf = pdf.drop_duplicates().sort_values(["l_orderkey", "l_suppkey"])
+        ok = pdf["l_orderkey"].to_numpy()
+        sk = pdf["l_suppkey"].to_numpy().astype(np.int64)
+        change = np.flatnonzero(ok[1:] != ok[:-1]) + 1
+        starts = np.r_[0, change]
+        ends = np.r_[change, len(ok)]
+        l, r = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = triu_pairs(m)
+            l.append(sk[s + ii])
+            r.append(sk[s + jj])
+        if not l:
+            return pd.DataFrame(
+                {"s1": pd.Series([], dtype=np.int64), "s2": pd.Series([], dtype=np.int64)}
+            )
+        s1 = np.concatenate(l)
+        s2 = np.concatenate(r)
+        lo, hi = np.minimum(s1, s2), np.maximum(s1, s2)
+        return pd.DataFrame({"s1": lo, "s2": hi}).drop_duplicates()
+
+    raw_pairs = partition_map_groups(li, ["l_orderkey"], order_pairs, num_partitions=16)
+    edges = partition_map_groups(
+        raw_pairs, ["s1", "s2"], lambda p: p.drop_duplicates(), num_partitions=16
+    ).materialize()
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["s1"].to_numpy(zero_copy_only=False),
+                t["s2"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, type=pa.int64()), "deg": pa.array(c, type=pa.int64())})
+
+    degs = (
+        edges.map_batches(degree_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    ).to_pandas()
+    deg_of = dict(zip(degs["node"].astype(int), degs["deg"].astype(int)))
+
+    def orient(t: pa.Table) -> pa.Table:
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        d1 = pd.Series(s1).map(deg_of).to_numpy(dtype=np.int64)
+        d2 = pd.Series(s2).map(deg_of).to_numpy(dtype=np.int64)
+        fwd = (d1 < d2) | ((d1 == d2) & (s1 < s2))
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, s1, s2), type=pa.int64()),
+                "dst": pa.array(np.where(fwd, s2, s1), type=pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype=np.int64), "w": pd.Series([], dtype=np.int64)}
+            )
+        pdf = pdf.sort_values(["src", "dst"])
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy().astype(np.int64)
+        change = np.flatnonzero(src[1:] != src[:-1]) + 1
+        starts = np.r_[0, change]
+        ends = np.r_[change, len(src)]
+        l, r = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = triu_pairs(m)
+            l.append(dst[s + ii])
+            r.append(dst[s + jj])
+        if not l:
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype=np.int64), "w": pd.Series([], dtype=np.int64)}
+            )
+        a = np.concatenate(l)
+        b = np.concatenate(r)
+        return pd.DataFrame({"v": np.minimum(a, b), "w": np.maximum(a, b)})
+
+    wedge_ds = partition_map_groups(oriented, ["src"], wedges, num_partitions=16)
+
+    def close_count(w_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        if w_pdf.empty or e_pdf.empty:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64)})
+        eset = pd.MultiIndex.from_frame(e_pdf[["s1", "s2"]])
+        hit = pd.MultiIndex.from_frame(w_pdf[["v", "w"]]).isin(eset)
+        return pd.DataFrame({"n": np.array([int(hit.sum())], dtype=np.int64)})
+
+    closed = hash_exchange_cogroup(
+        wedge_ds, edges, ["v", "w"], ["s1", "s2"], close_count, 16
+    ).to_pandas()
+    total = int(closed["n"].sum()) if not closed.empty else 0
+    return pd.DataFrame({"n_triangles": np.array([total], dtype=np.int64)})
+
+
 def q_funnel_conversion(sf_dir: str):
     """Ordered funnel analysis (view → click → purchase): how many users
     completed each stage IN ORDER (a click only counts after the first
@@ -2190,6 +2319,7 @@ QUERIES = {
     "user_event_pivot": q_user_event_pivot,
     "doc_quality_gate": q_doc_quality_gate,
     "funnel_conversion": q_funnel_conversion,
+    "supplier_triangles": q_supplier_triangles,
     "user_cumulative_value": q_user_cumulative_value,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
@@ -2299,6 +2429,18 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "supplier_triangles": """
+        WITH e AS (
+            SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.s2 = e2.s1
+        JOIN e e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2
+    """,
     "funnel_conversion": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS t_view FROM events

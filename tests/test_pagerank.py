@@ -62,3 +62,45 @@ def test_pagerank_duplicate_edges_and_sinks(ray_session):
     np.testing.assert_allclose(got["r"].to_numpy(), want["r"].to_numpy(), atol=1e-12)
     # node 1 has no in-edges: rank fixed at 1-d after the first round
     assert abs(got.loc[got["node"] == 1, "r"].iloc[0] - 0.15) < 1e-12
+
+
+def test_supplier_triangles_sparse_graph(ray_session, tmp_path):
+    """The fixture's co-occurrence graph is complete (every wedge closes),
+    so pin triangle counting on a SPARSE synthetic graph too: orders chain
+    suppliers into known triangles + open wedges, checked against DuckDB
+    running the registered oracle on the same parquet."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    # orders: {1,2,3} triangle; {3,4} + {4,5} open wedge; {5,6,7,8} clique
+    orders = [
+        (100, [1, 2, 3]),
+        (101, [3, 4]),
+        (102, [4, 5]),
+        (103, [5, 6, 7, 8]),
+        (104, [6, 7]),  # duplicate edge across orders must not double-count
+    ]
+    rows = [(ok, s) for ok, supps in orders for s in supps]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    got = QUERIES["supplier_triangles"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = con.execute(ORACLE_SQL["supplier_triangles"]).df()
+    con.close()
+    # triangle(1,2,3) + C(4,3)=4 in the clique = 5
+    assert int(got["n_triangles"][0]) == 5
+    assert int(got["n_triangles"][0]) == int(want["n_triangles"][0])

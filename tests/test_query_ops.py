@@ -74,6 +74,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_quality_decile",
         "funnel_conversion",
         "reciprocal_nn",
+        "supplier_triangles",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
