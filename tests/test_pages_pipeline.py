@@ -278,3 +278,27 @@ def test_edges_deterministic_across_partition_counts(ray_session, fixture_paths)
     a, b = outs[0][0], outs[1][0]
     assert outs[0][1] == outs[1][1]  # dropped-pair count
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cli_main_runs_pipeline(ray_session, tmp_path, capsys):
+    """`python -m entity_resolution_engine_ray` (the `ray job submit` entry)
+    runs the flagship pipeline and prints one JSON metrics line; it reuses
+    an already-initialised Ray session instead of re-initialising."""
+    import json
+
+    from entity_resolution_engine_ray.__main__ import main
+    from entity_resolution_engine_ray.sources.pages import write_pages_fixture
+
+    fix = write_pages_fixture(str(tmp_path / "pages_src"), 300, seed=42)
+    rc = main(
+        [
+            "--pages", str(tmp_path / "pages_src" / "pages"),
+            "--out", str(tmp_path / "run"),
+            "--num-partitions", "4",
+        ]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["metrics"]["n_entities"] > 0
+    assert set(result["timings"]) >= {"features", "edges", "labels", "entities"}
