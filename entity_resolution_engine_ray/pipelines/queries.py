@@ -977,6 +977,32 @@ def q_bm25_search(sf_dir: str):
     return cand.head(20).reset_index(drop=True)
 
 
+def q_cross_corpus_near_dup(sf_dir: str):
+    """Incremental NEAR-dup screen — the fuzzy companion of
+    ``cross_corpus_dedup``: every incoming-crawl doc (sources >= 'src5')
+    whose 3-shingle Jaccard against some ingested doc (sources < 'src5')
+    clears 0.7. Both sides share one MinHash featurizer and ONE fat band
+    exchange whose kernel forms only new x old pairs (the corpus is never
+    re-paired against itself — a daily batch costs O(batch buckets), not
+    O(corpus^2)); exact Jaccard verification makes the output oracle-exact
+    whenever LSH recall is 100%, which these fixtures guarantee (see
+    q_near_dup_minhash)."""
+    from entity_resolution_engine_ray.stages.dedup import cross_corpus_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    new_ds = ds.filter(expr="source >= 'src5'").select_columns(["doc_id", "text"])
+    old_ds = ds.filter(expr="source < 'src5'").select_columns(["doc_id", "text"])
+    edges, _dropped = cross_corpus_near_dup_pairs(new_ds, old_ds)
+    out = edges.to_pandas()
+    out = out.rename(columns={"left_id": "new_doc_id", "right_id": "old_doc_id"})
+    out["jaccard"] = _rha(out["jaccard"], 4)
+    out["new_doc_id"] = out["new_doc_id"].astype(np.int64)
+    out["old_doc_id"] = out["old_doc_id"].astype(np.int64)
+    return out[["new_doc_id", "old_doc_id", "jaccard"]].sort_values(
+        ["new_doc_id", "old_doc_id"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_lang_balanced_sample(sf_dir: str):
     """Temperature-balanced language resampling — the multilingual-corpus
     rebalancer (upweight low-resource languages relative to raw frequency,
@@ -1837,12 +1863,16 @@ def q_user_event_pivot(sf_dir: str):
 
 def q_supplier_triangles(sf_dir: str):
     """Distributed triangle counting on the supplier co-occurrence graph
-    (suppliers sharing an order) — the standard degree-oriented wedge-join
+    (suppliers sharing >= 5 orders — the count threshold keeps the graph
+    sparse instead of degenerating to a complete graph whose wedge count is
+    THE n^3 hazard of triangle counting; at sf0.1 it cuts 454k edges / 62M
+    wedges to 49k / ~1M) — the standard degree-oriented wedge-join
     algorithm (Suri & Vassilvitskii's MR node-iterator):
 
     1. edge build: one l_orderkey hash partition → per-order distinct
        supplier pairs (vectorized triu over group boundaries, no per-order
-       Python), then a global (s1,s2) dedup partition;
+       Python), then a (s1,s2)-keyed count partition keeps pairs
+       co-occurring in >= 5 orders;
     2. orientation: each edge points low→high in (degree, id) order, which
        bounds every out-neighborhood by ~sqrt(m) — hub-proof wedge counts
        (degrees are a tiny aggregate, broadcast in the closure; swap for a
@@ -1882,11 +1912,22 @@ def q_supplier_triangles(sf_dir: str):
         s1 = np.concatenate(l)
         s2 = np.concatenate(r)
         lo, hi = np.minimum(s1, s2), np.maximum(s1, s2)
-        return pd.DataFrame({"s1": lo, "s2": hi}).drop_duplicates()
+        # per-order distinct pairs (the triu over deduped rows guarantees
+        # it) — cross-order multiplicity is the co-occurrence count and is
+        # aggregated by the next partition
+        return pd.DataFrame({"s1": lo, "s2": hi})
+
+    def count_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"s1": pd.Series([], dtype=np.int64), "s2": pd.Series([], dtype=np.int64)}
+            )
+        g = pdf.groupby(["s1", "s2"], as_index=False).size()
+        return g[g["size"] >= 5][["s1", "s2"]]
 
     raw_pairs = partition_map_groups(li, ["l_orderkey"], order_pairs, num_partitions=16)
     edges = partition_map_groups(
-        raw_pairs, ["s1", "s2"], lambda p: p.drop_duplicates(), num_partitions=16
+        raw_pairs, ["s1", "s2"], count_filter, num_partitions=16
     ).materialize()
 
     def degree_partial(t: pa.Table) -> pa.Table:
@@ -1953,9 +1994,10 @@ def q_supplier_triangles(sf_dir: str):
     def close_count(w_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
         if w_pdf.empty or e_pdf.empty:
             return pd.DataFrame({"n": pd.Series([], dtype=np.int64)})
-        eset = pd.MultiIndex.from_frame(e_pdf[["s1", "s2"]])
-        hit = pd.MultiIndex.from_frame(w_pdf[["v", "w"]]).isin(eset)
-        return pd.DataFrame({"n": np.array([int(hit.sum())], dtype=np.int64)})
+        hits = w_pdf.merge(
+            e_pdf[["s1", "s2"]], left_on=["v", "w"], right_on=["s1", "s2"], how="inner"
+        )
+        return pd.DataFrame({"n": np.array([len(hits)], dtype=np.int64)})
 
     closed = hash_exchange_cogroup(
         wedge_ds, edges, ["v", "w"], ["s1", "s2"], close_count, 16
@@ -2301,6 +2343,7 @@ QUERIES = {
     "doc_quality_decile": q_doc_quality_decile,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "lang_balanced_sample": q_lang_balanced_sample,
+    "cross_corpus_near_dup": q_cross_corpus_near_dup,
     "bm25_search": q_bm25_search,
     "export_manifest": q_export_manifest,
     "doc_token_counts": q_doc_token_counts,
@@ -2430,11 +2473,14 @@ ORACLE_SQL = {
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
     "supplier_triangles": """
-        WITH e AS (
-            SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        WITH op AS (
+            SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s1, b.l_suppkey AS s2
             FROM lineitem a
             JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        ),
+        e AS (
+            SELECT s1, s2 FROM op GROUP BY s1, s2 HAVING COUNT(*) >= 5
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM e e1
@@ -2507,6 +2553,35 @@ ORACLE_SQL = {
         )
         SELECT doc_id, ROUND(s, 6) AS score FROM sc
         ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "cross_corpus_near_dup": r"""
+        WITH arrs AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sides AS (SELECT doc_id, source >= 'src5' AS is_new FROM arrs),
+        inter AS (
+            SELECT nw.doc_id AS new_doc_id, ol.doc_id AS old_doc_id, COUNT(*) AS i
+            FROM sh nw
+            JOIN sides sn ON sn.doc_id = nw.doc_id AND sn.is_new
+            JOIN sh ol ON nw.shingle = ol.shingle
+            JOIN sides so ON so.doc_id = ol.doc_id AND NOT so.is_new
+            GROUP BY 1, 2
+        )
+        SELECT new_doc_id, old_doc_id,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = new_doc_id
+        JOIN sizes sb ON sb.doc_id = old_doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
     """,
     "lang_balanced_sample": """
         WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

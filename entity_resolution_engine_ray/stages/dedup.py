@@ -143,7 +143,8 @@ def _explode_fat(batch: pa.Table) -> pa.Table:
     counts = np.diff(keys.offsets.to_numpy(zero_copy_only=False))
     idx = pa.array(np.repeat(np.arange(len(keys)), counts), type=pa.int64())
     cols = {"block_key": flat}
-    for name in ("id", "token_ids"):
+    payload = ["id", "token_ids"] + (["side"] if "side" in batch.column_names else [])
+    for name in payload:
         col = batch[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -688,3 +689,177 @@ def simhash_near_dup_pairs(
         return pdf.drop_duplicates(["left_id", "right_id"])
 
     return partition_map_groups(pairs, ["left_id", "right_id"], distinct_pairs, num_partitions)
+
+
+def _cross_verify_partition(tbl: pa.Table, cap: int, threshold: float) -> pa.Table:
+    """One hash partition of fat (id, token_ids, block_key[, salt], side)
+    rows → verified NEW x OLD edges (exact Jaccard >= threshold). Same
+    Arrow-flat layout as ``_pair_verify_partition``, but pair generation is
+    the CROSS product of a block's side=1 (new) and side=0 (old) members —
+    new x new and old x old pairs are never formed. ``cap`` bounds each
+    side of a block; capped pairs are counted in ``dropped``."""
+    from entity_resolution_engine_ray.stages.score import _combined, _grouped_jaccard_flat
+
+    if tbl.num_rows == 0:
+        return _VERIFY_SCHEMA.empty_table()
+    keys = tbl["block_key"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    sides = tbl["side"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if "salt" in tbl.column_names:
+        salts = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        salts = np.zeros(len(keys), dtype=np.int64)
+    # side DESC inside each block: new (1) rows first, then old (0)
+    order = np.lexsort((ids, -sides, salts, keys))
+    keys, salts, ids, sides = keys[order], salts[order], ids[order], sides[order]
+    tok = _combined(tbl["token_ids"])
+    toffs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tvals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tstarts = toffs[:-1][order]
+    tlens = (toffs[1:] - toffs[:-1])[order]
+    change = np.flatnonzero((keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, tbl.num_rows]
+    lefts, rights = [], []
+    dropped = 0
+    for s, e in zip(starts, ends):
+        n_new = int(sides[s:e].sum())
+        n_old = (e - s) - n_new
+        if n_new == 0 or n_old == 0:
+            continue
+        use_new, use_old = min(n_new, cap), min(n_old, cap)
+        dropped += n_new * n_old - use_new * use_old
+        ii = np.repeat(np.arange(use_new, dtype=np.int64), use_old) + s
+        jj = np.tile(np.arange(use_old, dtype=np.int64), use_new) + s + n_new
+        lefts.append(ii)
+        rights.append(jj)
+    if not lefts:
+        return _marker_table(dropped) if dropped else _VERIFY_SCHEMA.empty_table()
+    lidx = np.concatenate(lefts)
+    ridx = np.concatenate(rights)
+    pl, pr = ids[lidx], ids[ridx]
+    perm = np.lexsort((pr, pl))
+    pls, prs = pl[perm], pr[perm]
+    first = np.r_[True, (pls[1:] != pls[:-1]) | (prs[1:] != prs[:-1])]
+    sel = perm[first]
+    lidx, ridx = lidx[sel], ridx[sel]
+    jac = _grouped_jaccard_flat(tvals, tstarts, tlens, lidx, ridx)
+    keep = jac >= threshold
+    n_keep = int(keep.sum())
+    if n_keep == 0:
+        return _marker_table(dropped) if dropped else _VERIFY_SCHEMA.empty_table()
+    drops = np.zeros(n_keep, dtype=np.int64)
+    drops[0] = dropped
+    return pa.table(
+        {
+            "left_id": pa.array(ids[lidx[keep]], type=pa.int64()),
+            "right_id": pa.array(ids[ridx[keep]], type=pa.int64()),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+            "dropped": pa.array(drops, type=pa.int64()),
+            "is_marker": pa.array(np.zeros(n_keep, dtype=bool), type=pa.bool_()),
+        }
+    )
+
+
+def cross_corpus_near_dup_pairs(
+    new_ds,
+    old_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 63,
+    bands: int = 21,
+    k: int = 3,
+    mode: str = "token_shingle",
+    max_block_size: int = 256,
+    num_partitions: int = 32,
+):
+    """Incremental NEAR-dup screen: (new_id, old_id, jaccard) for every new
+    doc whose k-shingle Jaccard against some ingested doc clears
+    ``threshold`` — the fuzzy companion of the exact cross-corpus dedup.
+
+    Both sides run the SAME MinHash featurizer (identical band keys), union
+    with a side tag, and flow through ONE fat band exchange whose verify
+    kernel forms only new x old pairs — the ingested corpus is never paired
+    against itself, so a daily batch costs O(batch-side buckets), not
+    O(corpus^2). Returns (edges Dataset(left_id=new, right_id=old,
+    jaccard), dropped_pair_count)."""
+    import ray.data as rd
+
+    kw = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "num_perm": num_perm,
+        "bands": bands,
+        "k": k,
+        "mode": mode,
+    }
+    empty = pa.table(
+        {
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if new_ds.count() == 0 or old_ds.count() == 0:
+        return rd.from_arrow(empty), 0
+
+    def tag(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(np.full(t.num_rows, side, dtype=np.int64)))
+
+        return add
+
+    feats = (
+        new_ds.map_batches(_dedup_featurize_batch, fn_kwargs=kw, batch_format="pyarrow",
+                           batch_size=512).map_batches(tag(1), batch_format="pyarrow")
+        .union(
+            old_ds.map_batches(_dedup_featurize_batch, fn_kwargs=kw, batch_format="pyarrow",
+                               batch_size=512).map_batches(tag(0), batch_format="pyarrow")
+        )
+        .materialize()
+    )
+
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
+
+    slim = feats.select_columns(["id", "band_keys"]).map_batches(_explode, batch_format="pyarrow")
+    hot = hot_key_splits(slim, max_block_size, n_rows_hint=feats.count() * bands)
+    fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
+        _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
+    )
+    fat_parts = int(np.clip((feats.count() * bands) // 50_000 + 1, 4, num_partitions))
+    raw = partition_map_groups(
+        fat,
+        ["block_key", "salt"],
+        lambda p: _cross_verify_partition(p, max_block_size, threshold),
+        fat_parts,
+        arrow_fns=True,
+    ).materialize()
+
+    def _stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "dropped": pa.array([pc.sum(t["dropped"]).as_py() or 0], type=pa.int64()),
+                "n_real": pa.array(
+                    [t.num_rows - (pc.sum(pc.cast(t["is_marker"], pa.int64())).as_py() or 0)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    parts = raw.map_batches(_stats, batch_format="pyarrow").take_all()
+    dropped = sum(r["dropped"] for r in parts)
+    n_real = sum(r["n_real"] for r in parts)
+    if n_real == 0:
+        return rd.from_arrow(empty), dropped
+    edges = raw.filter(expr="is_marker == False")
+    dedup_parts = int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
+    edges = partition_map_groups(
+        edges.drop_columns(["dropped", "is_marker"]),
+        ["left_id", "right_id"],
+        _dedup_pairs,
+        dedup_parts,
+    )
+    return edges, dropped

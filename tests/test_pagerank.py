@@ -77,14 +77,17 @@ def test_supplier_triangles_sparse_graph(ray_session, tmp_path):
 
     from entity_resolution_engine_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    # orders: {1,2,3} triangle; {3,4} + {4,5} open wedge; {5,6,7,8} clique
-    orders = [
-        (100, [1, 2, 3]),
-        (101, [3, 4]),
-        (102, [4, 5]),
-        (103, [5, 6, 7, 8]),
-        (104, [6, 7]),  # duplicate edge across orders must not double-count
+    # edges need >= 5 co-occurring orders: {1,2,3} triangle and {5,6,7,8}
+    # clique repeat 5x (edges), {3,4}+{4,5} open wedge repeats 5x, and
+    # {1,9} co-occurs only 4x — below threshold, must NOT become an edge
+    base = [
+        (0, [1, 2, 3]),
+        (1, [3, 4]),
+        (2, [4, 5]),
+        (3, [5, 6, 7, 8]),
     ]
+    orders = [(100 + 10 * rep + ok, supps) for rep in range(5) for ok, supps in base]
+    orders += [(900 + rep, [1, 9]) for rep in range(4)]
     rows = [(ok, s) for ok, supps in orders for s in supps]
     tbl = pa.table(
         {

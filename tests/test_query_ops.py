@@ -75,6 +75,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "funnel_conversion",
         "reciprocal_nn",
         "supplier_triangles",
+        "cross_corpus_near_dup",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
