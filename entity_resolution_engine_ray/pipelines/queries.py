@@ -2190,6 +2190,120 @@ def q_doc_sample_per_lang(sf_dir: str):
     return out[["lang", "doc_id", "hkey"]].reset_index(drop=True)
 
 
+def q_doc_overlap_chunks(sf_dir: str):
+    """Sliding-window chunking with overlap (window 40 tokens, stride 32)
+    — the RAG / long-context prep step. Pure map-side: each doc emits its
+    (chunk_idx, token_start, token_len) plan rows from one vectorized
+    repeat/arange expansion; no shuffle, no driver loop, and the plan
+    (not the text) is what downstream chunk extraction streams against.
+    Every doc emits >= 1 chunk (a short doc is one truncated chunk)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    window, stride = 40, 32
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n_tok = (
+            pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # chunk count: 1 + ceil(max(0, n - window) / stride)
+        n_chunks = 1 + np.maximum(n_tok - window + stride - 1, 0) // stride
+        total = int(n_chunks.sum())
+        cum = np.cumsum(n_chunks) - n_chunks
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        starts = cidx * stride
+        lens = np.minimum(window, np.repeat(n_tok, n_chunks) - starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_chunks)),
+                "chunk_idx": pa.array(cidx),
+                "token_start": pa.array(starts),
+                "token_len": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def q_events_latest_state(sf_dir: str):
+    """Latest-wins compaction (the upsert-log → current-state view): per
+    (user_id, event_type), the value at the max ts (ties break on max
+    event_id). One hash shuffle, then a vectorized grouped argmax — no
+    per-group Python."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id", "value"]
+    )
+
+    def latest(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=str),
+                    "value": pd.Series([], dtype=np.float64),
+                }
+            )
+        pdf = pdf.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        keep = pdf.groupby(["user_id", "event_type"], as_index=False).tail(1)
+        return keep[["user_id", "event_type", "value"]]
+
+    return partition_map_groups(ds, ["user_id", "event_type"], latest, num_partitions=16)
+
+
+def q_events_value_outliers(sf_dir: str):
+    """Z-score outlier screen per event type (value > mean + 3*sigma_pop) —
+    the metrics-hygiene pass before aggregating noisy telemetry. Pass 1:
+    per-type (n, sum, sum-of-squares) partials fold into a tiny stats
+    table; pass 2: map-side filter with the thresholds broadcast in the
+    closure. Mean/std computed from the SAME moments formula DuckDB's
+    STDDEV_POP uses; boundary floats are not ties in this data."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        pdf = pa.table({"event_type": t["event_type"], "value": t["value"]}).to_pandas()
+        g = pdf.groupby("event_type")["value"]
+        out = pd.DataFrame(
+            {
+                "event_type": g.count().index,
+                "n": g.count().to_numpy(dtype=np.int64),
+                "s1": g.sum().to_numpy(dtype=np.float64),
+                "s2": g.apply(lambda v: float((v.to_numpy() ** 2).sum())).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    st = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2")
+        )
+    ).to_pandas()
+    st["mean"] = st["s1"] / st["n"]
+    st["std"] = np.sqrt(st["s2"] / st["n"] - st["mean"] ** 2)
+    thr = dict(zip(st["event_type"], (st["mean"] + 3.0 * st["std"]).astype(float)))
+
+    def outliers(t: pa.Table) -> pa.Table:
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        types = pd.Series(t["event_type"].to_pylist())
+        cut = types.map(thr).to_numpy(dtype=np.float64)
+        keep = vals > cut
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    t["event_id"].to_numpy(zero_copy_only=False)[keep], type=pa.int64()
+                ),
+                "event_type": pa.array(types[keep].tolist(), type=pa.string()),
+                "value": pa.array(vals[keep], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(outliers, batch_format="pyarrow")
+
+
 def q_doc_pack_chunks(sf_dir: str):
     """Concat-and-chunk sequence packing — the LLM-training-data operator:
     per language, documents are (logically) concatenated in doc_id order
@@ -2366,6 +2480,9 @@ QUERIES = {
     "user_cumulative_value": q_user_cumulative_value,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
+    "doc_overlap_chunks": q_doc_overlap_chunks,
+    "events_latest_state": q_events_latest_state,
+    "events_value_outliers": q_events_value_outliers,
     "doc_pack_chunks": q_doc_pack_chunks,
     "approx_distinct_by_lang": q_approx_distinct_by_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
@@ -2472,6 +2589,41 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "doc_overlap_chunks": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   CAST(1 + CASE WHEN n > 40 THEN (n - 40 + 31) // 32 ELSE 0 END
+                        AS BIGINT) AS k
+            FROM d
+        )
+        SELECT doc_id, i AS chunk_idx, i * 32 AS token_start,
+               LEAST(40, n - i * 32) AS token_len
+        FROM c, unnest(range(0, k)) AS t(i)
+    """,
+    "events_latest_state": """
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rk
+            FROM events
+        ) WHERE rk = 1
+    """,
+    "events_value_outliers": """
+        WITH st AS (
+            SELECT event_type, AVG(value) + 3 * STDDEV_POP(value) AS cut
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value
+        FROM events e JOIN st USING (event_type)
+        WHERE e.value > st.cut
+    """,
     "supplier_triangles": """
         WITH op AS (
             SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s1, b.l_suppkey AS s2

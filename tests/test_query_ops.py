@@ -76,6 +76,9 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "reciprocal_nn",
         "supplier_triangles",
         "cross_corpus_near_dup",
+        "doc_overlap_chunks",
+        "events_latest_state",
+        "events_value_outliers",
         "label_centroids",
         "doc_token_counts",
         "pagerank_top20",
