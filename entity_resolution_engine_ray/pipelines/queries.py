@@ -2190,6 +2190,35 @@ def q_doc_sample_per_lang(sf_dir: str):
     return out[["lang", "doc_id", "hkey"]].reset_index(drop=True)
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (top-20 docs,
+    weight = token count) via Efraimidis–Spirakis exponential keys: key =
+    u^(1/w) with u a (0,1) uniform derived from the Knuth hash of doc_id —
+    the length-weighted corpus subsample a curriculum or eval split draws.
+    Map-side key computation + per-batch partial top-k + tiny global merge;
+    nothing shuffles. Keys are round-half-away to 12 dp in BOTH engines
+    (libm pow differs in final ulps across engines; ranking ties then break
+    on doc_id)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        u = (((ids * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+        key = _rha(np.power(u, 1.0 / np.maximum(w, 1.0)), 12)
+        out = pd.DataFrame({"doc_id": ids, "w": w.astype(np.int64), "skey": key})
+        out = out.sort_values(["skey", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(out.head(20), preserve_index=False)
+
+    cand = ds.map_batches(keys, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["skey", "doc_id"], ascending=[False, True], kind="mergesort")
+    return cand.head(20).reset_index(drop=True)
+
+
 def q_doc_overlap_chunks(sf_dir: str):
     """Sliding-window chunking with overlap (window 40 tokens, stride 32)
     — the RAG / long-context prep step. Pure map-side: each doc emits its
@@ -2481,6 +2510,7 @@ QUERIES = {
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
     "doc_overlap_chunks": q_doc_overlap_chunks,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "events_latest_state": q_events_latest_state,
     "events_value_outliers": q_events_value_outliers,
     "doc_pack_chunks": q_doc_pack_chunks,
@@ -2589,6 +2619,18 @@ ORACLE_SQL = {
         WHERE len(regexp_extract_all(text, '{_TOK}')) >= 10
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "doc_weighted_sample": f"""
+        SELECT doc_id, w, skey FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS w,
+                   ROUND(POW((((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0,
+                             1.0 / GREATEST(len(regexp_extract_all(text, '{_TOK}')), 1)),
+                         12) AS skey
+            FROM documents
+        )
+        ORDER BY skey DESC, doc_id ASC
+        LIMIT 20
+    """,
     "doc_overlap_chunks": f"""
         WITH d AS (
             SELECT doc_id,

@@ -77,6 +77,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "supplier_triangles",
         "cross_corpus_near_dup",
         "doc_overlap_chunks",
+        "doc_weighted_sample",
         "events_latest_state",
         "events_value_outliers",
         "label_centroids",
