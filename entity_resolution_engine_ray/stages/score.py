@@ -400,7 +400,7 @@ def _dedup_edges_partition(tbl: pa.Table) -> pa.Table:
 def fused_edges_stage(
     features_ds,
     cfg: PagesERConfig | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     key_filter=None,
 ):
     """features → scored+gated edge Dataset in two shuffles (fat-block
@@ -418,13 +418,27 @@ def fused_edges_stage(
     blocks untouched by a new batch keep their previously-scored edges).
     Broadcast once via ``ray.put``; filtering is a vectorized searchsorted
     per batch on both the key-only and fat paths, so untouched blocks never
-    enter the shuffle at all."""
+    enter the shuffle at all.
+
+    ``num_partitions=None`` scales with BOTH the cluster and the data:
+    max(1.5 x cluster CPUs, fat rows / 50k), capped at 65,536 — a fixed
+    count would under-split a 256-node cluster and over-split a laptop
+    (measured at sf0.1 / 32 CPUs: 48 partitions beats 64 and 32,
+    interleaved best-of-3: 7.96 vs 8.11 vs 8.71 s)."""
     from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_chained
     from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_fat = features_ds.count() * cfg.bands  # metadata-only count
+        num_partitions = int(
+            np.clip(n_fat // 50_000 + 1, int(1.5 * cpus), 65_536)
+        )
     keys_ds = block_keys_stage(features_ds)  # key-only explode: 8 bytes/row
     fat = fat_block_rows_stage(features_ds)
     if key_filter is not None:
