@@ -183,6 +183,48 @@ def q_doc_quality(sf_dir: str):
     return ds.map_batches(features, batch_format="pyarrow")
 
 
+def q_doc_stats_incremental(sf_dir: str):
+    """Incremental aggregate maintenance: per-lang corpus stats kept
+    current as a new batch lands WITHOUT rescanning the ingested corpus —
+    the pattern that makes a daily 100 TB stats refresh cost one batch,
+    not one corpus. The 'ingested' aggregate (sources < 'src5') stands in
+    for yesterday's saved stats table; only the incoming shard is scanned
+    today and its DELTA partials merge in with a tiny aligned add (sums
+    and counts are re-aggregable; non-mergeable stats would keep sketches
+    instead). The oracle recomputes over the full union — equality IS the
+    maintenance-invariant check."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64())
+        tmp = pa.table({"lang": t["lang"], "toks": toks}).to_pandas()
+        g = tmp.groupby("lang", as_index=False).agg(
+            n_docs=("toks", "size"), total_tokens=("toks", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def agg(part_ds) -> pd.DataFrame:
+        return (
+            part_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("total_tokens", alias_name="total_tokens"),
+            )
+        ).to_pandas()
+
+    saved = agg(ds.filter(expr="source < 'src5'"))  # stands in for the stored table
+    delta = agg(ds.filter(expr="source >= 'src5'"))  # the only scan a real refresh runs
+    merged = (
+        pd.concat([saved, delta], ignore_index=True)
+        .groupby("lang", as_index=False)[["n_docs", "total_tokens"]]
+        .sum()
+    )
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    merged["total_tokens"] = merged["total_tokens"].astype(np.int64)
+    return merged.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_quality_decile(sf_dir: str):
     """Distributed GLOBAL ranking → quality-decile assignment, the
     stratification step before per-stratum sampling or curriculum
@@ -2484,6 +2526,7 @@ QUERIES = {
     "doc_cut_dup_spans": q_doc_cut_dup_spans,
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_quality_decile": q_doc_quality_decile,
+    "doc_stats_incremental": q_doc_stats_incremental,
     "cross_corpus_dedup": q_cross_corpus_dedup,
     "lang_balanced_sample": q_lang_balanced_sample,
     "cross_corpus_near_dup": q_cross_corpus_near_dup,
@@ -2702,6 +2745,12 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         ORDER BY stage
+    """,
+    "doc_stats_incremental": f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_TOK}'))) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "doc_quality_decile": f"""
         SELECT doc_id, n_tokens,

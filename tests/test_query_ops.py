@@ -78,6 +78,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "cross_corpus_near_dup",
         "doc_overlap_chunks",
         "doc_weighted_sample",
+        "doc_stats_incremental",
         "events_latest_state",
         "events_value_outliers",
         "label_centroids",
