@@ -87,7 +87,7 @@ def run_pages_er(
     else:
         with timed("edges"):
             with timed("edges_compute"):
-                edges, dropped = fused_edges_stage(features, cfg)
+                edges, dropped = fused_edges_stage(features, cfg, num_partitions=num_partitions)
             with timed("edges_write"):
                 edges = store.write(edges, "edges", phash, extra={"dropped_pairs": dropped})
 
