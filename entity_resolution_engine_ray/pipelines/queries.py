@@ -1903,6 +1903,86 @@ def q_user_event_pivot(sf_dir: str):
     )
 
 
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-parent (ratio-to-region revenue share) — the windowed
+    SUM-over-partition pattern without a second shuffle: the per-nation
+    aggregate IS tiny, so region totals fold on the driver and the share
+    divides rounded revenue by rounded region total (both engines divide
+    the same 2 dp numbers, so 6 dp shares hash-match)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_tbl = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n_name = dict(zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist()))
+    n_region = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_regionkey"].to_pylist())
+    )
+    r_name = dict(zip(region_tbl["r_regionkey"].to_pylist(), region_tbl["r_name"].to_pylist()))
+
+    def per_partition(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty or c_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                }
+            )
+        m = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
+        return m.groupby("c_nationkey", as_index=False).agg(revenue=("o_totalprice", "sum"))
+
+    partials = hash_exchange_cogroup(
+        orders, customer, ["o_custkey"], ["c_custkey"], per_partition, default_join_partitions()
+    ).to_pandas()
+    agg = partials.groupby("c_nationkey", as_index=False)["revenue"].sum()
+    agg["revenue"] = _rha(agg["revenue"], 2)
+    agg["n_name"] = agg["c_nationkey"].map(n_name)
+    agg["r_name"] = agg["c_nationkey"].map(n_region).map(r_name)
+    region_tot = agg.groupby("r_name")["revenue"].transform("sum")
+    agg["share"] = _rha(agg["revenue"] / region_tot, 6)
+    out = agg[["r_name", "n_name", "revenue", "share"]].sort_values(
+        ["r_name", "n_name"], kind="mergesort"
+    )
+    return out.reset_index(drop=True)
+
+
+def q_daily_new_users(sf_dir: str):
+    """Cumulative DISTINCT users per day via the first-occurrence trick:
+    a running COUNT(DISTINCT) never has to merge per-prefix sets — one
+    user_id-keyed min-date aggregate marks each user's first active day,
+    a tiny per-day count follows, and the cumulative sum runs over the
+    handful of day rows on the driver. The corpus shuffles once, by
+    user_id."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def first_day_partial(t: pa.Table) -> pa.Table:
+        pdf = pa.table({"user_id": t["user_id"], "ts": t["ts"]}).to_pandas()
+        g = pdf.groupby("user_id", as_index=False)["ts"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(first_day_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts", alias_name="ts"))
+    ).to_pandas()
+    days = (
+        pd.to_datetime(firsts["ts"]).dt.strftime("%Y-%m-%d").to_frame("day")
+        .groupby("day", as_index=False)
+        .agg(new_users=("day", "size"))
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    days["new_users"] = days["new_users"].astype(np.int64)
+    days["cum_users"] = days["new_users"].cumsum().astype(np.int64)
+    return days
+
+
 def q_supplier_triangles(sf_dir: str):
     """Distributed triangle counting on the supplier co-occurrence graph
     (suppliers sharing >= 5 orders — the count threshold keeps the graph
@@ -2549,6 +2629,8 @@ QUERIES = {
     "doc_quality_gate": q_doc_quality_gate,
     "funnel_conversion": q_funnel_conversion,
     "supplier_triangles": q_supplier_triangles,
+    "nation_revenue_share": q_nation_revenue_share,
+    "daily_new_users": q_daily_new_users,
     "user_cumulative_value": q_user_cumulative_value,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
@@ -2689,6 +2771,30 @@ ORACLE_SQL = {
         SELECT doc_id, i AS chunk_idx, i * 32 AS token_start,
                LEAST(40, n - i * 32) AS token_len
         FROM c, unnest(range(0, k)) AS t(i)
+    """,
+    "nation_revenue_share": """
+        WITH rev AS (
+            SELECT c.c_nationkey, ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        )
+        SELECT r.r_name, n.n_name, rev.revenue,
+               ROUND(rev.revenue / SUM(rev.revenue) OVER (PARTITION BY r.r_name), 6)
+                   AS share
+        FROM rev
+        JOIN nation n ON n.n_nationkey = rev.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        ORDER BY r.r_name, n.n_name
+    """,
+    "daily_new_users": """
+        WITH f AS (
+            SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS day
+            FROM events GROUP BY user_id
+        ),
+        d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        FROM d ORDER BY day
     """,
     "events_latest_state": """
         SELECT user_id, event_type, value FROM (

@@ -32,7 +32,10 @@ def _run_pair(name: str):
     res = QUERIES[name](SF_DIR)
     rdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     con = duckdb.connect()
-    for tb in ("events", "documents", "embeddings", "orders", "lineitem"):
+    for tb in (
+        "events", "documents", "embeddings", "orders", "lineitem",
+        "customer", "nation", "region", "supplier", "part",
+    ):
         con.execute(
             f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{SF_DIR}/{tb}.parquet')"
         )
@@ -79,6 +82,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_overlap_chunks",
         "doc_weighted_sample",
         "doc_stats_incremental",
+        "nation_revenue_share",
+        "daily_new_users",
         "events_latest_state",
         "events_value_outliers",
         "label_centroids",
