@@ -1,0 +1,128 @@
+"""Resumable partitioned Parquet export — the sink contract for 100 TB
+runs: one DIRECTORY per shard, each sealed by a manifest, so a failed or
+killed export re-run skips every finished shard instead of rewriting the
+corpus (reference parity: the UES writers land whole tables; at web scale
+the unit of atomicity must be the shard).
+
+Layout:
+
+    out_dir/
+      shard=<value>/part-*.parquet
+      shard=<value>/_MANIFEST.json   {"rows": n, "params_hash": h}
+
+A shard is DONE iff its manifest exists and carries the caller's
+``params_hash`` — changing pipeline params invalidates every shard without
+touching the data files. Writes are atomic per shard (tmp dir + rename),
+so a kill mid-shard leaves no manifest and the shard re-runs cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _shard_dir(out_dir: str, value) -> str:
+    return os.path.join(out_dir, f"shard={value}")
+
+
+def finished_shards(out_dir: str, params_hash: str = "") -> set:
+    """Shard values whose manifest exists with a matching params_hash."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("shard="):
+            continue
+        mpath = os.path.join(out_dir, name, _MANIFEST)
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("params_hash", "") == params_hash:
+                done.add(name[len("shard="):])
+    return done
+
+
+def write_sharded_parquet(
+    ds,
+    out_dir: str,
+    shard_col: str,
+    params_hash: str = "",
+    num_partitions: int = 16,
+) -> dict:
+    """Write ``ds`` as one directory per distinct ``shard_col`` value,
+    skipping shards already sealed by a matching manifest.
+
+    Two passes, both streaming: (1) a map-side prune drops every row whose
+    shard is already done — finished shards cost ZERO shuffle bytes on a
+    resume; (2) a shard-keyed hash partition writes each shard's rows from
+    exactly one task (same-shard rows always co-locate), tmp-dir + rename
+    for atomicity. Returns {"written": [...], "skipped": [...]}.
+    """
+    import ray
+
+    from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_shards(out_dir, params_hash)
+    skipped = sorted(done)
+    done_ref = ray.put(done)
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        d = ray.get(done_ref)
+        if not d:
+            return t
+        vals = pd.Series(t[shard_col].to_pylist()).astype(str)
+        return t.filter(pa.array((~vals.isin(d)).to_numpy()))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    @ray.remote
+    def write_partition(tbl) -> list:
+        tbl = tbl if isinstance(tbl, pa.Table) else pa.Table.from_pandas(tbl)
+        if tbl.num_rows == 0:
+            return []
+        out = []
+        vals = pd.Series(tbl[shard_col].to_pylist()).astype(str)
+        for value in sorted(vals.unique()):
+            sub = tbl.filter(pa.array((vals == value).to_numpy()))
+            sdir = _shard_dir(out_dir, value)
+            tmp = sdir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(sub, os.path.join(tmp, "part-0.parquet"))
+            with open(os.path.join(tmp, _MANIFEST), "w") as f:
+                json.dump({"rows": sub.num_rows, "params_hash": params_hash}, f)
+            os.rename(tmp, sdir)
+            out.append(value)
+        return out
+
+    refs = exchange_partition_refs(pruned, [shard_col], num_partitions)
+    written = sorted({v for part in ray.get([write_partition.remote(r) for r in refs]) for v in part})
+    return {"written": written, "skipped": skipped}
+
+
+def read_sharded_parquet(out_dir: str):
+    """Read every sealed shard back as one Dataset (unsealed tmp dirs and
+    manifest-less shards are ignored — they belong to an interrupted run)."""
+    import ray.data as rd
+
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        sdir = os.path.join(out_dir, name)
+        if name.startswith("shard=") and os.path.isfile(os.path.join(sdir, _MANIFEST)):
+            paths.extend(
+                os.path.join(sdir, f) for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")
+            )
+    return rd.read_parquet(paths)

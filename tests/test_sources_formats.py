@@ -76,3 +76,42 @@ def test_read_pages_csv(ray_session, tmp_path):
     assert (got["warc_ts"].iloc[1] - got["warc_ts"].iloc[0]).total_seconds() == 1.0
     assert got["html"].isna().all()
     assert np.issubdtype(got["warc_ts"].dtype, np.datetime64)
+
+
+def test_write_sharded_parquet_resume_skips_done_shards(ray_session, tmp_path):
+    """Resumable shard export: a second run rewrites ONLY the shard whose
+    manifest is missing; sealed shards are pruned map-side and their files
+    untouched. Changing params_hash invalidates everything."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.sources.sink import (
+        finished_shards,
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "shard": [i % 4 for i in range(100)], "v": range(100)}
+    )
+    out = str(tmp_path / "export")
+    r1 = write_sharded_parquet(rd.from_pandas(pdf), out, "shard", params_hash="h1")
+    assert r1["written"] == ["0", "1", "2", "3"] and r1["skipped"] == []
+    assert finished_shards(out, "h1") == {"0", "1", "2", "3"}
+
+    mtimes = {s: os.path.getmtime(f"{out}/shard={s}/part-0.parquet") for s in "013"}
+    shutil.rmtree(f"{out}/shard=2")  # simulate a killed run
+    r2 = write_sharded_parquet(rd.from_pandas(pdf), out, "shard", params_hash="h1")
+    assert r2["written"] == ["2"] and set(r2["skipped"]) == {"0", "1", "3"}
+    for s in "013":  # untouched shards were never rewritten
+        assert os.path.getmtime(f"{out}/shard={s}/part-0.parquet") == mtimes[s]
+
+    back = read_sharded_parquet(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["doc_id", "v"]], pdf[["doc_id", "v"]].astype(back[["doc_id", "v"]].dtypes))
+
+    # params change invalidates every shard
+    r3 = write_sharded_parquet(rd.from_pandas(pdf), out, "shard", params_hash="h2")
+    assert r3["written"] == ["0", "1", "2", "3"]
