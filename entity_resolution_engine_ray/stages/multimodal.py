@@ -136,21 +136,118 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib + numpy — 8-bit RGB / RGBA /
+    grayscale, non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth). Filters are undone row-by-row (a data dependency the
+    format imposes) but each row's arithmetic is vectorized numpy.
+    Returns (h, w, 3) uint8 RGB (alpha dropped, gray broadcast). Palette /
+    16-bit / interlaced PNGs raise NotImplementedError — clearly gated,
+    like the JPEG path."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/RGBA PNG decodable here "
+                    f"(bit_depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[color_type]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y].copy()
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 255
+        else:  # Sub/Average/Paeth need the in-progress row: walk per PIXEL
+            line = cur
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    line[x] = (line[x] + a) & 255
+                elif f == 3:
+                    line[x] = (line[x] + ((a + b) >> 1)) & 255
+                elif f == 4:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    line[x] = (line[x] + pred) & 255
+        out[y] = line
+        prev = out[y]
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (filter 0 rows, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """Magic-byte sniffing decode for the formats this container can do
-    without Pillow: BMP and binary PPM. Returns (rgb array, format) so a
-    transform can re-encode in the input's own format — the mixed-format
-    column case a real web corpus presents."""
+    without Pillow: BMP, binary PPM and (zlib-backed) PNG. Returns
+    (rgb array, format) so a transform can re-encode in the input's own
+    format — the mixed-format column case a real web corpus presents."""
     if payload[:2] == b"BM":
         return decode_bmp(payload), "bmp"
     if payload[:2] == b"P6":
         return decode_ppm(payload), "ppm"
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload), "png"
     raise NotImplementedError(
-        "only BMP/PPM are decodable without Pillow (JPEG/PNG need the pillow decoder)"
+        "only BMP/PPM/PNG are decodable without Pillow (JPEG needs the pillow decoder)"
     )
 
 
-_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm}
+_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
