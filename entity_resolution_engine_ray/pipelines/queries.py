@@ -877,6 +877,56 @@ def q_doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_corpus_diff(sf_dir: str):
+    """Dataset diff / drift detection between two corpus versions — the
+    anti-entropy check run after a migration or re-export. Version B is a
+    deterministic mutation of the corpus (every 53rd doc dropped, every
+    37th rewritten), so both engines derive the same two sides. Each side
+    reduces to (doc_id, content md5) map-side — the shuffle ships 16-byte
+    digests, never text — and ONE doc_id-keyed cogroup classifies rows as
+    'missing' (in A only) or 'changed' (digest differs)."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def side_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "h": pa.array(md5_fingerprint(t["text"].to_pylist()))}
+        )
+
+    def side_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 53 != 0
+        texts = pd.Series(t["text"].to_pylist())[keep]
+        kept_ids = ids[keep]
+        texts = texts.where(pd.Series(kept_ids % 37 != 0, index=texts.index), texts.str.upper())
+        return pa.table(
+            {"doc_id": pa.array(kept_ids), "h": pa.array(md5_fingerprint(texts.tolist()))}
+        )
+
+    a = ds.map_batches(side_a, batch_format="pyarrow")
+    b = ds.map_batches(side_b, batch_format="pyarrow")
+
+    def classify(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if a_pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64), "status": pd.Series([], dtype=str)}
+            )
+        m = a_pdf.merge(b_pdf, on="doc_id", how="left", suffixes=("_a", "_b"))
+        missing = m["h_b"].isna()
+        changed = ~missing & (m["h_a"] != m["h_b"])
+        out = m[missing | changed][["doc_id"]].copy()
+        out["status"] = np.where(missing[missing | changed], "missing", "changed")
+        return out
+
+    out = hash_exchange_cogroup(
+        a, b, ["doc_id"], ["doc_id"], classify, default_join_partitions()
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_export_manifest(sf_dir: str):
     """Merkle-style export manifest: one digest per language that commits to
     every document's content AND its position in the export order — the
@@ -2612,6 +2662,7 @@ QUERIES = {
     "cross_corpus_near_dup": q_cross_corpus_near_dup,
     "bm25_search": q_bm25_search,
     "export_manifest": q_export_manifest,
+    "corpus_diff": q_corpus_diff,
     "doc_token_counts": q_doc_token_counts,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "label_centroids": q_label_centroids,
@@ -2867,6 +2918,19 @@ ORACLE_SQL = {
                    CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens
             FROM documents
         )
+    """,
+    "corpus_diff": """
+        WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        b AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 37 = 0 THEN upper(text) ELSE text END) AS h
+            FROM documents WHERE doc_id % 53 <> 0
+        )
+        SELECT a.doc_id,
+               CASE WHEN b.doc_id IS NULL THEN 'missing' ELSE 'changed' END AS status
+        FROM a LEFT JOIN b USING (doc_id)
+        WHERE b.doc_id IS NULL OR a.h <> b.h
+        ORDER BY a.doc_id
     """,
     "export_manifest": """
         WITH f AS (

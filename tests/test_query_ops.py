@@ -83,6 +83,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_weighted_sample",
         "doc_stats_incremental",
         "nation_revenue_share",
+        "corpus_diff",
         "daily_new_users",
         "events_latest_state",
         "events_value_outliers",
