@@ -319,6 +319,26 @@ def q_near_dup_minhash(sf_dir: str):
     )
 
 
+def q_near_dup_ngram(sf_dir: str):
+    """Char-3-gram Jaccard near-dup clustering (the short/noisy-string
+    dedup mode — same MinHash-LSH machinery as near_dup_minhash but the
+    set elements are character trigrams of the raw lowered text).
+    Threshold 0.85 sits in this fixture's distribution GAP (background
+    pairs top out at 0.73, true near-dups start at 0.92), so LSH recall is
+    provable (miss probability < 1e-13 per pair at j=0.92 with 21 bands)
+    and the output equals the SQL oracle's exhaustive gram cross-join +
+    recursive closure."""
+    from entity_resolution_engine_ray.stages.dedup import ngram_near_dup_clusters
+
+    return ngram_near_dup_clusters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.85,
+    )
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Near-dup cluster-size distribution — the corpus-health report a
     dedup run ships (how much of the crawl is singleton vs boilerplate
@@ -2632,6 +2652,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
     "near_dup_minhash": q_near_dup_minhash,
+    "near_dup_ngram": q_near_dup_ngram,
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "near_dup_keep_best": q_near_dup_keep_best,
     "corpus_export": q_corpus_export,
@@ -3524,6 +3545,37 @@ ORACLE_SQL = {
     ),
     "near_dup_minhash": _near_dup_closure("documents")
     + """
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    """,
+    "near_dup_ngram": """
+        WITH RECURSIVE g AS (
+            SELECT DISTINCT doc_id, substring(lower(text), i, 3) AS gram
+            FROM documents, unnest(range(1, len(text) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT l, r FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.l
+            JOIN sizes sb ON sb.doc_id = inter.r
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+        ),
+        bidir AS (
+            SELECT l AS src, r AS dst FROM edges
+            UNION ALL SELECT r, l FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
+        ),
+        lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab

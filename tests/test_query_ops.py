@@ -84,6 +84,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_stats_incremental",
         "nation_revenue_share",
         "corpus_diff",
+        "near_dup_ngram",
         "daily_new_users",
         "events_latest_state",
         "events_value_outliers",
