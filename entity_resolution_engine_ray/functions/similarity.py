@@ -243,6 +243,33 @@ _U64 = np.uint64
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def mix64(x):
+    """splitmix64 finalizer — full-avalanche 64-bit mixing. Works on Python
+    ints AND numpy int64/uint64 arrays (vectorized, wrap-around semantics).
+
+    Why it exists: hot-bucket salting must split the SAME doc set along
+    DIFFERENT lines per band. The old mix ``(hash ^ block_key) % n`` fails
+    that contract — XOR with a per-band constant only RELABELS the residue
+    classes of ``hash % n`` (for n=2^k: (h^k)%n == (h%n)^(k%n)), so every
+    band partitions a hot cluster identically and cross-sub-block members
+    never meet on ANY band (reproduced: 1000 identical docs froze into
+    n_splits disjoint clusters). An avalanche mix makes the partition of
+    docs by ``mix64(h ^ key) % n`` effectively independent per key."""
+    if isinstance(x, np.ndarray):
+        with np.errstate(over="ignore"):
+            z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        return z.astype(np.int64)
+    m = (1 << 64) - 1
+    z = (int(x) + 0x9E3779B97F4A7C15) & m
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+    z = z ^ (z >> 31)
+    return z - (1 << 64) if z >= (1 << 63) else z
+
+
 def stable_hash64(text: str) -> int:
     """Deterministic 64-bit hash of a string (blake2b, not process-salted),
     returned as a SIGNED int64 value so it round-trips through every engine

@@ -128,10 +128,15 @@ def n_splits_for(n_members: int, cap: int) -> int:
 
 def salt_of(url_hash: int, block_key: int, n_splits: int) -> int:
     """Sub-block assignment for hot-bucket splitting. The block key is mixed
-    in so DIFFERENT bands of the same hot cluster split along different
-    lines — with url-only salting every band would partition the cluster
-    identically and cross-sub-block members would never meet on any band."""
-    return ((url_hash ^ block_key) & 0x7FFFFFFFFFFFFFFF) % n_splits
+    in THROUGH A FULL-AVALANCHE mix (similarity.mix64) so DIFFERENT bands of
+    the same hot cluster split along genuinely different lines. A plain
+    ``(hash ^ key) % n`` does NOT achieve that: XOR only relabels the
+    residue classes of ``hash % n``, so every band partitioned a hot
+    cluster identically and cross-sub-block members never met on any band
+    (reproduced as frozen n_splits-way cluster fragmentation)."""
+    from entity_resolution_engine_ray.functions.similarity import mix64
+
+    return (mix64(url_hash ^ block_key) & 0x7FFFFFFFFFFFFFFF) % n_splits
 
 
 def split_block(urls_sorted: list[str], cap: int, block_key: int = 0) -> list[list[str]]:

@@ -84,7 +84,9 @@ def hot_key_splits(
 def _salt_batch(batch: pa.Table, hot: dict[int, int], hash_col: str = "url_hash") -> pa.Table:
     """Vectorized hot-key salting: only rows whose block_key is in the hot
     set pay anything beyond one ``np.isin`` (same math as oracle
-    serial.salt_of: ((row_hash ^ key) & INT63_MASK) % n_splits).
+    serial.salt_of: (mix64(row_hash ^ key) & INT63_MASK) % n_splits —
+    avalanche-mixed so each band splits a hot cluster along different
+    lines; see similarity.mix64 for why plain XOR fragments clusters).
 
     ``hash_col`` is the int64 per-row mixing hash (url_hash for pages, the
     doc id itself for the dedup operators); when absent, urls are hashed."""
@@ -104,7 +106,9 @@ def _salt_batch(batch: pa.Table, hot: dict[int, int], hash_col: str = "url_hash"
                 )
             hk = keys[idx]
             ns = np.fromiter((hot[int(k)] for k in hk), dtype=np.int64, count=len(idx))
-            mixed = (uhash.astype(np.int64) ^ hk.astype(np.int64)) & np.int64(
+            from entity_resolution_engine_ray.functions.similarity import mix64
+
+            mixed = mix64(uhash.astype(np.int64) ^ hk.astype(np.int64)) & np.int64(
                 0x7FFFFFFFFFFFFFFF
             )
             salts[idx] = (mixed % ns).astype(np.int32)

@@ -115,3 +115,25 @@ def test_cross_verify_partition_caps_and_markers():
     out3 = _cross_verify_partition(tbl, cap=1, threshold=1.1)
     assert out3.num_rows == 1 and out3["is_marker"][0].as_py() is True
     assert out3["dropped"][0].as_py() == 3
+
+
+def test_hot_key_cluster_not_fragmented_by_salting(ray_session):
+    """A hot bucket far over the cap must still resolve to ONE cluster:
+    avalanche-mixed salts split it along DIFFERENT lines per band, so
+    cross-sub-block members meet on some band. Regression for the XOR
+    salting bug (each band partitioned a hot cluster identically -> 400
+    identical docs froze into n_splits disjoint clusters)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import minhash_near_dup_clusters
+
+    texts = ["identical hot document body with enough tokens to shingle properly"] * 400
+    texts += [f"unique filler doc {i} distinct words {i * 7} {i * 13} isolated" for i in range(50)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = minhash_near_dup_clusters(rd.from_arrow(tbl), max_block_size=64).to_pandas()
+    sizes = out.groupby("cluster_id").size().sort_values(ascending=False)
+    assert sizes.iloc[0] == 400  # the hot set is one component
+    assert len(out) == 450
