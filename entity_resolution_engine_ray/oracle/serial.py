@@ -12,7 +12,8 @@ Determinism rules mirrored by the distributed stages:
   64-bit url hash (the engine's pair shuffle is ids-only — url strings never
   enter it — so hash order is the shared canonical order); buckets larger
   than ``max_block_size`` split into ``ceil(n/cap)`` hash sub-blocks
-  (``stable_hash64(url) % n_splits`` — order-free, so the distributed engine
+  (``salt_of`` = avalanche-mixed hash x block key, mod n_splits — order-free,
+  so the distributed engine
   can salt the groupby key without materializing the hot bucket; dropped
   cross-sub-block pairs are counted, never silent); pairs deduped globally on
   (hash(left), hash(right)) with hash(left) < hash(right), keeping the MIN

@@ -6,7 +6,8 @@ Shuffle plan (SURVEY.md §7.3):
    hot buckets (count > max_block_size). Only hot keys (a tiny set) come back
    to the driver and are shipped into the salting tasks.
 2. A vectorized ``map_batches`` salts hot keys:
-   ``salt = stable_hash64(url) % n_splits`` (0 for cold keys) — the same
+   ``salt = (mix64(stable_hash64(url) ^ block_key) & INT63) % n_splits``
+   (0 for cold keys) — the same
    deterministic assignment as the serial oracle's ``split_block``, so pair
    semantics are identical. The hot bucket is never materialized in one task.
 3. ``groupby([block_key, salt]).map_groups(pairgen)`` emits within-sub-block
