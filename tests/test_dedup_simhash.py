@@ -137,3 +137,39 @@ def test_hot_key_cluster_not_fragmented_by_salting(ray_session):
     sizes = out.groupby("cluster_id").size().sort_values(ascending=False)
     assert sizes.iloc[0] == 400  # the hot set is one component
     assert len(out) == 450
+
+
+def test_cross_corpus_near_dup_partition_invariant(ray_session):
+    """cross_corpus_near_dup_pairs must emit the same edge set at any
+    partition count (hash exchange width is an execution knob, not a
+    semantic one)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import cross_corpus_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    new_texts = [base + " extra", "a fully unrelated new document body here"]
+    old_texts = [base, base.replace("quick", "swift"), "other old content entirely"]
+    new_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([100, 101], type=pa.int64()), "text": new_texts})
+    )
+    old_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": old_texts})
+    )
+
+    def run(parts):
+        edges, dropped = cross_corpus_near_dup_pairs(
+            new_ds, old_ds, threshold=0.5, num_partitions=parts
+        )
+        pdf = edges.to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+        return pdf, dropped
+
+    a, da = run(4)
+    b, db = run(32)
+    pd.testing.assert_frame_equal(a, b)
+    assert da == db == 0
+    # the near-dup of base must match BOTH old variants; left side is new
+    assert set(a["left_id"]) == {100}
+    assert set(a["right_id"]) >= {1, 2}
