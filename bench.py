@@ -66,11 +66,22 @@ def run_bench() -> dict:
 
     rd.read_parquet(fix["pages"]).count()
 
-    out_dir = f"/tmp/er_bench_out_{uuid.uuid4().hex[:8]}"
-    t0 = time.perf_counter()
-    res = run_pages_er(fix["pages"], out_dir)
-    headline = time.perf_counter() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # best-of-N headline (default 2, BENCH_REPS=1 restores single-shot):
+    # this shared host's noise swings identical runs 2.5x within minutes
+    # (BASELINE.md protocol note), so one sample measures the neighbor as
+    # often as the engine; all rep times are reported alongside the best.
+    n_reps = int(os.environ.get("BENCH_REPS", "2" if n_pages <= 200_000 else "1"))
+    reps = []
+    headline, res = None, None
+    for _rep in range(max(1, n_reps)):
+        out_dir = f"/tmp/er_bench_out_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        rep_res = run_pages_er(fix["pages"], out_dir)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        reps.append(round(dt, 3))
+        if headline is None or dt < headline:
+            headline, res = dt, rep_res
 
     queries: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
@@ -90,6 +101,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "pages_per_sec": round(n_pages / headline, 1),
         "n_pages": n_pages,
+        "rep_secs": reps,
         "stage_timings": res["timings"],
         "queries": queries,
         "sf": sf,
@@ -148,7 +160,11 @@ def run_scaling() -> dict:
     # alternating the levels samples comparable noise for both
     for _rep in range(n_reps):
         for ncpu in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+            # BENCH_REPS=1: the scaling loop does its own interleaved
+            # best-of-N — an inner best-of-2 would double every rep
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1", BENCH_REPS="1"
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
