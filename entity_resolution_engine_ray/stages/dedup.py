@@ -286,6 +286,7 @@ def near_dup_edges(
     mode: str = "token_shingle",
     max_block_size: int = 256,
     num_partitions: int = 32,
+    featurize_batch_size: int = 512,
 ):
     """(id, text) → (verified edge Dataset (left_id, right_id, jaccard),
     dropped_pair_count). Fully distributed: feature → fat band explode →
@@ -317,7 +318,10 @@ def near_dup_edges(
             "mode": mode,
         },
         batch_format="pyarrow",
-        batch_size=512,
+        # featurization is the per-doc-Python stage; parallelism before the
+        # first shuffle is bounded by batch count, so heavy modes (char
+        # n-grams: ~6x the set size of token shingles) pass a smaller size
+        batch_size=featurize_batch_size,
     ).materialize()
 
     # hot-bucket salting (same scheme as the pages pipeline, same vectorized
@@ -455,6 +459,7 @@ def near_dup_clusters(
     max_block_size: int = 256,
     num_partitions: int = 32,
     local_cluster_edge_threshold: int = 2_000_000,
+    featurize_batch_size: int = 512,
 ):
     """Generic near-dup clustering: (id, text) → Dataset (doc_id, cluster_id,
     cluster_size). Candidate pairs verified with EXACT Jaccard ≥ threshold;
@@ -500,6 +505,7 @@ def near_dup_clusters(
         mode=mode,
         max_block_size=max_block_size,
         num_partitions=num_partitions,
+        featurize_batch_size=featurize_batch_size,
     )
     edges = edges.materialize()  # consumed by the gate count + clustering
     ids_only = ds.select_columns([id_col])
@@ -559,6 +565,10 @@ def minhash_near_dup_clusters(ds, id_col="doc_id", text_col="text", **kw):
 
 
 def ngram_near_dup_clusters(ds, id_col="doc_id", text_col="text", n: int = 3, **kw):
+    # char n-gram sets are ~6x the size of token-shingle sets per doc, so
+    # expect this mode to cost ~6-10x near_dup_minhash end-to-end (verify
+    # kernel + exchange payload scale with set size; batch-size A/B showed
+    # featurization task width is NOT the lever — 512 vs 128 ties in noise)
     return near_dup_clusters(ds, id_col=id_col, text_col=text_col, mode="char_ngram", k=n, **kw)
 
 
