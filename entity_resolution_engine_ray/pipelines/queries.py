@@ -52,6 +52,25 @@ def _rha(x, decimals):
     return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
 
 
+def _knuth32(ids: np.ndarray) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 — Knuth multiplicative hash, computed in
+    uint64 so it is exact for EVERY int64 id: the multiply wraps mod 2^64 and
+    2^32 | 2^64, so the final mod-2^32 result is unaffected by wraparound.
+    (int64 arithmetic silently wrapped for id >= ~3.47e9.) The SQL oracles
+    mirror it via a HUGEINT cast so DuckDB's BIGINT-overflow raise can't
+    diverge either — see ``_knuth32_sql``."""
+    return (
+        (np.asarray(ids).astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+    ).astype(np.int64)
+
+
+def _knuth32_sql(col: str) -> str:
+    """DuckDB twin of ``_knuth32``: HUGEINT (int128) can't overflow for any
+    BIGINT id, and for non-negative ids the exact mod equals the uint64
+    wraparound result."""
+    return f"((CAST({col} AS HUGEINT) * 2654435761) % 4294967296)"
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -425,7 +444,7 @@ def q_near_dup_keep_best(sf_dir: str):
         )
         return top[["cluster_id", "kept_doc_id", "cluster_size"]]
 
-    out = partition_map_groups(joined, ["cluster_id"], best, 8).to_pandas()
+    out = partition_map_groups(joined, ["cluster_id"], best).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("cluster_id", kind="mergesort").reset_index(drop=True)
@@ -499,10 +518,10 @@ def q_corpus_export(sf_dir: str):
         ).drop_duplicates("cluster_id", keep="first")
         return top[["doc_id", "n_tokens", "cluster_size"]]
 
-    out = partition_map_groups(joined, ["cluster_id"], best, 8).to_pandas()
+    out = partition_map_groups(joined, ["cluster_id"], best).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
-    out["shard"] = (out["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296 % 8
+    out["shard"] = _knuth32(out["doc_id"].to_numpy(np.int64)) % 8
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
@@ -588,7 +607,7 @@ def q_top_customer_order(sf_dir: str):
         )
         return pdf.drop_duplicates("o_custkey", keep="first")
 
-    return partition_map_groups(ds, ["o_custkey"], top1, 32)
+    return partition_map_groups(ds, ["o_custkey"], top1)
 
 
 def q_nation_revenue(sf_dir: str):
@@ -991,7 +1010,7 @@ def q_export_manifest(sf_dir: str):
         return g[["lang", "digest", "n_shards"]]
 
     docs = ds.map_batches(doc_level, batch_format="pyarrow")
-    shards = partition_map_groups(docs, ["lang", "shard"], shard_level, num_partitions=16)
+    shards = partition_map_groups(docs, ["lang", "shard"], shard_level)
     out = partition_map_groups(shards, ["lang"], lang_level, num_partitions=4).to_pandas()
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
@@ -1157,7 +1176,7 @@ def q_lang_balanced_sample(sf_dir: str):
 
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hkey = (ids * 2654435761) % 4294967296
+        hkey = _knuth32(ids)
         langs = pd.Series(t["lang"].to_pylist())
         n = langs.map(n_by_lang).to_numpy(dtype=np.int64)
         k = langs.map(quota).to_numpy(dtype=np.int64)
@@ -1470,7 +1489,7 @@ def q_doc_shuffle_shards(sf_dir: str):
         if len(t) == 0:
             return empty
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        shard = (ids * 2654435761) % 4294967296 % 8
+        shard = _knuth32(ids) % 8
         pdf = pd.DataFrame({"shard": shard, "doc_id": ids})
         g = pdf.groupby("shard", as_index=False).agg(
             n_docs=("doc_id", "size"),
@@ -1661,7 +1680,7 @@ def q_user_sessions(sf_dir: str):
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return partition_map_groups(ds, ["user_id"], sessions, 32)
+    return partition_map_groups(ds, ["user_id"], sessions)
 
 
 def q_sliding_window(sf_dir: str):
@@ -1851,7 +1870,6 @@ def q_lineitem_quantiles(sf_dir: str):
         ["l_returnflag"],
         "l_extendedprice",
         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
-        num_partitions=8,
     )
 
 
@@ -2053,7 +2071,7 @@ def q_daily_new_users(sf_dir: str):
     return days
 
 
-def q_supplier_triangles(sf_dir: str):
+def q_supplier_triangles(sf_dir: str, _broadcast_limit_nodes: int = 20_000_000):
     """Distributed triangle counting on the supplier co-occurrence graph
     (suppliers sharing >= 5 orders — the count threshold keeps the graph
     sparse instead of degenerating to a complete graph whose wedge count is
@@ -2067,8 +2085,9 @@ def q_supplier_triangles(sf_dir: str):
        co-occurring in >= 5 orders;
     2. orientation: each edge points low→high in (degree, id) order, which
        bounds every out-neighborhood by ~sqrt(m) — hub-proof wedge counts
-       (degrees are a tiny aggregate, broadcast in the closure; swap for a
-       degree cogroup when the NODE set outgrows a broadcast);
+       (degree attach is size-gated: one ray.put broadcast of the sorted
+       degree arrays below ``_broadcast_limit_nodes``, two degree cogroups
+       above it — the scale path a web graph's node set needs);
     3. wedges: one src hash partition emits each out-neighbor pair
        (vectorized triu again);
     4. count: wedge ∩ edge via one (v,w)-keyed hash cogroup — a wedge
@@ -2117,10 +2136,8 @@ def q_supplier_triangles(sf_dir: str):
         g = pdf.groupby(["s1", "s2"], as_index=False).size()
         return g[g["size"] >= 5][["s1", "s2"]]
 
-    raw_pairs = partition_map_groups(li, ["l_orderkey"], order_pairs, num_partitions=16)
-    edges = partition_map_groups(
-        raw_pairs, ["s1", "s2"], count_filter, num_partitions=16
-    ).materialize()
+    raw_pairs = partition_map_groups(li, ["l_orderkey"], order_pairs)
+    edges = partition_map_groups(raw_pairs, ["s1", "s2"], count_filter).materialize()
 
     def degree_partial(t: pa.Table) -> pa.Table:
         nodes = np.concatenate(
@@ -2132,18 +2149,15 @@ def q_supplier_triangles(sf_dir: str):
         u, c = np.unique(nodes, return_counts=True)
         return pa.table({"node": pa.array(u, type=pa.int64()), "deg": pa.array(c, type=pa.int64())})
 
-    degs = (
+    degs_ds = (
         edges.map_batches(degree_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum("deg", alias_name="deg"))
-    ).to_pandas()
-    deg_of = dict(zip(degs["node"].astype(int), degs["deg"].astype(int)))
+    ).materialize()
 
-    def orient(t: pa.Table) -> pa.Table:
+    def _orient_table(t: pa.Table, d1: np.ndarray, d2: np.ndarray) -> pa.Table:
         s1 = t["s1"].to_numpy(zero_copy_only=False)
         s2 = t["s2"].to_numpy(zero_copy_only=False)
-        d1 = pd.Series(s1).map(deg_of).to_numpy(dtype=np.int64)
-        d2 = pd.Series(s2).map(deg_of).to_numpy(dtype=np.int64)
         fwd = (d1 < d2) | ((d1 == d2) & (s1 < s2))
         return pa.table(
             {
@@ -2152,7 +2166,60 @@ def q_supplier_triangles(sf_dir: str):
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    # degree attach is size-gated: at or below the limit, ONE ray.put of a
+    # sorted (node, deg) array pair, read (not re-pickled) by every orient
+    # task; above it — a web-graph node set outgrows any single-machine
+    # broadcast — two co-partitioned degree cogroups attach d1/d2 without
+    # the driver ever materializing the node set.
+    if degs_ds.count() <= _broadcast_limit_nodes:
+        import ray
+
+        degs = degs_ds.to_pandas()
+        order = np.argsort(degs["node"].to_numpy())
+        deg_ref = ray.put(
+            (
+                degs["node"].to_numpy().astype(np.int64)[order],
+                degs["deg"].to_numpy().astype(np.int64)[order],
+            )
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            nodes_s, deg_s = ray.get(deg_ref)
+            s1 = t["s1"].to_numpy(zero_copy_only=False)
+            s2 = t["s2"].to_numpy(zero_copy_only=False)
+            # every edge endpoint has a degree row, so searchsorted is exact
+            d1 = deg_s[np.searchsorted(nodes_s, s1)]
+            d2 = deg_s[np.searchsorted(nodes_s, s2)]
+            return _orient_table(t, d1, d2)
+
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
+    else:
+
+        def attach_deg(col: str, out_col: str):
+            def fn(e_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+                if e_pdf.empty:
+                    out = e_pdf.copy()
+                    out[out_col] = pd.Series([], dtype=np.int64)
+                    return out
+                return e_pdf.merge(
+                    d_pdf.rename(columns={"node": col, "deg": out_col}), on=col, how="left"
+                )
+
+            return fn
+
+        with_d1 = hash_exchange_cogroup(
+            edges, degs_ds, ["s1"], ["node"], attach_deg("s1", "d1"), None
+        )
+        with_deg = hash_exchange_cogroup(
+            with_d1, degs_ds, ["s2"], ["node"], attach_deg("s2", "d2"), None
+        )
+
+        def orient_merged(t: pa.Table) -> pa.Table:
+            d1 = t["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _orient_table(t, d1, d2)
+
+        oriented = with_deg.map_batches(orient_merged, batch_format="pyarrow")
 
     def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -2181,7 +2248,7 @@ def q_supplier_triangles(sf_dir: str):
         b = np.concatenate(r)
         return pd.DataFrame({"v": np.minimum(a, b), "w": np.maximum(a, b)})
 
-    wedge_ds = partition_map_groups(oriented, ["src"], wedges, num_partitions=16)
+    wedge_ds = partition_map_groups(oriented, ["src"], wedges)
 
     def close_count(w_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
         if w_pdf.empty or e_pdf.empty:
@@ -2192,7 +2259,7 @@ def q_supplier_triangles(sf_dir: str):
         return pd.DataFrame({"n": np.array([len(hits)], dtype=np.int64)})
 
     closed = hash_exchange_cogroup(
-        wedge_ds, edges, ["v", "w"], ["s1", "s2"], close_count, 16
+        wedge_ds, edges, ["v", "w"], ["s1", "s2"], close_count, None
     ).to_pandas()
     total = int(closed["n"].sum()) if not closed.empty else 0
     return pd.DataFrame({"n_triangles": np.array([total], dtype=np.int64)})
@@ -2244,7 +2311,7 @@ def q_funnel_conversion(sf_dir: str):
         )
 
     out = (
-        partition_map_groups(ds, ["user_id"], funnel, num_partitions=16)
+        partition_map_groups(ds, ["user_id"], funnel)
         .groupby("stage")
         .aggregate(Sum("n_users", alias_name="n_users"))
     ).to_pandas()
@@ -2307,7 +2374,7 @@ def q_user_cumulative_value(sf_dir: str):
         pdf["cum_value"] = _rha(pdf.groupby("user_id")["value"].cumsum(), 2)
         return pdf[["event_id", "user_id", "cum_value"]]
 
-    return partition_map_groups(ds, ["user_id"], running, 16)
+    return partition_map_groups(ds, ["user_id"], running)
 
 
 def q_user_click_purchase_outer(sf_dir: str):
@@ -2353,7 +2420,7 @@ def q_user_click_purchase_outer(sf_dir: str):
         m["n_purchases"] = m["n_purchases"].fillna(0).astype(np.int64)
         return m
 
-    return hash_exchange_cogroup(clicks, purchases, ["user_id"], ["user_id"], outer, 16)
+    return hash_exchange_cogroup(clicks, purchases, ["user_id"], ["user_id"], outer)
 
 
 def q_doc_sample_per_lang(sf_dir: str):
@@ -2369,7 +2436,7 @@ def q_doc_sample_per_lang(sf_dir: str):
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["hkey"] = (pdf["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        pdf["hkey"] = _knuth32(pdf["doc_id"].to_numpy(np.int64))
         pdf = pdf.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
         return pdf.groupby("lang", as_index=False).head(k)
 
@@ -2400,7 +2467,7 @@ def q_doc_weighted_sample(sf_dir: str):
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        u = (((ids * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+        u = (_knuth32(ids) + 1.0) / 4294967297.0
         key = _rha(np.power(u, 1.0 / np.maximum(w, 1.0)), 12)
         out = pd.DataFrame({"doc_id": ids, "w": w.astype(np.int64), "skey": key})
         out = out.sort_values(["skey", "doc_id"], ascending=[False, True], kind="mergesort")
@@ -2471,7 +2538,7 @@ def q_events_latest_state(sf_dir: str):
         keep = pdf.groupby(["user_id", "event_type"], as_index=False).tail(1)
         return keep[["user_id", "event_type", "value"]]
 
-    return partition_map_groups(ds, ["user_id", "event_type"], latest, num_partitions=16)
+    return partition_map_groups(ds, ["user_id", "event_type"], latest)
 
 
 def q_events_value_outliers(sf_dir: str):
@@ -2820,7 +2887,7 @@ ORACLE_SQL = {
         SELECT doc_id, w, skey FROM (
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS w,
-                   ROUND(POW((((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0,
+                   ROUND(POW((((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) + 1.0) / 4294967297.0,
                              1.0 / GREATEST(len(regexp_extract_all(text, '{_TOK}')), 1)),
                          12) AS skey
             FROM documents
@@ -3027,7 +3094,7 @@ ORACLE_SQL = {
         )
         SELECT d.doc_id, d.lang
         FROM documents d JOIN q USING (lang)
-        WHERE ((d.doc_id * 2654435761) % 4294967296) * q.n < 4294967296 * q.k
+        WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296) * q.n < 4294967296 * q.k
     """,
     "cross_corpus_dedup": """
         WITH k AS (
@@ -3279,7 +3346,7 @@ ORACLE_SQL = {
         FROM documents ORDER BY doc_id
     """,
     "doc_shuffle_shards": """
-        SELECT (doc_id * 2654435761) % 4294967296 % 8 AS shard,
+        SELECT CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
                SUM(doc_id)::BIGINT AS sum_doc
         FROM documents GROUP BY 1 ORDER BY 1
@@ -3445,10 +3512,10 @@ ORACLE_SQL = {
     "doc_sample_per_lang": """
         SELECT lang, doc_id, hkey FROM (
             SELECT lang, doc_id,
-                   (doc_id * 2654435761) % 4294967296 AS hkey,
+                   CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS hkey,
                    ROW_NUMBER() OVER (
                        PARTITION BY lang
-                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
                    ) AS rn
             FROM documents
         ) WHERE rn <= 10
@@ -3539,7 +3606,7 @@ ORACLE_SQL = {
             FROM lab JOIN clean c USING (doc_id)
         )
         SELECT doc_id, n_tokens, cluster_size,
-               (doc_id * 2654435761) % 4294967296 % 8 AS shard
+               CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard
         FROM ranked WHERE rk = 1 ORDER BY doc_id
     """
     ),

@@ -14,6 +14,17 @@ A shard is DONE iff its manifest exists and carries the caller's
 ``params_hash`` — changing pipeline params invalidates every shard without
 touching the data files. Writes are atomic per shard (tmp dir + rename),
 so a kill mid-shard leaves no manifest and the shard re-runs cleanly.
+
+Atomicity contract: the tmp-dir + ``os.rename`` seal is atomic on a local
+POSIX filesystem (the sandbox and any node-local staging disk). An
+object-store backend (s3://...) has no atomic rename — there the manifest
+write itself is the commit point, so route paths through ``pyarrow.fs``
+and write the manifest LAST; the skip logic (manifest-or-nothing) already
+assumes exactly that ordering.
+
+Shard values become directory names, so they are validated: empty strings,
+path separators, backslashes, NUL and ``..`` are rejected (a crafted value
+must not corrupt the layout or escape ``out_dir``).
 """
 
 from __future__ import annotations
@@ -30,8 +41,18 @@ import pyarrow.parquet as pq
 _MANIFEST = "_MANIFEST.json"
 
 
+def _validate_shard_value(value: str) -> str:
+    """Reject shard values that would corrupt the directory layout or
+    escape ``out_dir`` (see module docstring)."""
+    if value == "" or value == "." or value == "..":
+        raise ValueError(f"invalid shard value {value!r}: empty or dot path")
+    if "/" in value or "\\" in value or "\x00" in value:
+        raise ValueError(f"invalid shard value {value!r}: contains a path separator or NUL")
+    return value
+
+
 def _shard_dir(out_dir: str, value) -> str:
-    return os.path.join(out_dir, f"shard={value}")
+    return os.path.join(out_dir, f"shard={_validate_shard_value(str(value))}")
 
 
 def finished_shards(out_dir: str, params_hash: str = "") -> set:

@@ -284,7 +284,9 @@ def connected_components_labelprop_ids(
     driver memory."""
     from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
 
-    P = num_partitions or 32
+    from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+    P = num_partitions or auto_partitions()
     edges = edges_ds.map_batches(_cast_int_edges, batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return rd.from_arrow(
@@ -333,7 +335,9 @@ def connected_components_labelprop(
         exchange_partition_refs,
     )
 
-    P = num_partitions or 32
+    from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+    P = num_partitions or auto_partitions()
     hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
     if hashed.count() == 0:
         # zero-row inputs skip the lazy map, leaking the source schema into
@@ -406,7 +410,7 @@ def _forest_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src": nodes[keep], "dst": roots[keep]})
 
 
-def cluster_label_map(edges_ds, num_partitions: int = 64, contraction_rounds: int = 2) -> dict[int, int]:
+def cluster_label_map(edges_ds, num_partitions: int | None = None, contraction_rounds: int = 2) -> dict[int, int]:
     """Distributed-contraction connected components → driver-side label map
     {node_hash: component_root_hash} (root = min member hash).
 

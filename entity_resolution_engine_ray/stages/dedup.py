@@ -25,7 +25,7 @@ from entity_resolution_engine_ray.functions.similarity import (
     stable_hash64,
 )
 from entity_resolution_engine_ray.oracle.serial import canonical_tokens
-from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+from entity_resolution_engine_ray.stages.grouping import auto_partitions, partition_map_groups
 
 
 class _DedupFeatures:
@@ -285,7 +285,7 @@ def near_dup_edges(
     k: int = 3,
     mode: str = "token_shingle",
     max_block_size: int = 256,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     featurize_batch_size: int = 512,
 ):
     """(id, text) → (verified edge Dataset (left_id, right_id, jaccard),
@@ -343,9 +343,14 @@ def near_dup_edges(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
     # partition counts scale with the data (metadata-only count on the
-    # materialized features): full fan-out at size, no 32-task fixed cost
-    # on a 5k-doc fixture. Callers raise num_partitions for bigger clusters.
-    fat_parts = int(np.clip((feats.count() * bands) // 50_000 + 1, 4, num_partitions))
+    # materialized features) AND the cluster (auto_partitions: 1.5x CPU
+    # floor, 65,536 cap) unless the caller pins an explicit count
+    n_fat = feats.count() * bands
+    fat_parts = (
+        auto_partitions(n_fat)
+        if num_partitions is None
+        else int(np.clip(n_fat // 50_000 + 1, 4, num_partitions))
+    )
     raw = partition_map_groups(
         fat,
         ["block_key", "salt"],
@@ -384,7 +389,11 @@ def near_dup_edges(
             }
         )
         return rd.from_arrow(empty), dropped
-    dedup_parts = int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
+    dedup_parts = (
+        auto_partitions(n_real, rows_per_partition=100_000)
+        if num_partitions is None
+        else int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
+    )
     edges = partition_map_groups(
         edges.drop_columns(["dropped", "is_marker"]),
         ["left_id", "right_id"],
@@ -394,7 +403,7 @@ def near_dup_edges(
     return edges, dropped
 
 
-def attach_cluster_labels(ids_ds, labels_ds, id_col: str, num_partitions: int = 32):
+def attach_cluster_labels(ids_ds, labels_ds, id_col: str, num_partitions: int | None = None):
     """Distributed label attach: every (id) row gets its component label from
     the (node, cluster_label) Dataset via ONE co-partitioned exchange (tagged
     union on the id hash, per-partition left join); ids with no label —
@@ -457,7 +466,7 @@ def near_dup_clusters(
     k: int = 3,
     mode: str = "token_shingle",
     max_block_size: int = 256,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     local_cluster_edge_threshold: int = 2_000_000,
     featurize_batch_size: int = 512,
 ):
@@ -586,7 +595,7 @@ def simhash_stage(ds, id_col="doc_id", text_col="text"):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def exact_dedup(ds, id_col: str, content_col: str, num_partitions: int = 32):
+def exact_dedup(ds, id_col: str, content_col: str, num_partitions: int | None = None):
     """Exact dedup: hash-partition on a 64-bit content hash, keep min id per
     group (first-per-key). Returns (id, n_dupes)."""
 
@@ -608,7 +617,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     bucket_cap: int = 4096,
 ):
     """SimHash near-dup: (id, text) → verified pairs (left_id, right_id,
@@ -782,7 +791,7 @@ def cross_corpus_near_dup_pairs(
     k: int = 3,
     mode: str = "token_shingle",
     max_block_size: int = 256,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Incremental NEAR-dup screen: (new_id, old_id, jaccard) for every new
     doc whose k-shingle Jaccard against some ingested doc clears
@@ -811,6 +820,12 @@ def cross_corpus_near_dup_pairs(
             "jaccard": pa.array([], type=pa.float64()),
         }
     )
+    # materialize BEFORE the empty-side guard: count() on an unmaterialized
+    # (typically filtered) dataset would execute each input pipeline once
+    # for the guard and again for the featurize pass; after materialize the
+    # counts are metadata-only and featurization reads the cached blocks
+    new_ds = new_ds.materialize()
+    old_ds = old_ds.materialize()
     if new_ds.count() == 0 or old_ds.count() == 0:
         return rd.from_arrow(empty), 0
 
@@ -837,7 +852,12 @@ def cross_corpus_near_dup_pairs(
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
-    fat_parts = int(np.clip((feats.count() * bands) // 50_000 + 1, 4, num_partitions))
+    n_fat = feats.count() * bands
+    fat_parts = (
+        auto_partitions(n_fat)
+        if num_partitions is None
+        else int(np.clip(n_fat // 50_000 + 1, 4, num_partitions))
+    )
     raw = partition_map_groups(
         fat,
         ["block_key", "salt"],
@@ -865,7 +885,11 @@ def cross_corpus_near_dup_pairs(
     if n_real == 0:
         return rd.from_arrow(empty), dropped
     edges = raw.filter(expr="is_marker == False")
-    dedup_parts = int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
+    dedup_parts = (
+        auto_partitions(n_real, rows_per_partition=100_000)
+        if num_partitions is None
+        else int(np.clip(n_real // 100_000 + 1, 4, num_partitions))
+    )
     edges = partition_map_groups(
         edges.drop_columns(["dropped", "is_marker"]),
         ["left_id", "right_id"],

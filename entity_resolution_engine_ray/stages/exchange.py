@@ -154,12 +154,22 @@ def _reduce_cogroup(fn, n_left: int, *subtables: pa.Table):
 
 
 def hash_exchange_cogroup(
-    left_ds, right_ds, left_keys: list[str], right_keys: list[str], fn, num_partitions: int
+    left_ds,
+    right_ds,
+    left_keys: list[str],
+    right_keys: list[str],
+    fn,
+    num_partitions: int | None = None,
 ):
     """Co-partitioned two-sided exchange: rows of both datasets with the
     same key hash meet in one partition; ``fn(left_pdf, right_pdf)`` runs
     once per partition (the task-level hash join / cogroup primitive —
-    key semantics are up to ``fn``)."""
+    key semantics are up to ``fn``). ``num_partitions=None`` →
+    ``grouping.auto_partitions()`` (scales with cluster CPUs)."""
+    if num_partitions is None:
+        from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+        num_partitions = auto_partitions()
     l_refs = _arrow_refs(left_ds)
     r_refs = _arrow_refs(right_ds)
     max_groups = _default_split_tasks()
@@ -304,12 +314,18 @@ def hash_exchange_chained(
     return rd.from_arrow_refs(keep), total
 
 
-def hash_exchange_map_groups(ds, key_cols: list[str], fn, num_partitions: int, arrow_fns: bool = False):
+def hash_exchange_map_groups(
+    ds, key_cols: list[str], fn, num_partitions: int | None = None, arrow_fns: bool = False
+):
     """Raw-task hash exchange: apply ``fn(pdf)`` once per hash partition of
     ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),
     handle an empty input frame, and be per-group-pure — the same contract
     as grouping.partition_map_groups. ``arrow_fns=True``: ``fn`` takes and
     returns ``pa.Table`` (no pandas round-trip)."""
+    if num_partitions is None:
+        from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+        num_partitions = auto_partitions()
     block_refs = _arrow_refs(ds)
     if not block_refs:
         return rd.from_items([])

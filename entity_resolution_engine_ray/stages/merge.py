@@ -183,13 +183,13 @@ def build_labeled(features_ds, labels_ds, num_partitions=None):
     return partition_map_groups(tagged, ["key"], merge_key_partition, num_partitions)
 
 
-def entities_from_labeled(labeled_ds, num_partitions: int = 64):
+def entities_from_labeled(labeled_ds, num_partitions: int | None = None):
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
     return partition_map_groups(labeled_ds, ["cluster_label"], _survivor_partition, num_partitions)
 
 
-def lineage_from_labeled(labeled_ds, num_partitions: int = 64):
+def lineage_from_labeled(labeled_ds, num_partitions: int | None = None):
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
     return partition_map_groups(
@@ -204,5 +204,5 @@ def merge_stage(features_ds, labels_ds, num_partitions=None):
     """features + labels Dataset → (entities, lineage). Library wrapper over
     build_labeled → entities_from_labeled / lineage_from_labeled."""
     labeled = build_labeled(features_ds, labels_ds, num_partitions).materialize()
-    np_ = num_partitions or 64
+    np_ = num_partitions  # None -> auto_partitions() inside partition_map_groups
     return entities_from_labeled(labeled, np_), lineage_from_labeled(labeled, np_)

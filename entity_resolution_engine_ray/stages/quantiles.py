@@ -98,7 +98,7 @@ def grouped_quantiles(
     key_cols: list[str],
     value_col: str,
     quantiles: dict[str, float],
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Exact discrete quantiles of ``value_col`` per ``key_cols`` group.
 

@@ -56,7 +56,7 @@ def _estimate(regs: np.ndarray) -> float:
 
 
 def hll_count_distinct(
-    ds, key_cols: list[str], value_col: str, p: int = 14, num_partitions: int = 8
+    ds, key_cols: list[str], value_col: str, p: int = 14, num_partitions: int | None = None
 ):
     """→ one row per key: ``approx_distinct`` (int64 rounded estimate).
     ``value_col`` must already be a 64-bit hash column (pair with

@@ -181,7 +181,7 @@ def dup_window_rows(
     text_col: str = "text",
     window_tokens: int = 8,
     sample_mod: int = 1,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """(id, text) -> Dataset of duplicated (doc_id, pos) windows (pos =
     0-based token index of the window start; every returned window's
@@ -205,7 +205,7 @@ def substring_dup_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 8,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """(id, text) -> (doc_id, n_windows, n_dup_windows) for every doc with at
     least one full window (>= window_tokens tokens). Exact (sample_mod=1).
@@ -278,7 +278,8 @@ def substring_dup_counts(
             batch_format="pyarrow",
         )
     )
-    return partition_map_groups(tagged, ["doc_id"], fold, max(4, num_partitions // 4))
+    fold_parts = None if num_partitions is None else max(4, num_partitions // 4)
+    return partition_map_groups(tagged, ["doc_id"], fold, fold_parts)
 
 
 def substring_dup_spans(
@@ -287,7 +288,7 @@ def substring_dup_spans(
     text_col: str = "text",
     window_tokens: int = 8,
     sample_mod: int = 1,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """(id, text) -> maximal duplicated token spans (doc_id, start_tok,
     end_tok) — the cut list a substring-dedup export applies. Overlapping /
@@ -334,7 +335,7 @@ def cut_dup_spans(
     text_col: str = "text",
     window_tokens: int = 8,
     sample_mod: int = 1,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """The substring-dedup EXPORT: (id, text) -> (doc_id, clean_text,
     n_cut_tokens) with every duplicated span's tokens removed from every

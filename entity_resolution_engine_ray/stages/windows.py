@@ -31,7 +31,7 @@ def _agg_spec(value_col: str) -> dict:
     }
 
 
-def tumbling_window(ds, key_col: str, ts_col: str, value_col: str, size_s: int, num_partitions: int = 32):
+def tumbling_window(ds, key_col: str, ts_col: str, value_col: str, size_s: int, num_partitions: int | None = None):
     """(key, window_start, n_events, sum_value, min_value, max_value)."""
     size_us = np.int64(size_s) * 1_000_000
 
@@ -52,7 +52,7 @@ def tumbling_window(ds, key_col: str, ts_col: str, value_col: str, size_s: int, 
 
 
 def sliding_window(
-    ds, key_col: str, ts_col: str, value_col: str, size_s: int, slide_s: int, num_partitions: int = 32
+    ds, key_col: str, ts_col: str, value_col: str, size_s: int, slide_s: int, num_partitions: int | None = None
 ):
     """Overlapping windows: every event is assigned to each window whose
     [start, start+size) covers it; windows start on slide boundaries."""
@@ -83,7 +83,7 @@ def sliding_window(
 
 def session_window(
     ds, key_col: str, ts_col: str, value_col: str, gap_s: int, order_col: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Gap-based sessions: (key, session_start, session_end, n_events,
     sum_value). A new session starts when the gap to the previous event of
