@@ -1738,15 +1738,28 @@ def q_knn_cosine_top10(sf_dir: str):
 
 def q_reciprocal_nn(sf_dir: str):
     """Mutual (reciprocal) 10-NN pairs over the embedding table — the
-    high-confidence match filter (b in a's top-10 AND a in b's). Blocked
-    distributed matmul emits per-row local-top-k SUPERSETS, a src-keyed
-    hash partition merges them into exact global ROW_NUMBER top-10s, and
-    an unordered-pair groupby keeps only pairs seen from both sides (see
-    stages/knn.reciprocal_topk_pairs)."""
+    high-confidence match filter (b in a's top-10 AND a in b's). EXACT
+    path (the oracle twin): blocked distributed matmul emits per-row
+    local-top-k SUPERSETS, a src-keyed hash partition merges them into
+    exact global ROW_NUMBER top-10s, and an unordered-pair groupby keeps
+    only pairs seen from both sides (see stages/knn.reciprocal_topk_pairs;
+    ``reciprocal_nn_ivf`` is the sub-quadratic scale path)."""
     from entity_resolution_engine_ray.stages.knn import reciprocal_topk_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return reciprocal_topk_pairs(ds, k=10, id_col="vec_id")
+    return reciprocal_topk_pairs(ds, k=10, id_col="vec_id", method="exact")
+
+
+def q_reciprocal_nn_ivf(sf_dir: str):
+    """Reciprocal 10-NN via IVF candidate lists — the 100-TB path (no SQL
+    oracle: candidate recall is approximate by design; its exact twin
+    ``reciprocal_nn`` is the hash-checked query, and the paths-agree test
+    pins IVF == exact on clustered fixtures). Pair work is Σ(list size)²
+    instead of n², nothing materializes on the driver."""
+    from entity_resolution_engine_ray.stages.knn import reciprocal_topk_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return reciprocal_topk_pairs(ds, k=10, id_col="vec_id", method="ivf", n_iters=2)
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -2781,6 +2794,7 @@ QUERIES = {
     "approx_distinct_by_lang": q_approx_distinct_by_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
     "reciprocal_nn": q_reciprocal_nn,
+    "reciprocal_nn_ivf": q_reciprocal_nn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "er_pages_entities": q_er_pages_entities,

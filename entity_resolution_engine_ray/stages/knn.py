@@ -14,6 +14,9 @@
   sums, driver folds a C×d table) before indexing.
 - ``cosine_all_pairs_exact`` — exact all-pairs cosine (blocked distributed
   matmul), the oracle-checkable brute-force twin of the SRP-LSH path.
+- ``reciprocal_topk_pairs`` — mutual k-NN pairs; exact blocked-matmul
+  candidates (oracle twin) or IVF multi-assign lists (the sub-quadratic
+  scale path), one shared top-k + mutuality finish.
 """
 
 from __future__ import annotations
@@ -86,7 +89,7 @@ def cosine_near_dup_pairs(
     band_bits: int = 8,
     dim: int | None = None,
     max_block_size: int = 512,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_limit_bytes: int = 256 << 20,
 ):
     """SRP-LSH bucketed near-duplicate pairs with exact cosine verification.
@@ -223,6 +226,56 @@ def cosine_near_dup_pairs(
     return with_both.map_batches(verify, batch_format="pandas")
 
 
+def _round4(x: np.ndarray) -> np.ndarray:
+    """round-half-away to 4 dp (DuckDB ROUND semantics) — absorbs
+    summation-order ulps so ranking is reproducible across engines."""
+    p = 10.0**4
+    return np.where(x >= 0, np.floor(x * p + 0.5), np.ceil(x * p - 0.5)) / p
+
+
+def _empty_pairs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([], type=pa.int64()),
+                "right_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+
+
+def _norm_block(t: pa.Table, id_col: str) -> pa.Table:
+    """(id_col, embedding) batch → normalized (id, emb) rows. Empty-safe:
+    a zero-row batch (or a whole empty dataset) returns the typed empty
+    table — with len(mn)==0 the old inline version derived d=0 and
+    np.arange(..., step=0) raised ZeroDivisionError."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "emb": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    m = _to_matrix(t["embedding"])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = (m.T / norms).T
+    d = mn.shape[1]
+    offsets = pa.array(np.arange(0, (len(mn) + 1) * d, d, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(mn.ravel(), type=pa.float64()))
+    return pa.table(
+        {
+            "id": pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
+            ),
+            "emb": emb,
+        }
+    )
+
+
 def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
     """EXACT all-pairs cosine ≥ threshold — the distributed brute-force
     baseline (and the oracle-checkable twin of ``cosine_near_dup_pairs``).
@@ -238,30 +291,17 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
     import ray
     import ray.data as rd
 
-    def norm_block(t: pa.Table) -> pa.Table:
-        m = _to_matrix(t["embedding"])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = (m.T / norms).T
-        d = mn.shape[1] if mn.size else 0
-        offsets = pa.array(np.arange(0, (len(mn) + 1) * d, d, dtype=np.int32))
-        emb = pa.ListArray.from_arrays(offsets, pa.array(mn.ravel(), type=pa.float64()))
-        return pa.table(
-            {
-                "id": pa.array(
-                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
-                ),
-                "emb": emb,
-            }
-        )
-
-    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
+    normed = ds.map_batches(
+        _norm_block, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    ).materialize()
     # Task count is quadratic in block count — coalesce small inputs so each
     # block carries ~CHUNK rows (64-dim f64 ⇒ ~8 MB/block at 16k). A tiny
     # corpus becomes ONE matmul task; a big one keeps B(B+1)/2 ≈
     # (n/CHUNK)²/2 embarrassingly-parallel tasks of bounded memory.
     CHUNK = 16384
     n_rows = normed.count()
+    if n_rows == 0:
+        return _empty_pairs_ds()
     target_blocks = max(1, -(-n_rows // CHUNK))
     if normed.num_blocks() > target_blocks:
         normed = normed.repartition(target_blocks).materialize()
@@ -284,14 +324,11 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
         l2 = np.where(swap, r, l)
         r2 = np.where(swap, l, r)
         keep = l2 != r2  # self-pairs across duplicate ids
-        # round-half-away to 4 (DuckDB ROUND): absorbs summation-order ulps
-        p = 10.0**4
-        cr = np.where(cos >= 0, np.floor(cos * p + 0.5), np.ceil(cos * p - 0.5)) / p
         out = pa.table(
             {
                 "left_id": pa.array(l2[keep].astype(np.int64), type=pa.int64()),
                 "right_id": pa.array(r2[keep].astype(np.int64), type=pa.int64()),
-                "cos": pa.array(cr[keep], type=pa.float64()),
+                "cos": pa.array(_round4(cos[keep]), type=pa.float64()),
             }
         )
         return out, out.num_rows
@@ -307,33 +344,34 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
     if not keep:
         keep = [results[0]] if results else []
     if not keep:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "left_id": pa.array([], type=pa.int64()),
-                    "right_id": pa.array([], type=pa.int64()),
-                    "cos": pa.array([], type=pa.float64()),
-                }
-            )
-        )
+        return _empty_pairs_ds()
     return rd.from_arrow_refs(keep)
 
 
 def kmeans_refine_centroids(
-    ds, cents: np.ndarray, n_iters: int, batch_size: int = 4096
+    ds, cents: np.ndarray, n_iters: int, batch_size: int = 4096, col: str = "embedding"
 ) -> np.ndarray:
-    """Lloyd iterations over a Dataset of normalized embeddings, expressed
-    as ``map_batches`` partial sums: each batch emits (centroid, sum-vector,
+    """Lloyd iterations over a Dataset of embeddings, expressed as
+    ``map_batches`` partial sums: each batch emits (centroid, sum-vector,
     count) partials — C×d floats per batch, never the vectors — and the
     driver folds the tiny partial table into new unit centroids. Empty
     centroids keep their previous position. Deterministic for a fixed
-    input."""
+    input. ``col`` names the list<float> column (raw ``embedding`` or the
+    pre-normalized ``emb`` of an internal pipeline)."""
     C, d = cents.shape
     for _ in range(n_iters):
         current = cents
 
         def partial(t: pa.Table) -> pa.Table:
-            m = _to_matrix(t["embedding"])
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "c": pa.array([], type=pa.int64()),
+                        "sum": pa.array([], type=pa.list_(pa.float64())),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            m = _to_matrix(t[col])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             mn = (m.T / norms).T
@@ -410,94 +448,38 @@ def knn_ivf(
     return partials.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k).reset_index(drop=True)
 
 
-def reciprocal_topk_pairs(ds, k: int = 10, id_col: str = "vec_id", chunk: int = 4096):
-    """Reciprocal k-NN pairs: (a, b) such that b is in a's cosine top-k AND
-    a is in b's — the mutual-nearest-neighbor filter dedup/alignment
-    pipelines use to keep only high-confidence matches.
+def _row_topk_superset(
+    mat: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray, k: int
+):
+    """Per row of ``mat``: every column whose UNROUNDED cos clears the
+    row's k-th largest minus 2e-4. Conservative superset of the rounded
+    per-row top-k WITH ties: rounding to the 1e-4 grid moves a value by
+    < 5e-5, so any x with round4(x) >= round4(kth) satisfies
+    x >= kth - 1e-4 > kth - 2e-4 — no true neighbor (or ROW_NUMBER tie
+    contender) is ever cut, and the full matrix is never rounded (the
+    element-wise round was the measured hot spot of the old kernel).
+    Returns (src, dst, cos_rounded)."""
+    nb = mat.shape[1]
+    if nb > k:
+        thr = np.partition(mat, nb - k, axis=1)[:, nb - k] - 2e-4
+    else:
+        thr = np.full(mat.shape[0], -np.inf)
+    ri, ci = np.nonzero(mat >= thr[:, None])
+    return row_ids[ri], col_ids[ci], _round4(mat[ri, ci])
 
-    Three bounded stages, no global broadcast:
-    1. blocked distributed matmul (like ``cosine_all_pairs_exact`` but each
-       (block_i, block_j) task emits, per row of BOTH blocks, a SUPERSET of
-       its local top-k — every candidate with rounded-cos >= the row's k-th
-       largest, so rounding ties can never cut a true neighbor;
-    2. per-src global top-k: one hash partition per src set, vectorized
-       (sort + head-k) — ROW_NUMBER semantics, ties break on neighbor id;
-    3. mutuality: unordered-pair groupby, keep pairs seen from BOTH sides.
 
-    cos is round-half-away to 4 (DuckDB ROUND) BEFORE selection so ranking
-    is reproducible across engines. Blocks are ``chunk`` rows so one task's
-    similarity matrix stays ~chunk^2*8 bytes."""
-    import ray
-    import ray.data as rd
+def _mutual_topk_finish(cands, k: int, num_partitions=None):
+    """(src, dst, cos) candidate rows → mutual top-k pair Dataset.
 
-    def norm_block(t: pa.Table) -> pa.Table:
-        m = _to_matrix(t["embedding"])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = (m.T / norms).T
-        d = mn.shape[1] if mn.size else 0
-        offsets = pa.array(np.arange(0, (len(mn) + 1) * d, d, dtype=np.int32))
-        emb = pa.ListArray.from_arrays(offsets, pa.array(mn.ravel(), type=pa.float64()))
-        return pa.table(
-            {
-                "id": pa.array(
-                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
-                ),
-                "emb": emb,
-            }
-        )
+    1. per-src global top-k: one hash partition per src set, vectorized
+       sort + head-k — ROW_NUMBER semantics (cos DESC, dst ASC tie-break);
+       duplicate (src, dst) candidates (multi-assign / multi-bucket) are
+       dropped first so they can't crowd the head;
+    2. mutuality: unordered-pair groupby keeps pairs seen from BOTH
+       directions.
 
-    normed = ds.map_batches(norm_block, batch_format="pyarrow").materialize()
-    n_rows = normed.count()
-    target_blocks = max(1, -(-n_rows // chunk))
-    if normed.num_blocks() != target_blocks:
-        normed = normed.repartition(target_blocks).materialize()
-    blocks = normed.to_arrow_refs()
-
-    def _row_candidates(cr: np.ndarray, ia: np.ndarray, ib: np.ndarray):
-        """Per row of cr (rows ~ ia): all cols with cr >= row's k-th largest."""
-        nb = cr.shape[1]
-        if nb > k:
-            thr = np.partition(cr, nb - k, axis=1)[:, nb - k]
-        else:
-            thr = np.full(cr.shape[0], -np.inf)
-        mask = cr >= thr[:, None]
-        ri, ci = np.nonzero(mask)
-        return ia[ri], ib[ci], cr[ri, ci]
-
-    @ray.remote
-    def _cand_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
-        ia = ta["id"].to_numpy(zero_copy_only=False)
-        ib = tb["id"].to_numpy(zero_copy_only=False)
-        c = _to_matrix(ta["emb"]) @ _to_matrix(tb["emb"]).T
-        p = 10.0**4
-        cr = np.where(c >= 0, np.floor(c * p + 0.5), np.ceil(c * p - 0.5)) / p
-        if same:
-            np.fill_diagonal(cr, -np.inf)
-        srcs, dsts, coss = [], [], []
-        a_src, a_dst, a_cos = _row_candidates(cr, ia, ib)
-        srcs.append(a_src), dsts.append(a_dst), coss.append(a_cos)
-        if not same:
-            # same-block: the row scan above already emits BOTH directions
-            # (cr is symmetric); a transpose scan would duplicate every
-            # candidate and crowd real neighbors out of the top-k head.
-            b_src, b_dst, b_cos = _row_candidates(
-                np.ascontiguousarray(cr.T), ib, ia
-            )
-            srcs.append(b_src), dsts.append(b_dst), coss.append(b_cos)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
-                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
-                "cos": pa.array(np.concatenate(coss), type=pa.float64()),
-            }
-        )
-
-    refs = []
-    for i in range(len(blocks)):
-        for j in range(i, len(blocks)):
-            refs.append(_cand_task.remote(blocks[i], blocks[j], i == j))
-    cands = rd.from_arrow_refs(refs)
+    Shared finish of every reciprocal path — exact and IVF differ only in
+    how candidates are generated."""
 
     def topk_per_src(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -508,11 +490,24 @@ def reciprocal_topk_pairs(ds, k: int = 10, id_col: str = "vec_id", chunk: int = 
                     "cos": pd.Series([], dtype=np.float64),
                 }
             )
-        pdf = pdf.sort_values(["src", "cos", "dst"], ascending=[True, False, True],
-                              kind="mergesort")
+        pdf = pdf.drop_duplicates(["src", "dst"])
+        pdf = pdf.sort_values(
+            ["src", "cos", "dst"], ascending=[True, False, True], kind="mergesort"
+        )
         return pdf.groupby("src", as_index=False).head(k)
 
-    topk = partition_map_groups(cands, ["src"], topk_per_src, num_partitions=16)
+    topk = partition_map_groups(cands, ["src"], topk_per_src, num_partitions)
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left_id": pa.array(np.minimum(s, d), type=pa.int64()),
+                "right_id": pa.array(np.maximum(s, d), type=pa.int64()),
+                "cos": t["cos"],
+            }
+        )
 
     def mutual(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -528,18 +523,233 @@ def reciprocal_topk_pairs(ds, k: int = 10, id_col: str = "vec_id", chunk: int = 
         )
         return g[g["n"] == 2][["left_id", "right_id", "cos"]]
 
-    def add_pair_key(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
+    keyed = topk.map_batches(add_pair_key, batch_format="pyarrow")
+    return partition_map_groups(keyed, ["left_id", "right_id"], mutual, num_partitions)
+
+
+def _exact_reciprocal_candidates(normed, k: int, chunk: int):
+    """Blocked distributed matmul candidate generation (the EXACT path):
+    each (block_i, block_j) task emits, per row of BOTH blocks, the
+    ``_row_topk_superset`` of its local top-k. O(n²) compute in B(B+1)/2
+    bounded-memory tasks — the oracle twin; use the IVF path at scale."""
+    import ray
+    import ray.data as rd
+
+    n_rows = normed.count()
+    target_blocks = max(1, -(-n_rows // chunk))
+    if normed.num_blocks() != target_blocks:
+        normed = normed.repartition(target_blocks).materialize()
+    blocks = normed.to_arrow_refs()
+
+    @ray.remote
+    def _cand_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta["id"].to_numpy(zero_copy_only=False)
+        ib = tb["id"].to_numpy(zero_copy_only=False)
+        c = _to_matrix(ta["emb"]) @ _to_matrix(tb["emb"]).T
+        if same:
+            np.fill_diagonal(c, -np.inf)
+        srcs, dsts, coss = [], [], []
+        a_src, a_dst, a_cos = _row_topk_superset(c, ia, ib, k)
+        srcs.append(a_src), dsts.append(a_dst), coss.append(a_cos)
+        if not same:
+            # same-block: the row scan above already emits BOTH directions
+            # (c is symmetric); a transpose scan would duplicate every
+            # candidate and crowd real neighbors out of the top-k head.
+            b_src, b_dst, b_cos = _row_topk_superset(
+                np.ascontiguousarray(c.T), ib, ia, k
+            )
+            srcs.append(b_src), dsts.append(b_dst), coss.append(b_cos)
         return pa.table(
             {
-                "left_id": pa.array(np.minimum(s, d), type=pa.int64()),
-                "right_id": pa.array(np.maximum(s, d), type=pa.int64()),
-                "cos": t["cos"],
+                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+                "cos": pa.array(np.concatenate(coss), type=pa.float64()),
             }
         )
 
-    keyed = topk.map_batches(add_pair_key, batch_format="pyarrow")
-    out = partition_map_groups(keyed, ["left_id", "right_id"], mutual, num_partitions=16)
-    pdf = out.to_pandas()
-    return pdf.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(drop=True)
+    refs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            refs.append(_cand_task.remote(blocks[i], blocks[j], i == j))
+    return rd.from_arrow_refs(refs)
+
+
+def _ivf_reciprocal_candidates(
+    normed,
+    k: int,
+    n_centroids: int | None,
+    n_assign: int,
+    n_iters: int,
+    list_cap: int,
+):
+    """IVF candidate generation (the SCALE path): every vector is assigned
+    to its ``n_assign`` nearest centroids; candidates are per-row top-k
+    supersets WITHIN each centroid list. Sub-quadratic: pair work is
+    Σ mᵢ² over list sizes mᵢ ≈ n·n_assign/C instead of n², and the only
+    exchange ships each vector ``n_assign`` times, keyed by centroid.
+
+    - centroids: seeded random unit vectors + ``n_iters`` distributed Lloyd
+      passes (map_batches partial sums), broadcast once via ``ray.put``;
+    - skew: a list longer than ``list_cap`` is deterministically truncated
+      (sorted by id) with the dropped-pair count logged — same counted-drop
+      contract as the LSH bucket cap;
+    - recall: a true neighbor pair is found iff it shares a centroid list;
+      multi-assign + Lloyd refinement push this high on clustered data
+      (pinned by the paths-agree test); mutuality needs no extra care —
+      within a shared list BOTH directions are emitted.
+    """
+    import ray
+
+    n_rows = normed.count()
+    C = n_centroids or int(np.clip(4 * int(np.sqrt(max(n_rows, 1))), 16, 65_536))
+    first = normed.take(1)
+    d = len(first[0]["emb"])
+    rng = np.random.default_rng(_SRP_SEED)
+    cents = rng.standard_normal((C, d))
+    cents = (cents.T / np.linalg.norm(cents, axis=1)).T
+    if n_iters > 0:
+        cents = kmeans_refine_centroids(normed, cents, n_iters, col="emb")
+    a = min(n_assign, C)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cent": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=pa.int64()),
+                    "emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        mn = _to_matrix(t["emb"])
+        sims = mn @ ray.get(cents_ref).T
+        if a < C:
+            top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+        else:
+            top = np.tile(np.arange(C), (len(mn), 1))
+        idx = pa.array(np.repeat(np.arange(t.num_rows), a), type=pa.int64())
+        emb = t["emb"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "cent": pa.array(top.reshape(-1).astype(np.int64), type=pa.int64()),
+                "id": t["id"].take(idx),
+                "emb": emb.take(idx),
+            }
+        )
+
+    assigned = normed.map_batches(assign, batch_format="pyarrow")
+
+    def list_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        cent = tbl["cent"].to_numpy(zero_copy_only=False)
+        mat = _to_matrix(tbl["emb"])
+        # group rows by centroid (then id — deterministic truncation order)
+        order = np.lexsort((ids, cent))
+        cent_s, ids_s, mat_s = cent[order], ids[order], mat[order]
+        change = np.flatnonzero(cent_s[1:] != cent_s[:-1]) + 1
+        starts = np.r_[0, change]
+        ends = np.r_[change, len(cent_s)]
+        srcs, dsts, coss = [], [], []
+        dropped_rows = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > list_cap:  # skew cap, counted
+                dropped_rows += m - list_cap
+                e = s + list_cap
+                m = list_cap
+            g = mat_s[s:e]
+            gid = ids_s[s:e]
+            # row-chunked tiles bound the similarity matrix to ~32 MB
+            rc = max(1, (1 << 22) // m)
+            for r0 in range(0, m, rc):
+                r1 = min(m, r0 + rc)
+                c = g[r0:r1] @ g.T
+                # mask self-pairs (same id may repeat via duplicate ids)
+                c[gid[r0:r1, None] == gid[None, :]] = -np.inf
+                ss, dd, cc = _row_topk_superset(c, gid[r0:r1], gid, k)
+                srcs.append(ss), dsts.append(dd), coss.append(cc)
+        if dropped_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ivf_reciprocal: %d rows truncated by list_cap %d", dropped_rows, list_cap
+            )
+        if not srcs:
+            return empty
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+                "cos": pa.array(np.concatenate(coss), type=pa.float64()),
+            }
+        )
+
+    from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+    return partition_map_groups(
+        assigned, ["cent"], list_pairs, auto_partitions(n_rows * a), arrow_fns=True
+    )
+
+
+def reciprocal_topk_pairs(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    chunk: int = 4096,
+    method: str = "exact",
+    n_centroids: int | None = None,
+    n_assign: int = 2,
+    n_iters: int = 2,
+    list_cap: int = 16384,
+    num_partitions=None,
+):
+    """Reciprocal k-NN pairs: (a, b) such that b is in a's cosine top-k AND
+    a is in b's — the mutual-nearest-neighbor filter dedup/alignment
+    pipelines use to keep only high-confidence matches. Returns a Dataset
+    (left_id, right_id, cos — rounded to 4, DuckDB ROUND).
+
+    Two candidate paths feeding one shared finish (per-src exact top-k
+    merge → mutuality groupby, ``_mutual_topk_finish``):
+
+    - ``method="exact"``: blocked distributed matmul, every (i, j) block
+      pair is one bounded task emitting per-row top-k supersets. O(n²)
+      compute — the oracle-checkable twin (SQL window + self-join), for
+      corpora where n² is affordable.
+    - ``method="ivf"``: IVF multi-assign candidate lists
+      (``_ivf_reciprocal_candidates``) — the 100-TB path: pair work is
+      Σ list² not n², every stage is an exchange or map, nothing
+      materializes on the driver. Approximate: a pair is seen iff it
+      shares a centroid list (recall pinned by the paths-agree test on
+      clustered fixtures).
+
+    cos is rounded half-away to 4 BEFORE selection so ranking is
+    reproducible across engines; per-row candidate supersets use an
+    unrounded threshold with a 2e-4 guard band (``_row_topk_superset``) so
+    rounding ties can never cut a true neighbor."""
+    normed = ds.map_batches(
+        _norm_block, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    ).materialize()
+    if normed.count() == 0:
+        return _empty_pairs_ds()
+    if method == "exact":
+        cands = _exact_reciprocal_candidates(normed, k, chunk)
+    elif method == "ivf":
+        cands = _ivf_reciprocal_candidates(
+            normed, k, n_centroids, n_assign, n_iters, list_cap
+        )
+    else:
+        raise ValueError(f"unknown reciprocal method {method!r}")
+    return _mutual_topk_finish(cands, k, num_partitions)

@@ -89,8 +89,14 @@ def test_reciprocal_topk_blocked_equals_single_block(ray_session):
         {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(r) for r in mat]}
     )
 
-    one = reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=4096)
-    many = reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=17)
+    def collect(ds):
+        out = ds.to_pandas()
+        return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    one = collect(reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=4096))
+    many = collect(reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, chunk=17))
     pd.testing.assert_frame_equal(one, many)
 
     # numpy oracle
@@ -105,3 +111,57 @@ def test_reciprocal_topk_blocked_equals_single_block(ray_session):
     )
     got = list(map(tuple, one[["left_id", "right_id"]].values.tolist()))
     assert got == want
+
+
+def test_reciprocal_ivf_agrees_with_exact_on_clustered_data(ray_session):
+    """Paths-agree pin: the IVF candidate path must reproduce the exact
+    mutual top-k result on clustered embeddings (the regime IVF is FOR —
+    tight clusters, neighbors share a centroid list). Deterministic:
+    seeded fixture, seeded centroids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import reciprocal_topk_pairs
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, d, k = 12, 25, 16, 5
+    centers = rng.standard_normal((n_clusters, d)) * 4
+    mat = np.concatenate(
+        [centers[i] + 0.05 * rng.standard_normal((per, d)) for i in range(n_clusters)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype=np.int64), "embedding": [list(r) for r in mat]}
+    )
+
+    def collect(ds):
+        out = ds.to_pandas()
+        return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    exact = collect(reciprocal_topk_pairs(rd.from_pandas(pdf), k=k, method="exact"))
+    ivf = collect(
+        reciprocal_topk_pairs(
+            rd.from_pandas(pdf), k=k, method="ivf", n_centroids=24, n_assign=2, n_iters=3
+        )
+    )
+    pd.testing.assert_frame_equal(exact, ivf)
+    assert len(exact) > 0
+
+
+def test_reciprocal_empty_input(ray_session):
+    """ADVICE r3: an empty embedding dataset must return an empty typed
+    result, not crash in _norm_block (np.arange step-0 ZeroDivisionError)."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import (
+        cosine_all_pairs_exact,
+        reciprocal_topk_pairs,
+    )
+
+    empty = _emb_table(np.zeros((0, 4)))
+    out = reciprocal_topk_pairs(rd.from_arrow(empty), k=3)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"left_id", "right_id", "cos"}
+    out2 = cosine_all_pairs_exact(rd.from_arrow(empty))
+    assert out2.count() == 0
