@@ -235,6 +235,48 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return token_jaccard(ngram_set(a, n), ngram_set(b, n))
 
 
+def char_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Vectorized 64-bit ids of a string's char n-grams (uint64 array, one
+    per WINDOW — not deduped; MinHash is duplicate-invariant and callers
+    unique for the verify set).
+
+    This replaces the per-gram Python path (``sorted(ngram_set(...))`` +
+    per-gram dict-cached blake2b), which was the measured hot spot of
+    char-ngram featurization (r3 verdict): one UTF-32 decode gives the code
+    points as a numpy array, ``n`` shifted vector ops accumulate every
+    window, and splitmix64 finalizes.
+
+    Gram identity is preserved exactly for n <= 3: windows pack their code
+    points directly (Unicode < 2^21, 3 x 21 = 63 bits — injective) and
+    splitmix64 is a bijection, so distinct grams NEVER collide — Jaccard
+    over ids == Jaccard over gram strings, stronger than the old
+    stable_hash64 ids. n > 3 falls back to a polynomial accumulate + mix
+    (collision odds ~2^-64 per gram pair — the documented hash-exactness
+    stance). A text shorter than n is its own single gram
+    (``stable_hash64`` id — a <n-char string never equals an n-char gram,
+    so the id spaces are disjoint by construction)."""
+    if len(text) < n:
+        return (
+            np.array([stable_hash64(text)], dtype=np.int64).astype(np.uint64)
+            if text
+            else np.empty(0, dtype=np.uint64)
+        )
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    L = len(cp)
+    w = L - n + 1
+    with np.errstate(over="ignore"):
+        if n <= 3:
+            acc = np.zeros(w, dtype=np.uint64)
+            for j in range(n):
+                acc = (acc << np.uint64(21)) | cp[j : j + w]
+        else:
+            c = np.uint64(0x9E3779B97F4A7C15)
+            acc = np.zeros(w, dtype=np.uint64)
+            for j in range(n):
+                acc = acc * c + cp[j : j + w]
+    return mix64(acc).astype(np.uint64)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic 64-bit hashing
 # ---------------------------------------------------------------------------

@@ -15,11 +15,11 @@ import pandas as pd
 import pyarrow as pa
 
 from entity_resolution_engine_ray.functions.similarity import (
+    char_ngram_hashes,
     hash_tokens,
     lsh_band_keys,
     minhash_coefficients,
     minhash_signature,
-    ngram_set,
     shingle_hashes,
     simhash64,
     stable_hash64,
@@ -45,9 +45,10 @@ class _DedupFeatures:
         token_ids_col, keys_col = [], []
         for text in texts:
             if self.mode == "char_ngram":
-                grams = sorted(ngram_set((text or "").lower(), self.k))
-                th = hash_tokens(grams, self.cache)
-                sh = shingle_hashes(th, k=1)  # k=1 ⇒ sh == th (gram hashes)
+                # vectorized window ids (injective for k<=3 — see
+                # char_ngram_hashes); duplicates are fine: MinHash is
+                # duplicate-invariant and token_ids uniques below
+                sh = char_ngram_hashes((text or "").lower(), self.k)
             else:
                 toks = canonical_tokens(text or "")
                 th = hash_tokens(toks, self.cache)
@@ -575,9 +576,10 @@ def minhash_near_dup_clusters(ds, id_col="doc_id", text_col="text", **kw):
 
 def ngram_near_dup_clusters(ds, id_col="doc_id", text_col="text", n: int = 3, **kw):
     # char n-gram sets are ~6x the size of token-shingle sets per doc, so
-    # expect this mode to cost ~6-10x near_dup_minhash end-to-end (verify
-    # kernel + exchange payload scale with set size; batch-size A/B showed
-    # featurization task width is NOT the lever — 512 vs 128 ties in noise)
+    # the verify kernel + exchange payload still cost more than
+    # near_dup_minhash (set size is the lever — r3 batch-size A/B); the
+    # former featurization hot spot (per-gram Python hashing + per-doc
+    # sorted()) is gone: char_ngram_hashes is n shifted vector ops per doc
     return near_dup_clusters(ds, id_col=id_col, text_col=text_col, mode="char_ngram", k=n, **kw)
 
 

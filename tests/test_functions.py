@@ -239,3 +239,38 @@ def test_build_lineage_shape():
         {"source": "BETA", "id": "2"},
     ]
     assert doc["entity_type"] == "team"
+
+
+def test_char_ngram_hashes_match_gram_strings():
+    """Vectorized char-ngram ids must reproduce gram-STRING identity:
+    Jaccard over unique ids == Jaccard over ngram_set strings (injective
+    packing for n=3), including unicode, short texts, and empties."""
+    import numpy as np
+
+    from entity_resolution_engine_ray.functions.similarity import (
+        char_ngram_hashes,
+        ngram_jaccard,
+        ngram_set,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "naïve café über-motörhead",  # multi-byte code points
+        "ab",  # shorter than n
+        "",
+        "aaaaaaa",  # heavy duplicate windows
+        "abcabcabc",
+    ]
+    ids = {t: np.unique(char_ngram_hashes(t.lower(), 3)) for t in texts}
+    for t in texts:
+        assert len(ids[t]) == len(ngram_set(t.lower(), 3))  # injective per doc
+    for a in texts:
+        for b in texts:
+            sa, sb = ids[a], ids[b]
+            if len(sa) == 0 and len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            want = ngram_jaccard(a.lower(), b.lower(), 3)
+            assert abs(inter / union - want) < 1e-12, (a, b)
