@@ -1,0 +1,39 @@
+# Quality gates (reference parity: /root/reference/Makefile ci -> scripts/ci/*).
+# The sandbox has no ruff/mypy and installs are forbidden, so each gate
+# prefers the real tool when installed (dev machines) and falls back to a
+# dependency-free in-repo equivalent. `make ci` is the gate the reference's
+# `make ci` users expect.
+
+PY ?= python
+
+.PHONY: ci lint typecheck compile test check bench
+
+ci: lint typecheck compile test
+
+lint:
+	@if command -v ruff >/dev/null 2>&1; then \
+		ruff check entity_resolution_engine_ray tests scripts bench.py __ray_entry__.py; \
+	else \
+		$(PY) scripts/ci/lint.py; \
+	fi
+
+typecheck:
+	@if command -v mypy >/dev/null 2>&1; then \
+		mypy --config-file mypy.ini entity_resolution_engine_ray; \
+	else \
+		echo "typecheck: mypy not installed in this environment — skipped (config in mypy.ini)"; \
+	fi
+
+compile:
+	$(PY) -m compileall -q entity_resolution_engine_ray tests scripts bench.py __ray_entry__.py
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+# the driver's correctness gate, locally: every queries() entry vs its
+# DuckDB oracle at sf0.01
+check:
+	$(PY) scripts/check_queries.py /root/testdata/sf0.01
+
+bench:
+	$(PY) bench.py

@@ -44,9 +44,7 @@ from entity_resolution_engine_ray.functions.similarity import (
     token_jaccard,
 )
 from entity_resolution_engine_ray.stages.extract import (
-    extract_text,
     extract_text_column,
-    extract_title,
 )
 
 _CANON_RE = re.compile(r"[^\w\s]")

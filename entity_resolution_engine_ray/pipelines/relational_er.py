@@ -44,7 +44,6 @@ from entity_resolution_engine_ray.functions.scoring import (
     player_confidence,
     season_year_confidence,
 )
-from entity_resolution_engine_ray.functions.similarity import token_sort_ratio
 from entity_resolution_engine_ray.functions.textnorm import (
     apply_team_alias,
     normalize_competition,

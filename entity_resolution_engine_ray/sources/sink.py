@@ -33,7 +33,6 @@ import json
 import os
 import shutil
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -23,7 +23,6 @@ entity mapping — a Dataset, never a driver dict (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-from collections import Counter
 
 import numpy as np
 import pandas as pd

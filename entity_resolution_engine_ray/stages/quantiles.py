@@ -26,7 +26,6 @@ the exact path because quantile thresholds feeding dedup/quality gates
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from entity_resolution_engine_ray.config import PagesERConfig
-from entity_resolution_engine_ray.functions.similarity import jaro_winkler, jaro_winkler_batch
+from entity_resolution_engine_ray.functions.similarity import jaro_winkler_batch
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -5,7 +5,6 @@ the side-task sum must match a driver-side column sum."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pytest
 
 
 def _stage1(pdf: pd.DataFrame) -> pd.DataFrame:

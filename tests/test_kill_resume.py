@@ -2,7 +2,6 @@
 the final outputs are byte-identical to an uninterrupted run (BASELINE.md
 resumability target)."""
 
-import json
 import os
 import shutil
 import signal

@@ -12,7 +12,6 @@ from entity_resolution_engine_ray.functions.similarity import (
     minhash_signature,
     shingle_hashes,
     hash_tokens,
-    token_jaccard,
 )
 from entity_resolution_engine_ray.functions.textnorm import normalize_name, normalize_season
 from entity_resolution_engine_ray.oracle.serial import canonical_tokens

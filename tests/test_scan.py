@@ -7,7 +7,6 @@ one hot key spanning MANY whole blocks, and the pure carry walk itself.
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import pytest
 
 from entity_resolution_engine_ray.stages.scan import _prefix_offsets, grouped_prefix_sum

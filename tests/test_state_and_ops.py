@@ -4,7 +4,6 @@ operators, knn, and the distributed connected-components paths."""
 import shutil
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pytest
 

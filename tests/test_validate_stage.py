@@ -3,11 +3,9 @@
 import shutil
 
 import pyarrow as pa
-import pytest
 
 from entity_resolution_engine_ray.config import PagesERConfig
 from entity_resolution_engine_ray.stages.validate import (
-    DeterministicStubValidator,
     EdgeCandidate,
     GrayZoneValidatorPool,
     validate_gray_zone,

@@ -2,10 +2,8 @@
 
 from datetime import datetime
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pytest
 
 
 def _events():
