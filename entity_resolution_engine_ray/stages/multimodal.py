@@ -180,29 +180,48 @@ def decode_png(payload: bytes) -> np.ndarray:
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
+    # Filter cost profile: None/Up are whole-row vector ops; Sub is an exact
+    # per-lane cumulative sum (the x-dependency is only x-ch, and mod-256
+    # distributes over the sum); Average/Paeth carry a floor-div / branchy
+    # predictor on the in-progress row, which no numpy scan expresses — they
+    # run a per-pixel loop over Python lists (int arithmetic on lists is
+    # ~10x faster than per-element numpy indexing). A 1-megapixel RGB image
+    # whose rows are ALL Average/Paeth costs a few seconds; typical
+    # mixed-filter encoder output decodes far faster. Megapixel-scale
+    # corpora should decode with a real codec behind the Pillow gate.
     for y in range(h):
-        f, cur = int(filters[y]), rows[y].copy()
+        f, cur = int(filters[y]), rows[y]
         if f == 0:
-            line = cur
+            line = cur.copy()
         elif f == 2:  # Up
             line = (cur + prev) & 255
-        else:  # Sub/Average/Paeth need the in-progress row: walk per PIXEL
-            line = cur
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    line[x] = (line[x] + a) & 255
-                elif f == 3:
-                    line[x] = (line[x] + ((a + b) >> 1)) & 255
-                elif f == 4:
+        elif f == 1:  # Sub: out[p] = Σ cur[0..p] mod 256 per lane
+            line = (
+                np.cumsum(cur.reshape(-1, ch), axis=0, dtype=np.int64) & 255
+            ).reshape(stride).astype(np.int32)
+        elif f in (3, 4):
+            cb, pb = cur.tolist(), prev.tolist()
+            ln = [0] * stride
+            if f == 3:  # Average
+                for x in range(stride):
+                    a = ln[x - ch] if x >= ch else 0
+                    ln[x] = (cb[x] + ((a + pb[x]) >> 1)) & 255
+            else:  # Paeth
+                for x in range(stride):
+                    a = ln[x - ch] if x >= ch else 0
+                    b = pb[x]
+                    c = pb[x - ch] if x >= ch else 0
                     p = a + b - c
-                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pa_ = p - a if p >= a else a - p
+                    pb_ = p - b if p >= b else b - p
+                    pc_ = p - c if p >= c else c - p
                     pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                    line[x] = (line[x] + pred) & 255
+                    ln[x] = (cb[x] + pred) & 255
+            line = np.array(ln, dtype=np.int32)
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
         out[y] = line
-        prev = out[y]
+        prev = line
     img = out.astype(np.uint8).reshape(h, w, ch)
     if ch == 1:
         return np.repeat(img, 3, axis=2)
