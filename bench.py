@@ -83,6 +83,24 @@ def run_bench() -> dict:
         if headline is None or dt < headline:
             headline, res = dt, rep_res
 
+    # one extra timed rep with gray-zone validation ON (stub transport —
+    # no network here; the actor-pool stage, routing and the validated
+    # checkpoint path are what get e2e timing evidence): BENCH_LLM=0 skips
+    llm_rep = None
+    if os.environ.get("BENCH_LLM", "1") == "1" and os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        from entity_resolution_engine_ray.config import PagesERConfig
+
+        out_dir = f"/tmp/er_bench_out_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        llm_res = run_pages_er(
+            fix["pages"], out_dir, cfg=PagesERConfig(enable_llm_validation=True)
+        )
+        llm_rep = {
+            "e2e_sec": round(time.perf_counter() - t0, 3),
+            "validated_sec": llm_res["timings"].get("validated"),
+        }
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     queries: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         for name, fn in QUERIES.items():
@@ -102,6 +120,7 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / headline, 1),
         "n_pages": n_pages,
         "rep_secs": reps,
+        "llm_validated_rep": llm_rep,
         "stage_timings": res["timings"],
         "queries": queries,
         "sf": sf,
