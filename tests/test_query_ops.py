@@ -205,3 +205,16 @@ def test_bpe_token_count_on_punctuation_rich_text():
     ws = token_count(arr).to_pylist()
     assert got[0] > ws[0] and got[4] > ws[4]
     assert got[2] == ws[2]
+
+
+def test_supplier_triangles_cogroup_path_matches_broadcast(ray_session):
+    """The size-gated degree attach must be path-invariant: forcing the
+    cogroup path (_broadcast_limit_nodes=0 — the web-graph regime where the
+    node set outgrows any broadcast) returns the same triangle count as the
+    ray.put broadcast path."""
+    from entity_resolution_engine_ray.pipelines.queries import q_supplier_triangles
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = q_supplier_triangles(sf)
+    cogroup = q_supplier_triangles(sf, _broadcast_limit_nodes=0)
+    assert broadcast["n_triangles"].iloc[0] == cogroup["n_triangles"].iloc[0]

@@ -115,3 +115,20 @@ def test_write_sharded_parquet_resume_skips_done_shards(ray_session, tmp_path):
     # params change invalidates every shard
     r3 = write_sharded_parquet(rd.from_pandas(pdf), out, "shard", params_hash="h2")
     assert r3["written"] == ["0", "1", "2", "3"]
+
+
+def test_write_sharded_parquet_rejects_path_escaping_shard_values(ray_session, tmp_path):
+    """Shard values become directory names — separators, '..' and empty
+    strings must raise, not corrupt the layout or escape out_dir."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.sources.sink import write_sharded_parquet
+
+    out = str(tmp_path / "export")
+    for bad in ["../evil", "a/b", "", "..", "a\\b"]:
+        pdf = pd.DataFrame({"doc_id": [1], "shard": [bad]})
+        with pytest.raises((ValueError, Exception)) as exc_info:
+            write_sharded_parquet(rd.from_pandas(pdf), out, "shard")
+        assert "invalid shard value" in str(exc_info.value)
