@@ -31,9 +31,12 @@ _SRP_SEED = 0xA11CE
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix."""
+    """list<float> column → (n, d) float64 matrix ((0, 0) when empty —
+    callers short-circuit zero-row batches before using d)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     d = offsets[1] - offsets[0]
@@ -47,6 +50,10 @@ def knn_brute_force(ds, query: np.ndarray, k: int, id_col: str = "vec_id", exclu
     exclude = set(exclude_ids)
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())}
+            )
         m = _to_matrix(t["embedding"])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
@@ -99,6 +106,10 @@ def cosine_near_dup_pairs(
     feats = ds.materialize()
 
     def sig_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()), "block_key": pa.array([], type=pa.int64())}
+            )
         m = _to_matrix(t["embedding"])
         # seeded per call → identical hyperplanes on every worker
         planes_local = np.random.default_rng(_SRP_SEED).standard_normal((nbits, m.shape[1]))
@@ -173,6 +184,13 @@ def cosine_near_dup_pairs(
         return pairs.map_batches(verify_broadcast, batch_format="pandas")
 
     def norm_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
         m = _to_matrix(t["embedding"])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
@@ -431,6 +449,10 @@ def knn_ivf(
     probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())}
+            )
         m = _to_matrix(t["embedding"])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
