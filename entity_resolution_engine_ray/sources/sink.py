@@ -76,7 +76,7 @@ def write_sharded_parquet(
     out_dir: str,
     shard_col: str,
     params_hash: str = "",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> dict:
     """Write ``ds`` as one directory per distinct ``shard_col`` value,
     skipping shards already sealed by a matching manifest.

@@ -207,12 +207,17 @@ def _concat_parts(*subtables: pa.Table) -> pa.Table:
     return pa.concat_tables(parts, promote_options="default")
 
 
-def exchange_partition_refs(ds, key_cols: list[str], num_partitions: int) -> list:
+def exchange_partition_refs(ds, key_cols: list[str], num_partitions: int | None = None) -> list:
     """Hash-partition ``ds`` ONCE and return the P partition tables as object
     refs (index p = partition p — alignment is guaranteed, empty partitions
     included). The building block for ITERATIVE algorithms where one side
     stays stationary across rounds (connected components: edges are
-    partitioned once; only labels/candidates move per round)."""
+    partitioned once; only labels/candidates move per round).
+    ``num_partitions=None`` → ``grouping.auto_partitions()``."""
+    if num_partitions is None:
+        from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+        num_partitions = auto_partitions()
     refs = _arrow_refs(ds)
     if not refs:
         raise ValueError("exchange_partition_refs: empty dataset")

@@ -169,7 +169,7 @@ def _pairgen_partition(pdf: pd.DataFrame, pair_cap: int) -> pd.DataFrame:
 
 
 def candidate_pairs_stage(
-    block_rows_ds, cfg: PagesERConfig | None = None, num_partitions: int = 64
+    block_rows_ds, cfg: PagesERConfig | None = None, num_partitions: int | None = None
 ):
     """block_rows (url, block_key) → (deduped pairs Dataset, dropped count)."""
     cfg = cfg or PagesERConfig()
