@@ -4,11 +4,13 @@ Binary payloads are opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate, …). Each operator routes through
 a decoder registry:
 
-- ``decoder="bmp"`` / ``"ppm"`` — REAL pixel work, no codec library:
-  pure-numpy 24-bit uncompressed BMP (``decode_bmp``/``encode_bmp``) and
-  binary PPM P6 (``decode_ppm``/``encode_ppm``) codecs plus
-  nearest-neighbor resize; resize and grid-feature extraction operate on
-  actual decoded pixels and are pinned by exact-pixel tests.
+- ``decoder="bmp"`` / ``"ppm"`` / ``"jpeg"`` — REAL pixel work, no codec
+  library: pure-numpy 24-bit uncompressed BMP (``decode_bmp``/
+  ``encode_bmp``), binary PPM P6 (``decode_ppm``/``encode_ppm``) and a
+  baseline JPEG codec (stages/jpeg — SOF0 decode incl. 4:2:0/4:2:2 and
+  restart markers; 4:4:4/4:2:0 encode) plus nearest-neighbor resize;
+  resize and grid-feature extraction operate on actual decoded pixels and
+  are pinned by exact-pixel / PSNR tests.
 - ``decoder="auto"`` — magic-byte sniffing across the real codecs, each
   payload re-encoded in its own input format (mixed-format columns, the
   web-corpus case).
@@ -19,9 +21,9 @@ a decoder registry:
 - ``decoder="stub"`` (default) — a deterministic fake: features are derived
   from a stable hash of the payload bytes. Real schemas, real batch sizes,
   real actor-pool signatures; fake pixels. Marked clearly.
-- ``decoder="pillow"`` / ``"ffmpeg"`` (compressed formats) — raise
-  ``NotImplementedError`` with installation guidance (the intended
-  production path; the libraries are absent from this container).
+- ``decoder="pillow"`` / ``"ffmpeg"`` — raise ``NotImplementedError`` with
+  installation guidance (progressive JPEG, exotic formats, video; the
+  libraries are absent from this container).
 
 Design rules encoded here (the parts that ARE real and tested):
 - decode/feature-extract is a stateful ACTOR-POOL ``map_batches`` stage
@@ -52,8 +54,9 @@ def _stub_features(payload: bytes, dim: int) -> np.ndarray:
 # REAL pixel work: pure-numpy BMP codec (24-bit uncompressed BI_RGB) + resize.
 # No codec library needed — BMP rows are raw BGR bytes with 4-byte-aligned
 # strides, so decode/encode is a frombuffer + reshape. This makes the
-# ``decoder="bmp"`` path a genuinely working operator; compressed formats
-# (JPEG/PNG) still require Pillow and keep the explicit NotImplementedError.
+# ``decoder="bmp"`` path a genuinely working operator; PNG (below) and
+# baseline JPEG (stages/jpeg) are also real — only progressive JPEG and
+# video keep the explicit NotImplementedError gates.
 # ---------------------------------------------------------------------------
 
 
@@ -261,12 +264,23 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         return decode_ppm(payload), "ppm"
     if payload[:8] == _PNG_SIG:
         return decode_png(payload), "png"
+    if payload[:2] == b"\xff\xd8":
+        from entity_resolution_engine_ray.stages.jpeg import decode_jpeg
+
+        return decode_jpeg(payload), "jpeg"
     raise NotImplementedError(
-        "only BMP/PPM/PNG are decodable without Pillow (JPEG needs the pillow decoder)"
+        "only BMP/PPM/PNG/baseline-JPEG are decodable without Pillow "
+        "(progressive JPEG and exotic formats need the pillow decoder)"
     )
 
 
-_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+def _encode_jpeg_rgb(img):
+    from entity_resolution_engine_ray.stages.jpeg import encode_jpeg
+
+    return encode_jpeg(img, quality=90, subsample=True)
+
+
+_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png, "jpeg": _encode_jpeg_rgb}
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -293,7 +307,7 @@ class ImageFeatureExtractor:
                 raise NotImplementedError(
                     "pillow decoder requires PIL; install pillow or use decoder='bmp'/'stub'"
                 ) from exc
-        elif decoder not in ("stub", "bmp", "ppm", "auto"):
+        elif decoder not in ("stub", "bmp", "ppm", "jpeg", "auto"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
@@ -583,11 +597,11 @@ def image_resize_stage(
     formats (JPEG/PNG) require Pillow, which is absent here — requesting
     any other real decoder raises. ``decoder="stub"`` keeps the
     deterministic digest-stream fake for shape-only testing."""
-    if decoder not in ("stub", "bmp", "ppm", "auto"):
+    if decoder not in ("stub", "bmp", "ppm", "jpeg", "auto"):
         raise NotImplementedError(
-            "JPEG/PNG decoding requires Pillow, which is not available in "
-            "this environment — use decoder='bmp'/'ppm'/'auto' (pure numpy, "
-            "real pixels) or decoder='stub'"
+            "unknown decoder — use decoder='bmp'/'ppm'/'jpeg'/'auto' "
+            "(pure numpy, real pixels; auto also covers PNG) or "
+            "decoder='stub'; progressive JPEG needs Pillow, absent here"
         )
     from entity_resolution_engine_ray.stages.block import default_pool_size
 

@@ -956,3 +956,89 @@ def test_png_codec_roundtrip_and_filters():
     )
     with pytest.raises(NotImplementedError):
         decode_png(p16 + chunk(b"IEND", b""))
+
+
+def test_jpeg_codec_roundtrip_444_and_420():
+    """Pure-numpy baseline JPEG codec (stages/jpeg): encode->decode PSNR on
+    a smooth fixture must exceed 35 dB for 4:4:4 and 4:2:0 (lossy codec —
+    exactness is wrong to pin), a flat image must roundtrip EXACTLY (DC-only
+    blocks), odd dimensions must pad+crop correctly, and grayscale decodes
+    to replicated RGB."""
+    from entity_resolution_engine_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 48, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack(
+            [
+                128 + 100 * np.sin(xx / 19) * np.cos(yy / 23),
+                128 + 80 * np.cos(xx / 13),
+                128 + 60 * np.sin(yy / 17),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        back = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert back.shape == img.shape
+        mse = np.mean((back.astype(np.float64) - img) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 35, f"subsample={sub}"
+
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=95)) == flat).all()
+
+    odd = np.clip(128 + 90 * np.sin(np.mgrid[0:21, 0:35][1] / 6), 0, 255).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(np.repeat(odd[:, :, None], 3, axis=2), subsample=True))
+    assert back.shape == (21, 35, 3)
+
+    g = decode_jpeg(encode_jpeg(odd, quality=90))  # grayscale input
+    assert g.shape == (21, 35, 3)
+    assert (g[:, :, 0] == g[:, :, 1]).all() and (g[:, :, 1] == g[:, :, 2]).all()
+
+
+def test_jpeg_decode_structural_pins():
+    """Decoder pins independent of the encoder: a hand-assembled DC-only
+    1-block stream decodes to the exact flat value; non-JPEG and
+    progressive (SOF2) streams raise."""
+    import pytest
+
+    from entity_resolution_engine_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_image_stages_jpeg_auto_path(ray_session):
+    """decode_image sniffs FFD8 and the auto resize stage re-encodes JPEG in
+    its own format; features embed real pixels."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from entity_resolution_engine_ray.stages.multimodal import (
+        decode_image,
+        image_resize_stage,
+    )
+
+    h, w = 32, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.repeat((128 + 90 * np.sin(xx / 9) * np.cos(yy / 7))[:, :, None], 3, axis=2), 0, 255
+    ).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90, subsample=True)
+    dec, fmt = decode_image(payload)
+    assert fmt == "jpeg" and dec.shape == (h, w, 3)
+
+    tbl = pa.table({"id": pa.array([1], type=pa.int64()), "image": pa.array([payload], type=pa.binary())})
+    out = image_resize_stage(
+        rd.from_arrow(tbl), width=16, height=12, decoder="auto", batch_size=4
+    ).to_pandas()
+    assert list(out["width"]) == [16] and list(out["height"]) == [12]
+    resized = decode_jpeg(out["image"].iloc[0])
+    assert resized.shape == (12, 16, 3)
