@@ -21,8 +21,10 @@ a decoder registry:
 - ``decoder="stub"`` (default) — a deterministic fake: features are derived
   from a stable hash of the payload bytes. Real schemas, real batch sizes,
   real actor-pool signatures; fake pixels. Marked clearly.
+- ``decoder="mjpeg"`` (video) — REAL container work: RIFF/AVI 'movi'
+  parsing emits actual per-frame JPEG payloads (decodable by stages/jpeg).
 - ``decoder="pillow"`` / ``"ffmpeg"`` — raise ``NotImplementedError`` with
-  installation guidance (progressive JPEG, exotic formats, video; the
+  installation guidance (progressive JPEG, H.264/H.265 video; the
   libraries are absent from this container).
 
 Design rules encoded here (the parts that ARE real and tested):
@@ -552,14 +554,88 @@ def audio_resample_stage(
     )
 
 
-def frame_sample_stage(ds, id_col="id", video_col="video", every_n: int = 10, batch_size: int = 16):
-    """Video frame sampling plumbing: explodes each video row into frame
-    rows (frame payloads stubbed as digest-sliced bytes)."""
+def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """Minimal RIFF/AVI parser for Motion-JPEG: returns the per-frame JPEG
+    payloads from '00dc'/'00db' chunks inside the 'movi' LIST (public RIFF
+    spec — the one video family this container can decode end-to-end,
+    because each frame is a baseline JPEG for stages/jpeg)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                if payload[body : body + 4] in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body + 4, body + ln)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[body : body + ln])
+            pos = body + ln + (ln & 1)  # chunks pad to even
+
+    walk(12, len(payload))
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 25, width: int = 0, height: int = 0) -> bytes:
+    """JPEG frame payloads → minimal MJPG AVI bytes (RIFF hdrl + movi; no
+    idx1 — fine for sequential readers including ``decode_avi_mjpeg``)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    max_len = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<10I", 1_000_000 // max(fps, 1), 0, 0, 0x10, n, 0, 1, max_len, width, height
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_len, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def frame_sample_stage(
+    ds, id_col="id", video_col="video", every_n: int = 10, batch_size: int = 16,
+    decoder: str = "stub",
+):
+    """Video frame sampling: explodes each video row into (id, frame_index,
+    frame) rows.
+
+    ``decoder="mjpeg"`` is REAL container work: the AVI 'movi' chunk list is
+    parsed (``decode_avi_mjpeg``) and every ``every_n``-th frame's actual
+    JPEG payload is emitted — directly decodable by the image stages
+    (stages/jpeg). ``decoder="stub"`` (default) keeps the digest fake;
+    other codecs (H.264 etc) need ffmpeg, absent here."""
+    if decoder == "ffmpeg":
+        raise NotImplementedError(
+            "ffmpeg is not available in this container; use decoder='mjpeg' (AVI/MJPG) or 'stub'"
+        )
+    if decoder not in ("stub", "mjpeg"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def sample(batch: pa.Table) -> pa.Table:
         ids, frames, indices = [], [], []
         for vid, payload in zip(batch[id_col].to_pylist(), batch[video_col].to_pylist()):
             payload = payload or b""
+            if decoder == "mjpeg":
+                all_frames = decode_avi_mjpeg(payload)
+                for f in range(0, len(all_frames), every_n):
+                    ids.append(vid)
+                    indices.append(f)
+                    frames.append(all_frames[f])
+                continue
             n_frames = max(1, (len(payload) // 1000) // every_n)
             for f in range(n_frames):
                 ids.append(vid)

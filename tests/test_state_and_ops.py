@@ -1042,3 +1042,42 @@ def test_image_stages_jpeg_auto_path(ray_session):
     assert list(out["width"]) == [16] and list(out["height"]) == [12]
     resized = decode_jpeg(out["image"].iloc[0])
     assert resized.shape == (12, 16, 3)
+
+
+def test_mjpeg_avi_roundtrip_and_frame_sampling(ray_session):
+    """Real video path: JPEG frames → AVI container → frame_sample_stage
+    (decoder='mjpeg') emits every_n-th ACTUAL frame payload, each decodable
+    by stages/jpeg back to pixels."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from entity_resolution_engine_ray.stages.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        frame_sample_stage,
+    )
+
+    frames = []
+    for i in range(7):
+        img = np.full((16, 16, 3), 20 * i + 10, np.uint8)
+        frames.append(encode_jpeg(img, quality=95))
+    avi = encode_avi_mjpeg(frames, fps=10, width=16, height=16)
+    assert decode_avi_mjpeg(avi) == frames  # container roundtrip is exact
+
+    tbl = pa.table({"id": pa.array([7], type=pa.int64()), "video": pa.array([avi], type=pa.binary())})
+    out = (
+        frame_sample_stage(rd.from_arrow(tbl), every_n=3, decoder="mjpeg")
+        .to_pandas()
+        .sort_values("frame_index")
+    )
+    assert list(out["frame_index"]) == [0, 3, 6]
+    for idx, payload in zip(out["frame_index"], out["frame"]):
+        px = decode_jpeg(payload)
+        assert abs(int(px[0, 0, 0]) - (20 * idx + 10)) <= 2  # flat frames are near-exact
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"not an avi")
+    with pytest.raises(NotImplementedError):
+        frame_sample_stage(rd.from_arrow(tbl), decoder="ffmpeg")
