@@ -56,9 +56,10 @@ def _stub_features(payload: bytes, dim: int) -> np.ndarray:
 # REAL pixel work: pure-numpy BMP codec (24-bit uncompressed BI_RGB) + resize.
 # No codec library needed — BMP rows are raw BGR bytes with 4-byte-aligned
 # strides, so decode/encode is a frombuffer + reshape. This makes the
-# ``decoder="bmp"`` path a genuinely working operator; PNG (below) and
-# baseline JPEG (stages/jpeg) are also real — only progressive JPEG and
-# video keep the explicit NotImplementedError gates.
+# ``decoder="bmp"`` path a genuinely working operator; PNG (below),
+# baseline JPEG (stages/jpeg) and MJPEG/AVI frame extraction are also real
+# — only progressive JPEG and H.264-class video keep the explicit
+# NotImplementedError gates.
 # ---------------------------------------------------------------------------
 
 
