@@ -130,3 +130,35 @@ def test_grouped_jaccard_flat_matches_set_oracle(seed):
         u = len(A | B)
         exp = len(A & B) / u if u else 1.0
         assert abs(got[p] - exp) < 1e-12
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                                   blacklist_categories=("Cs",)),
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=2,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_char_ngram_hashes_jaccard_matches_string_grams(texts):
+    """Property pin: vectorized char-3-gram id Jaccard == gram-string
+    Jaccard for arbitrary unicode (the n<=3 packing is injective)."""
+    import numpy as np
+
+    from entity_resolution_engine_ray.functions.similarity import (
+        char_ngram_hashes,
+        ngram_jaccard,
+    )
+
+    a, b = texts
+    sa = np.unique(char_ngram_hashes(a, 3))
+    sb = np.unique(char_ngram_hashes(b, 3))
+    if len(sa) == 0 and len(sb) == 0:
+        return
+    inter = len(np.intersect1d(sa, sb))
+    union = len(sa) + len(sb) - inter
+    assert abs(inter / union - ngram_jaccard(a, b, 3)) < 1e-12
