@@ -66,6 +66,23 @@ def _arrow_refs(ds) -> list:
     return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
 
 
+def _arrow_refs_counted(ds) -> tuple[list, int | None]:
+    """(block refs, total rows) in ONE bundle walk — the row count comes
+    from block METADATA (RefBundle.num_rows), so auto-sizing the exchange
+    width by actual input size costs nothing extra. Rows may be None when
+    a bundle lacks metadata; callers fall back to the CPU-floor width."""
+    refs: list = []
+    total = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+        n = bundle.num_rows()
+        if n is None:
+            total = None
+        if total is not None:
+            total += n
+    return refs, total
+
+
 def _default_split_tasks() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(8, cpus)
@@ -165,13 +182,17 @@ def hash_exchange_cogroup(
     same key hash meet in one partition; ``fn(left_pdf, right_pdf)`` runs
     once per partition (the task-level hash join / cogroup primitive —
     key semantics are up to ``fn``). ``num_partitions=None`` →
-    ``grouping.auto_partitions()`` (scales with cluster CPUs)."""
+    ``grouping.auto_partitions(rows)`` sized by the LARGER side's actual
+    row count (free — block metadata), CPU floor when metadata is absent."""
+    l_refs, l_rows = _arrow_refs_counted(left_ds)
+    r_refs, r_rows = _arrow_refs_counted(right_ds)
     if num_partitions is None:
         from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-        num_partitions = auto_partitions()
-    l_refs = _arrow_refs(left_ds)
-    r_refs = _arrow_refs(right_ds)
+        hint = None
+        if l_rows is not None or r_rows is not None:
+            hint = max(l_rows or 0, r_rows or 0)
+        num_partitions = auto_partitions(hint)
     max_groups = _default_split_tasks()
     l_splits = [
         _split_block.options(num_returns=num_partitions).remote(
@@ -213,12 +234,13 @@ def exchange_partition_refs(ds, key_cols: list[str], num_partitions: int | None 
     included). The building block for ITERATIVE algorithms where one side
     stays stationary across rounds (connected components: edges are
     partitioned once; only labels/candidates move per round).
-    ``num_partitions=None`` → ``grouping.auto_partitions()``."""
+    ``num_partitions=None`` → ``grouping.auto_partitions(rows)`` sized by
+    the actual input row count (free — block metadata)."""
+    refs, n_rows = _arrow_refs_counted(ds)
     if num_partitions is None:
         from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-        num_partitions = auto_partitions()
-    refs = _arrow_refs(ds)
+        num_partitions = auto_partitions(n_rows)
     if not refs:
         raise ValueError("exchange_partition_refs: empty dataset")
     splits = [
@@ -326,12 +348,14 @@ def hash_exchange_map_groups(
     ``key_cols``. ``fn`` must group by ``key_cols`` internally (vectorized),
     handle an empty input frame, and be per-group-pure — the same contract
     as grouping.partition_map_groups. ``arrow_fns=True``: ``fn`` takes and
-    returns ``pa.Table`` (no pandas round-trip)."""
+    returns ``pa.Table`` (no pandas round-trip). ``num_partitions=None`` →
+    ``grouping.auto_partitions(rows)`` sized by the actual input row count
+    (free — block metadata)."""
+    block_refs, n_rows = _arrow_refs_counted(ds)
     if num_partitions is None:
         from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-        num_partitions = auto_partitions()
-    block_refs = _arrow_refs(ds)
+        num_partitions = auto_partitions(n_rows)
     if not block_refs:
         return rd.from_items([])
     splits = [

@@ -84,12 +84,14 @@ def partition_map_groups(
     ``fn`` takes/returns ``pa.Table`` directly — use for partitions carrying
     list or string payloads, where the pandas conversion allocates one
     Python object per row."""
-    if num_partitions is None:
-        num_partitions = auto_partitions()
     if impl == "exchange":
         from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
 
+        # None passes through: the exchange sizes the width from the input's
+        # actual row count (block metadata — free), not just the CPU floor
         return hash_exchange_map_groups(ds, key_cols, fn, num_partitions, arrow_fns=arrow_fns)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     if arrow_fns:
         raise ValueError("arrow_fns requires impl='exchange'")
 
