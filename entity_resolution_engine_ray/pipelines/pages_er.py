@@ -119,14 +119,22 @@ def run_pages_er(
                 label_features_broadcast,
             )
 
-            approved = edges.filter(
-                expr="decision == 'auto_approve' or decision == 'gray_approve'"
-                " or decision == 'llm_approve'"
+            # filter → ids-only project → materialize ONCE: the gate count
+            # below and the clustering pass both consume the cached slim
+            # blocks (un-materialized, the filter over the edges checkpoint
+            # executed twice — once for count(), once inside the clusterer)
+            approved = (
+                edges.filter(
+                    expr="decision == 'auto_approve' or decision == 'gray_approve'"
+                    " or decision == 'llm_approve'"
+                )
+                .select_columns(["left_id", "right_id"])
+                .materialize()
             )
             # size gate: the driver-side label map is only safe when the
             # connected-node set (bounded by 2×edges) fits driver memory —
-            # "auto" counts approved edges (a cheap decision-column scan over
-            # the edges checkpoint) and falls through to fully-distributed
+            # "auto" counts approved edges (metadata-only on the
+            # materialized slim table) and falls through to fully-distributed
             # labelprop above the threshold
             method = cfg.cluster_method
             if method == "auto":
