@@ -196,7 +196,10 @@ def run_pages_er(
         )
 
         run_id = str(uuid.uuid4())
-        metrics = gate_metrics(edges)
+        # decision-column-only scan of the edge checkpoint (the partial
+        # counts need nothing else; unpruned, the fat id columns are read
+        # off disk just to be dropped)
+        metrics = gate_metrics(edges.select_columns(["decision"]))
         metrics.update(
             {
                 "entity_type": "page",
