@@ -2667,6 +2667,95 @@ def q_approx_distinct_by_lang(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# training-data additions: LM quality scoring, semantic dedup, leak-free split
+# ---------------------------------------------------------------------------
+
+
+def q_doc_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM quality scoring (stages/lm): train a top-V
+    vocab + add-one-smoothed bigram LM over the corpus in two
+    partial-aggregation passes (everything broadcast is vocab-bounded,
+    never corpus-bounded), then score each document's average token
+    log-probability in one vectorized pass — the classic keep-the-
+    low-perplexity-head filter. V=32 here so ``<unk>`` mapping is
+    exercised on the fixture vocabulary."""
+    from entity_resolution_engine_ray.stages.lm import bigram_lm_logprob
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = bigram_lm_logprob(ds, id_col="doc_id", text_col="text", vocab_size=32).to_pandas()
+    out["avg_logp"] = _rha(out["avg_logp"], 4)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_semantic_dedup_keep(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embedding table: connected
+    components over exact cosine ≥ 0.4 pairs, keep ONE representative (min
+    vec_id) per component — the embedding-space companion of
+    near_dup_keep_best. Oracle-checked because the candidate stage here is
+    the exact blocked all-pairs matmul; at 100 TB swap it for the SRP-LSH
+    bucketed pairs (``cosine_near_dup_pairs``) and the labelprop CC — the
+    keep logic is unchanged (same size gate as ``near_dup_clusters``)."""
+    import ray
+
+    from entity_resolution_engine_ray.stages.cluster import cluster_label_map
+    from entity_resolution_engine_ray.stages.knn import cosine_all_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = cosine_all_pairs_exact(ds, id_col="vec_id", threshold=0.4)
+    # label = min vec_id of the component; drop everything that isn't its
+    # component's representative. The drop set is O(near-dup vectors) — the
+    # small side — broadcast once via ray.put.
+    label_map = cluster_label_map(pairs)
+    drop = np.sort(
+        np.fromiter((i for i, l in label_map.items() if i != l), dtype=np.int64)
+    )
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = ray.get(drop_ref)
+        mask = ~np.isin(ids, d) if len(d) else np.ones(len(ids), dtype=bool)
+        return pa.table({"vec_id": pa.array(ids[mask], type=pa.int64())})
+
+    return ds.select_columns(["vec_id"]).map_batches(keep, batch_format="pyarrow")
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Leakage-free train/val/test split: the split is decided by a hash of
+    the GROUP key (``source`` — the domain stand-in), so all documents of a
+    domain (and hence their near-duplicates) land in ONE split — the
+    standard guard against train/test contamination. 80/10/10 by
+    md5(source) mod 10; output is per-(split, lang) doc and char counts.
+    Map-side only: the md5 runs once per UNIQUE source per batch, partial
+    counts reduce through one tiny groupby."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = {
+            s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10
+            for s in pdf["source"].unique()
+        }
+        buck = pdf["source"].map(b).to_numpy()
+        split = np.where(buck < 8, "train", np.where(buck == 8, "val", "test"))
+        return (
+            pdf.assign(split=split)
+            .groupby(["split", "lang"], as_index=False)
+            .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out.sort_values(["split", "lang"], kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
 
@@ -2797,6 +2886,9 @@ QUERIES = {
     "reciprocal_nn_ivf": q_reciprocal_nn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "doc_lm_score": q_doc_lm_score,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
+    "doc_split_assign": q_doc_split_assign,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -3684,6 +3776,76 @@ ORACLE_SQL = {
         )
         SELECT cluster_id, doc_id AS kept_doc_id, cluster_size
         FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+    # bigram LM: identical vocab selection (count DESC, token ASC, LIMIT 32),
+    # <unk> mapping, add-one smoothing over V+1, AVG of ln conditionals.
+    "doc_lm_score": """
+        WITH toks AS (
+            SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                  FROM documents)
+        ),
+        uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        vocab AS (SELECT tok FROM uni ORDER BY n DESC, tok ASC LIMIT 32),
+        mapped AS (
+            SELECT t.doc_id, t.i,
+                   CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+            FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        ),
+        c1 AS (SELECT w, COUNT(*) AS n FROM mapped GROUP BY w),
+        pairs AS (
+            SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM mapped a JOIN mapped b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2),
+        nv AS (SELECT COUNT(*) AS v FROM vocab)
+        SELECT p.doc_id,
+               ROUND(AVG(ln((c2.n + 1.0) / (c1.n + (SELECT v + 1 FROM nv)))), 4)
+                   AS avg_logp
+        FROM pairs p
+        JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        JOIN c1 ON c1.w = p.w1
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+    """,
+    # semantic dedup: exact cosine pairs + recursive transitive closure,
+    # keep the min-id representative of every component
+    "semantic_dedup_keep": """
+        WITH RECURSIVE edges AS (
+            SELECT a.vec_id AS l, b.vec_id AS r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ),
+        bidir AS (
+            SELECT l AS src, r AS dst FROM edges
+            UNION ALL
+            SELECT r AS src, l AS dst FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.a, bidir.dst FROM reach JOIN bidir ON bidir.src = reach.b
+        ),
+        lab AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+        SELECT vec_id FROM lab WHERE vec_id = cluster_id ORDER BY vec_id
+    """,
+    # group-hash split: same md5-prefix bucket both sides ('0x…'::BIGINT
+    # parses the first 8 hex chars exactly)
+    "doc_split_assign": """
+        WITH s AS (
+            SELECT lang, n_chars,
+                   CASE WHEN b < 8 THEN 'train'
+                        WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT lang, n_chars,
+                         ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 AS b
+                  FROM documents)
+        )
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks
