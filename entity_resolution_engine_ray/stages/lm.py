@@ -6,16 +6,18 @@ low-perplexity head. This stage is that operator expressed Ray-Data-first,
 with a fixed-size vocabulary so every broadcast stays bounded at 100 TB:
 
 1. **vocab pass** — per-batch token ``value_counts`` partials reduce
-   through one small ``groupby(term).sum()``; the driver keeps the top-V
-   terms (count DESC, token ASC — deterministic) as the vocabulary, all
-   other tokens map to ``<unk>``. V caps every later structure: the vocab
-   array is O(V), the bigram table O(min(corpus bigrams, V²)).
+   through one ``groupby(term).sum()``; the top-V terms (count DESC, token
+   ASC — deterministic) are selected by a DISTRIBUTED sort + ``limit(V)``
+   (a web-scale distinct-token set never reaches the driver); all other
+   tokens map to ``<unk>``, whose count is total − Σ vocab counts. V caps
+   every later structure: the vocab array is O(V), the bigram table
+   O(min(corpus bigrams, V²)).
 2. **count pass** — the sorted vocab is broadcast once (``ray.put``); each
    batch maps tokens → int ids via ``np.searchsorted`` (vectorized, no
-   Python dict per row), forms adjacent within-doc pairs, and emits dense
-   unigram partials plus ``np.unique``-compressed bigram-key partials
-   (key = w1·(V+1)+w2, one int64). One ``groupby.sum`` each; both results
-   are vocab-bounded, never corpus-bounded.
+   Python dict per row), forms adjacent within-doc pairs, and emits
+   ``np.unique``-compressed bigram-key partials (key = w1·(V+1)+w2, one
+   int64) through one ``groupby.sum`` — vocab-bounded, never
+   corpus-bounded.
 3. **score pass** — the (sorted-key, count) arrays are broadcast once;
    each batch computes add-one-smoothed conditional log-probs
    ``ln((c2+1)/(c1[w1]+V+1))`` with two searchsorted lookups and averages
@@ -56,10 +58,20 @@ def _explode_tokens(t: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]
     return row_idx[mask], flat[mask]
 
 
-def build_vocab(ds, text_col: str = "text", vocab_size: int = 4096) -> np.ndarray:
-    """Top-``vocab_size`` tokens by (count DESC, token ASC), returned
-    SORTED lexicographically (the searchsorted key order). The global
-    groupby moves only (term, partial_count) rows — vocab-bounded."""
+def build_vocab(
+    ds, text_col: str = "text", vocab_size: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``vocab_size`` tokens by (count DESC, token ASC) → (vocab sorted
+    lexicographically — the searchsorted key order — and the aligned c1
+    unigram-count vector with the ``<unk>`` total appended at index V).
+
+    Scale shape: the per-batch ``value_counts`` partials reduce through one
+    ``groupby(term).sum()``; the top-V selection is a DISTRIBUTED sort +
+    ``limit(V)`` — only V rows ever reach the driver, so a web-scale
+    distinct-token set (billions of typo/url terms) never materializes
+    driver-side. The unk count is total tokens minus the vocab's counts
+    (one metadata-cheap distributed sum), which also makes a separate
+    unigram-counting pass unnecessary."""
 
     def partial(t: pa.Table) -> pa.Table:
         _, toks = _explode_tokens(t, text_col)
@@ -72,15 +84,19 @@ def build_vocab(ds, text_col: str = "text", vocab_size: int = 4096) -> np.ndarra
             {"term": pa.array(vc.index.to_numpy()), "n": pa.array(vc.to_numpy(np.int64))}
         )
 
-    agg = (
+    counts = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
-    ).to_pandas()
-    top = agg.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(
-        vocab_size
+    ).materialize()  # consumed by the total sum AND the top-V sort
+    total = int(counts.sum("n") or 0)
+    top = (
+        counts.sort(["n", "term"], descending=[True, False]).limit(vocab_size).to_pandas()
     )
-    return np.sort(top["term"].to_numpy())
+    order = np.argsort(top["term"].to_numpy())
+    vocab = top["term"].to_numpy()[order]
+    cv = top["n"].to_numpy(np.int64)[order]
+    return vocab, np.concatenate([cv, [total - cv.sum()]]).astype(np.int64)
 
 
 def _map_ids(toks: np.ndarray, vocab: np.ndarray) -> np.ndarray:
@@ -93,8 +109,11 @@ def _map_ids(toks: np.ndarray, vocab: np.ndarray) -> np.ndarray:
 
 
 def train_bigram_counts(ds, vocab: np.ndarray, text_col: str = "text"):
-    """→ (c1: dense (V+1,) unigram counts, bigram sorted keys, bigram
-    counts). Partials are vocab-bounded; the corpus is never collected."""
+    """→ (bigram sorted keys, bigram counts), key = w1·(V+1)+w2 over mapped
+    ids. Partials are ``np.unique``-compressed per batch and reduce through
+    one groupby — O(min(corpus bigrams, (V+1)²)) rows, never the corpus.
+    Unigram counts come from ``build_vocab`` (same pass as vocab selection),
+    so this pass ships bigram keys only."""
     import ray
 
     V = len(vocab)
@@ -104,37 +123,26 @@ def train_bigram_counts(ds, vocab: np.ndarray, text_col: str = "text"):
         row_idx, toks = _explode_tokens(t, text_col)
         if len(toks) == 0:
             return pa.table(
-                {"key": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64()),
-                 "kind": pa.array([], type=pa.int64())}
+                {"key": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
             )
         ids = _map_ids(toks, ray.get(vocab_ref))
-        u_keys, u_cnt = np.unique(ids, return_counts=True)
         same = row_idx[:-1] == row_idx[1:]
         b_raw = ids[:-1][same] * np.int64(V + 1) + ids[1:][same]
         b_keys, b_cnt = np.unique(b_raw, return_counts=True)
         return pa.table(
             {
-                "key": pa.array(np.concatenate([u_keys, b_keys]), type=pa.int64()),
-                "n": pa.array(np.concatenate([u_cnt, b_cnt]).astype(np.int64), type=pa.int64()),
-                "kind": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(u_keys), np.int64), np.ones(len(b_keys), np.int64)]
-                    ),
-                    type=pa.int64(),
-                ),
+                "key": pa.array(b_keys, type=pa.int64()),
+                "n": pa.array(b_cnt.astype(np.int64), type=pa.int64()),
             }
         )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["kind", "key"])
+        .groupby("key")
         .aggregate(Sum("n", alias_name="n"))
     ).to_pandas()
-    c1 = np.zeros(V + 1, dtype=np.int64)
-    uni = agg[agg["kind"] == 0]
-    c1[uni["key"].to_numpy(np.int64)] = uni["n"].to_numpy(np.int64)
-    big = agg[agg["kind"] == 1].sort_values("key", kind="mergesort")
-    return c1, big["key"].to_numpy(np.int64), big["n"].to_numpy(np.int64)
+    agg = agg.sort_values("key", kind="mergesort")
+    return agg["key"].to_numpy(np.int64), agg["n"].to_numpy(np.int64)
 
 
 def bigram_lm_logprob(
@@ -170,8 +178,8 @@ def bigram_lm_logprob(
             )
         )
     if lm is None:
-        vocab = build_vocab(ds, text_col, vocab_size)
-        c1, bkeys, bcnt = train_bigram_counts(ds, vocab, text_col)
+        vocab, c1 = build_vocab(ds, text_col, vocab_size)
+        bkeys, bcnt = train_bigram_counts(ds, vocab, text_col)
     else:
         vocab, c1, bkeys, bcnt = lm
     V = len(vocab)

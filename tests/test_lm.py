@@ -103,8 +103,8 @@ def test_bigram_lm_pretrained_scores_unseen_corpus():
     )
 
     train = _docs_ds(DOCS).materialize()
-    vocab = build_vocab(train, vocab_size=3)
-    c1, bk, bc = train_bigram_counts(train, vocab)
+    vocab, c1 = build_vocab(train, vocab_size=3)
+    bk, bc = train_bigram_counts(train, vocab)
     V = len(vocab)
 
     new = _docs_ds([(100, "zz yy")])  # both tokens OOV -> (<unk>, <unk>)
