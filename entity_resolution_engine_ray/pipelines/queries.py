@@ -2755,6 +2755,38 @@ def q_doc_split_assign(sf_dir: str):
     return out.sort_values(["split", "lang"], kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_quality_classifier(sf_dir: str):
+    """Model-based quality filtering (the GPT-3/FineWeb-style third leg next
+    to heuristic rules and LM perplexity): train a fastText-style linear
+    classifier (hashed unigram+bigram features, distributed full-batch
+    logistic regression — stages/classifier) on a SEED-LABELED SAMPLE
+    (every 5th doc), then score the whole corpus in one vectorized pass.
+    The deterministic seed label (contains the token "spark") stands in
+    for a curated quality label — the fixture's langs share one
+    vocabulary, so only a content-derived signal is learnable. Rows-only
+    (iterative float training isn't SQL-expressible); serial parity, loss
+    decrease, accuracy and partition invariance are pinned in
+    tests/test_classifier.py."""
+    from entity_resolution_engine_ray.stages.classifier import score_logreg, train_logreg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def seed_label(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 == 0))
+        hit = pc.match_substring_regex(t["text"], r"(^| )spark( |$)")
+        return t.append_column(
+            "label",
+            pc.cast(hit, pa.int64()),
+        )
+
+    seed = ds.map_batches(seed_label, batch_format="pyarrow")
+    w, b, _losses = train_logreg(seed, "label", dim=1024, n_iters=40, lr=2.0)
+    out = score_logreg(ds, w, b).to_pandas()
+    out["prob"] = _rha(out["prob"], 4)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -2889,6 +2921,7 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "doc_split_assign": q_doc_split_assign,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
