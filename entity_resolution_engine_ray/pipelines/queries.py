@@ -2787,6 +2787,63 @@ def q_doc_quality_classifier(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_stopword_prune(sf_dir: str):
+    """Corpus-frequency stopword pruning — drop the top-K most frequent
+    tokens (count DESC, token ASC; K=10) from every document and report the
+    per-doc removal count. The drop set is SMALL by construction (the Zipf
+    head), which fixes the 100-TB shape: vocab-bounded partial counts → a
+    distributed ``sort + limit(K)`` (only K rows ever reach the driver) →
+    ONE ``ray.put`` broadcast → an embarrassingly-parallel rewrite over the
+    ListArray's flat buffers. Document text is never shuffled."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        flat = pc.split_pattern(col, " ").flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"term": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "term"], descending=[True, False]).limit(10).to_pandas()
+    stops = np.sort(top["term"].to_numpy(dtype=object).astype(str))
+    stop_ref = ray.put(stops)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        stops_ = ray.get(stop_ref)  # node-local fetch, cached by the object store
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lists)), lens)
+        nonempty = flat != ""
+        keep = nonempty & ~np.isin(flat, stops_)
+        kept_per_row = np.bincount(row_idx[keep], minlength=len(lists))
+        all_per_row = np.bincount(row_idx[nonempty], minlength=len(lists))
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat[keep], type=pa.string())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.binary_join(kept_list, " "),
+                "n_removed": pa.array((all_per_row - kept_per_row).astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(rewrite, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -2922,6 +2979,7 @@ QUERIES = {
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "doc_split_assign": q_doc_split_assign,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "doc_stopword_prune": q_doc_stopword_prune,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -3879,6 +3937,32 @@ ORACLE_SQL = {
         SELECT split, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    # top-10 stopword prune: the lambda captures the cross-joined stop list
+    # column (DuckDB correlated-lambda), mirroring the broadcast drop set
+    "doc_stopword_prune": """
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents
+        ),
+        stop AS (
+            SELECT list(term) AS arr FROM (
+                SELECT term FROM tok GROUP BY term
+                ORDER BY COUNT(*) DESC, term ASC LIMIT 10
+            )
+        ),
+        base AS (
+            SELECT d.doc_id,
+                   list_filter(string_split(d.text, ' '), x -> x <> '') AS w,
+                   s.arr AS arr
+            FROM documents d CROSS JOIN stop s
+        )
+        SELECT doc_id,
+               array_to_string(list_filter(w, x -> NOT list_contains(arr, x)), ' ') AS text,
+               CAST(len(w) - len(list_filter(w, x -> NOT list_contains(arr, x))) AS BIGINT)
+                   AS n_removed
+        FROM base
+        ORDER BY doc_id
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

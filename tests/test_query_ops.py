@@ -94,6 +94,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_top_tokens_sketch",
         "near_dup_keep_best",
         "corpus_export",
+        "doc_stopword_prune",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
