@@ -2844,6 +2844,40 @@ def q_doc_stopword_prune(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_events_window_dedup(sf_dir: str):
+    """Telemetry debounce dedup: drop an event when the SAME (user_id,
+    event_type) fired within the previous 300 s (gap measured to the
+    previous raw event — the LAG semantics, so it stays SQL-checkable; a
+    keep-anchored debounce would need a sequential scan). One hash shuffle
+    on the group key, then a vectorized sorted-diff per partition — no
+    per-group Python, no window library."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=str),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        pdf = pdf.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        us = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        ts = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = np.r_[False, (us[1:] == us[:-1]) & (et[1:] == et[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        keep = ~same | (gap > 300_000_000)  # strict >, microseconds
+        return pdf.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    out = partition_map_groups(ds, ["user_id", "event_type"], dedup).to_pandas()
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship ER over synthesized pages (rows-only)
 # ---------------------------------------------------------------------------
@@ -2980,6 +3014,7 @@ QUERIES = {
     "doc_split_assign": q_doc_split_assign,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_stopword_prune": q_doc_stopword_prune,
+    "events_window_dedup": q_events_window_dedup,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -3963,6 +3998,19 @@ ORACLE_SQL = {
                    AS n_removed
         FROM base
         ORDER BY doc_id
+    """,
+    # LAG-window debounce: strict > 300 s gap to the previous raw event
+    "events_window_dedup": """
+        WITH w AS (
+            SELECT event_id, user_id, event_type, ts,
+                   LAG(ts) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, ts FROM w
+        WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 300 SECOND
+        ORDER BY event_id
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

@@ -95,6 +95,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "near_dup_keep_best",
         "corpus_export",
         "doc_stopword_prune",
+        "events_window_dedup",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
