@@ -2844,6 +2844,21 @@ def q_doc_stopword_prune(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embedding table
+    (stages/knn.kmeans_assign): 10 Lloyd passes where each pass ships only
+    C×d float partials per batch, then one embarrassingly-parallel
+    assignment pass — the corpus-partitioning primitive under
+    cluster-balanced sampling and IVF list building. Rows-only (iterative
+    float training isn't SQL-expressible); determinism, partition
+    invariance and centroid quality are pinned in tests."""
+    from entity_resolution_engine_ray.stages.knn import kmeans_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, n_clusters=8, n_iters=10).to_pandas()
+    return out.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_events_window_dedup(sf_dir: str):
     """Telemetry debounce dedup: drop an event when the SAME (user_id,
     event_type) fired within the previous 300 s (gap measured to the
@@ -3015,6 +3030,7 @@ QUERIES = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_stopword_prune": q_doc_stopword_prune,
     "events_window_dedup": q_events_window_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }

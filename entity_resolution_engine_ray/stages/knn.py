@@ -420,6 +420,99 @@ def kmeans_refine_centroids(
     return cents
 
 
+def kmeans_assign(
+    ds,
+    n_clusters: int = 8,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    seed: int = _SRP_SEED,
+):
+    """Distributed spherical k-means clustering: seeded random unit
+    centroids refined by ``kmeans_refine_centroids`` (each Lloyd pass ships
+    C×d float partials per batch, never the vectors), then ONE
+    embarrassingly-parallel assignment pass. Returns a Dataset of
+    (``id_col``, cluster) — the corpus-partitioning primitive under
+    cluster-balanced sampling, per-cluster dedup and IVF list building.
+
+    Init is farthest-first over a small ids-ordered sample (one partial
+    top-k pass — each batch forwards only its ``cap`` smallest-id rows, so
+    the driver folds O(cap) rows however the input is partitioned): random
+    unit centroids can merge two orthogonal data clusters onto one
+    centroid that Lloyd cannot split, and an order-dependent sample would
+    break partition invariance. Deterministic for a fixed (input, seed)."""
+    import ray.data as rd
+
+    ds = ds.materialize()  # consumed n_iters times + the assignment pass
+    cap = max(256, 32 * n_clusters)
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    col: pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:cap]
+        m = _to_matrix(t[col])[take]
+        n_sel, d = m.shape
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n_sel + 1) * d, d, dtype=np.int32)),
+            pa.array(m.reshape(-1)),
+        )
+        return pa.table({id_col: pa.array(ids[take], type=pa.int64()), col: arr})
+
+    samp = ds.map_batches(sample_partial, batch_format="pyarrow").to_pandas()
+    if samp.empty:
+        return rd.from_arrow(
+            pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cluster": pa.array([], type=pa.int64())}
+            )
+        )
+    samp = samp.sort_values(id_col, kind="mergesort").head(cap)
+    sm = np.stack([np.asarray(v, dtype=np.float64) for v in samp[col]])
+    norms = np.linalg.norm(sm, axis=1)
+    norms[norms == 0] = 1.0
+    sm = (sm.T / norms).T
+    # farthest-first: start at the smallest id, repeatedly add the sample
+    # point with the lowest max-cosine to the chosen set; pad with seeded
+    # random unit vectors if the sample is smaller than n_clusters
+    chosen = [0]
+    best = sm @ sm[0]
+    while len(chosen) < min(n_clusters, len(sm)):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, sm @ sm[nxt])
+    cents = sm[chosen]
+    if len(cents) < n_clusters:
+        rng = np.random.default_rng(seed)
+        pad = rng.standard_normal((n_clusters - len(cents), sm.shape[1]))
+        pad = (pad.T / np.linalg.norm(pad, axis=1)).T
+        cents = np.vstack([cents, pad])
+    cents = kmeans_refine_centroids(ds, cents, n_iters, col=col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cluster": pa.array([], type=pa.int64())}
+            )
+        m = _to_matrix(t[col])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        lab = np.argmax(mn @ cents.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(lab, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(
     ds,
     query: np.ndarray,

@@ -165,3 +165,38 @@ def test_reciprocal_empty_input(ray_session):
     assert set(out.schema().names) == {"left_id", "right_id", "cos"}
     out2 = cosine_all_pairs_exact(rd.from_arrow(empty))
     assert out2.count() == 0
+
+
+def test_kmeans_assign_separates_clusters_and_is_partition_invariant(ray_session):
+    """kmeans_assign on three well-separated direction clusters: every
+    generated cluster maps to ONE label, labels are distinct across
+    clusters, and the assignment is invariant to input partitioning.
+    Empty input returns a typed empty Dataset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import kmeans_assign
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3, 8) * 10.0
+    mat = np.vstack([c + 0.05 * rng.standard_normal((40, 8)) for c in centers])
+    truth = np.repeat(np.arange(3), 40)
+    tbl = _emb_table(mat)
+
+    def collect(ds):
+        out = ds.to_pandas().sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        return out
+
+    a = collect(kmeans_assign(rd.from_arrow(tbl), n_clusters=3, n_iters=10))
+    b = collect(
+        kmeans_assign(rd.from_arrow(tbl).repartition(7), n_clusters=3, n_iters=10)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    lab = a["cluster"].to_numpy()
+    for g in range(3):
+        assert len(set(lab[truth == g])) == 1, f"cluster {g} fragmented"
+    assert len({lab[truth == g][0] for g in range(3)}) == 3, "clusters merged"
+
+    empty = kmeans_assign(rd.from_arrow(_emb_table(np.zeros((0, 8)))), n_clusters=4)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"vec_id", "cluster"}
