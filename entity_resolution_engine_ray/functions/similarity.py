@@ -337,6 +337,18 @@ def hash_tokens(tokens: list[str], cache: dict[str, int] | None = None) -> np.nd
     return out.astype(np.uint64)
 
 
+def jaccard_ids(th: np.ndarray) -> np.ndarray:
+    """Sorted unique int32 Jaccard ids: the LOW 32 BITS of the 64-bit token
+    hashes. The flagship's fat (block_key, salt) shuffle ships one token-id
+    list per doc per band — at web scale that list is the dominant payload,
+    and 32-bit ids halve it. Within-doc collisions shift Jaccard by
+    ~|tokens|²/2³³ (≪1 token for thousand-token docs) and the serial oracle
+    derives its token sets from THIS function, so distributed == serial
+    stays exact. MinHash/SimHash keep the full 64-bit hashes."""
+    ids = (th.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    return np.unique(ids)  # unique sorts in the signed-int32 domain
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash + LSH bands
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from entity_resolution_engine_ray.config import PagesERConfig
 from entity_resolution_engine_ray.functions.similarity import (
     hamming_similarity64,
     hash_tokens,
+    jaccard_ids,
     jaro_winkler,
     lsh_band_keys,
     minhash_coefficients,
@@ -93,10 +94,10 @@ def page_features(
     sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *coeffs)
     return PageFeatures(
         url=url,
-        # Jaccard is defined over 64-bit token-id hashes in BOTH the oracle
-        # and the engine (the engine ships int ids, not token strings,
+        # Jaccard is defined over the SAME 32-bit token ids in BOTH the
+        # oracle and the engine (the engine ships int ids, not token strings,
         # through the pair shuffle) — identical by construction
-        token_set=frozenset(int(x) for x in th.astype(np.int64)),
+        token_set=frozenset(int(x) for x in jaccard_ids(th)),
         simhash=simhash64(th),
         band_keys=lsh_band_keys(sig, cfg.bands),
         title_norm=" ".join(canonical_tokens(title)),

@@ -27,6 +27,7 @@ import pyarrow as pa
 from entity_resolution_engine_ray.config import PagesERConfig
 from entity_resolution_engine_ray.functions.similarity import (
     hash_tokens,
+    jaccard_ids,
     stable_hash64,
     lsh_band_keys,
     minhash_coefficients,
@@ -64,11 +65,12 @@ class FeatureExtractor:
             th = hash_tokens(toks, self.cache)
             sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *self.coeffs)
             tokens_col.append("\x1f".join(sorted(set(toks))))
-            # sorted unique 64-bit token ids — the scorer's Jaccard operates
-            # on these (int arrays stay zero-copy Arrow through the shuffle;
-            # string token sets would thrash worker heaps at scale). NB:
-            # sort AFTER the int64 reinterpret — uint64 order ≠ int64 order
-            token_ids_col.append(np.sort(np.unique(th).view(np.int64)))
+            # sorted unique 32-bit token ids (low half of the 64-bit token
+            # hash) — the scorer's Jaccard operates on these. Int arrays
+            # stay zero-copy Arrow through the shuffle, and 32-bit ids
+            # halve the fat exchange's dominant payload (see jaccard_ids);
+            # MinHash/SimHash below keep the full 64-bit hashes.
+            token_ids_col.append(jaccard_ids(th))
             simhashes[i] = simhash64(th)
             band_keys_col.append(lsh_band_keys(sig, cfg.bands))
             title_norms.append(" ".join(canonical_tokens(titles[i])))
@@ -83,7 +85,7 @@ class FeatureExtractor:
                 "lang": batch["lang"],
                 "title_norm": pa.array(title_norms, type=pa.string()),
                 "tokens": pa.array(tokens_col, type=pa.string()),
-                "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int64())),
+                "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int32())),
                 "simhash": pa.array(simhashes, type=pa.int64()),
                 "band_keys": pa.array(band_keys_col, type=pa.list_(pa.int64())),
             }

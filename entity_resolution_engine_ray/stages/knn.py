@@ -367,7 +367,12 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
 
 
 def kmeans_refine_centroids(
-    ds, cents: np.ndarray, n_iters: int, batch_size: int = 4096, col: str = "embedding"
+    ds,
+    cents: np.ndarray,
+    n_iters: int,
+    batch_size: int = 4096,
+    col: str = "embedding",
+    tol: float = 0.0,
 ) -> np.ndarray:
     """Lloyd iterations over a Dataset of embeddings, expressed as
     ``map_batches`` partial sums: each batch emits (centroid, sum-vector,
@@ -375,7 +380,10 @@ def kmeans_refine_centroids(
     driver folds the tiny partial table into new unit centroids. Empty
     centroids keep their previous position. Deterministic for a fixed
     input. ``col`` names the list<float> column (raw ``embedding`` or the
-    pre-normalized ``emb`` of an internal pipeline)."""
+    pre-normalized ``emb`` of an internal pipeline). ``tol > 0`` stops
+    early once the max centroid movement falls below it — the movement is
+    computed from the same folded sums on the driver, so the early stop is
+    deterministic and partition-independent."""
     C, d = cents.shape
     for _ in range(n_iters):
         current = cents
@@ -417,6 +425,8 @@ def kmeans_refine_centroids(
         norms = np.linalg.norm(new, axis=1)
         norms[norms == 0] = 1.0
         cents = (new.T / norms).T
+        if tol > 0.0 and float(np.abs(cents - current).max()) < tol:
+            break
     return cents
 
 
@@ -427,6 +437,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     col: str = "embedding",
     seed: int = _SRP_SEED,
+    tol: float = 1e-9,
 ):
     """Distributed spherical k-means clustering: seeded random unit
     centroids refined by ``kmeans_refine_centroids`` (each Lloyd pass ships
@@ -491,7 +502,7 @@ def kmeans_assign(
         pad = rng.standard_normal((n_clusters - len(cents), sm.shape[1]))
         pad = (pad.T / np.linalg.norm(pad, axis=1)).T
         cents = np.vstack([cents, pad])
-    cents = kmeans_refine_centroids(ds, cents, n_iters, col=col)
+    cents = kmeans_refine_centroids(ds, cents, n_iters, col=col, tol=tol)
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -302,7 +302,9 @@ def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
 
     tok = _combined(tbl["token_ids"])
     toffs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    tvals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # keep the values buffer in its native dtype (int32 since the 32-bit
+    # Jaccard ids — an astype(int64) here would copy the fattest buffer)
+    tvals = tok.values.to_numpy(zero_copy_only=False)
     tstarts = toffs[:-1][order]
     tlens = (toffs[1:] - toffs[:-1])[order]
 
