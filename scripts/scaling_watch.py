@@ -57,7 +57,18 @@ def probe() -> float | None:
 
 
 def fire() -> dict | None:
-    env = dict(os.environ, SCALE_LO="4", SCALE_HI="16", SCALE_REPS="3", BENCH_LLM="0")
+    # 300k-page fixture (SCALE_SF_DIR): the round-4 engine is ~2x faster,
+    # so at 100k pages fixed per-stage overheads (driver barriers,
+    # checkpoint writes) dominate the 16-CPU side and cap raw efficiency;
+    # a 3x larger input dilutes them while staying a ~10-minute attempt.
+    env = dict(
+        os.environ,
+        SCALE_LO="4",
+        SCALE_HI="16",
+        SCALE_REPS="3",
+        BENCH_LLM="0",
+        GRAFT_SF_DIR=os.environ.get("SCALE_SF_DIR", "/root/testdata/sf0.3"),
+    )
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
