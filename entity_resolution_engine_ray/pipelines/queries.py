@@ -2844,6 +2844,140 @@ def q_doc_stopword_prune(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_source_cap(sf_dir: str):
+    """Per-domain quota capping — keep at most 15 docs per source, chosen
+    by deterministic hash order (Knuth hash of doc_id, ties by doc_id):
+    the anti-spam cap crawl curation applies to over-represented domains.
+    One hash shuffle on source, then a vectorized per-partition rank —
+    each partition holds whole sources, so the cap needs no global sort."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def cap(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64), "source": pd.Series([], dtype=str)}
+            )
+        pdf = pdf.assign(hk=_knuth32(pdf["doc_id"].to_numpy()))
+        pdf = pdf.sort_values(["source", "hk", "doc_id"], kind="mergesort")
+        return pdf.groupby("source").head(15)[["doc_id", "source"]]
+
+    out = partition_map_groups(ds, ["source"], cap).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix — the engagement report every event
+    warehouse runs: cohort = a user's first-event week (epoch-week), cell =
+    distinct users of that cohort active ``week_offset`` weeks later. ONE
+    hash shuffle on user_id: each partition derives its users' cohorts and
+    distinct (cohort, offset) activity locally (vectorized), then tiny
+    per-partition partial counts fold through a (cohort, offset) groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def cohort(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series([], dtype=np.int64),
+                    "week_offset": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        us = pdf["user_id"].to_numpy()
+        wk = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // (604_800 * 1_000_000)
+        d = pd.DataFrame({"u": us, "wk": wk})
+        first = d.groupby("u")["wk"].transform("min")
+        d = d.assign(cohort_week=first, week_offset=d["wk"] - first)
+        g = d.drop_duplicates(["u", "cohort_week", "week_offset"]).groupby(
+            ["cohort_week", "week_offset"], as_index=False
+        )
+        out = g.agg(n=("u", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    out = (
+        partition_map_groups(ds, ["user_id"], cohort)
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_week", "week_offset"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q_doc_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty — share of a doc's DISTINCT token
+    trigrams that appear in no other document (the memorization /
+    boilerplate screen run before sampling training data). Scale shape:
+    docs reduce map-side to slim (doc_id, gram-hash int64) pairs (a doc
+    lives in one batch, so within-batch dedup is global dedup), gram
+    doc-counts fold through one groupby, and ONE gram-keyed cogroup ships
+    only (pair, count) ints back together — document text never shuffles.
+    Counting is on 64-bit mixed token-hash triples; the SQL oracle groups
+    the gram STRINGS, so a hash-collision-free run is itself certified by
+    the oracle match (same self-certifying pattern as doc_fingerprint)."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def grams(t: pa.Table) -> pa.Table:
+        row_idx, toks = _explode_tokens(t)
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "gram": pa.array([], type=pa.int64())}
+        )
+        if len(toks) < 3:
+            return empty
+        h = pd.util.hash_array(toks.astype(object), hash_key="a3c95d1b07e64f28")
+        valid = (row_idx[:-2] == row_idx[1:-1]) & (row_idx[1:-1] == row_idx[2:])
+        if not valid.any():
+            return empty
+        gh = ((h[:-2] * mix) ^ h[1:-1]) * mix ^ h[2:]
+        gh = gh[valid].view(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[row_idx[:-2][valid]]
+        perm = np.lexsort((gh, doc_ids))
+        ds_, gs_ = doc_ids[perm], gh[perm]
+        first = np.r_[True, (ds_[1:] != ds_[:-1]) | (gs_[1:] != gs_[:-1])]
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[first], type=pa.int64()),
+                "gram": pa.array(gs_[first], type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(grams, batch_format="pyarrow").materialize()
+    counts = pairs.groupby("gram").aggregate(Count(alias_name="nd"))
+
+    def attach(pair_pdf: pd.DataFrame, cnt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pair_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_unique": pd.Series([], dtype=np.int64),
+                    "n_grams": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = pair_pdf.merge(cnt_pdf, on="gram", how="left")
+        m["is_u"] = (m["nd"] == 1).astype(np.int64)
+        g = m.groupby("doc_id", as_index=False).agg(
+            n_unique=("is_u", "sum"), n_grams=("gram", "size")
+        )
+        g["n_unique"] = g["n_unique"].astype(np.int64)
+        g["n_grams"] = g["n_grams"].astype(np.int64)
+        return g
+
+    per_doc = (
+        hash_exchange_cogroup(pairs, counts, ["gram"], ["gram"], attach)
+        .groupby("doc_id")
+        .aggregate(Sum("n_unique", alias_name="n_unique"), Sum("n_grams", alias_name="n_grams"))
+    ).to_pandas()
+    per_doc["n_unique"] = per_doc["n_unique"].astype(np.int64)
+    per_doc["n_grams"] = per_doc["n_grams"].astype(np.int64)
+    per_doc["novelty"] = _rha(per_doc["n_unique"] / per_doc["n_grams"], 4)
+    return per_doc.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embedding table
     (stages/knn.kmeans_assign): 10 Lloyd passes where each pass ships only
@@ -3031,6 +3165,9 @@ QUERIES = {
     "doc_stopword_prune": q_doc_stopword_prune,
     "events_window_dedup": q_events_window_dedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "source_cap": q_source_cap,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4027,6 +4164,51 @@ ORACLE_SQL = {
         SELECT event_id, user_id, event_type, ts FROM w
         WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 300 SECOND
         ORDER BY event_id
+    """,
+    # per-source quota cap: same Knuth-hash rank both sides
+    "source_cap": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id
+    """,
+    # weekly cohort retention: cohort = min epoch-week per user
+    "user_retention_cohorts": """
+        WITH w AS (
+            SELECT user_id, CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS wk FROM events
+        ),
+        f AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id),
+        a AS (
+            SELECT DISTINCT w.user_id, f.cw, w.wk - f.cw AS off
+            FROM w JOIN f USING (user_id)
+        )
+        SELECT cw AS cohort_week, off AS week_offset, COUNT(*) AS n_users
+        FROM a GROUP BY cw, off ORDER BY cohort_week, week_offset
+    """,
+    # trigram novelty: grams as STRINGS here vs 64-bit mixed hashes in the
+    # engine — the match certifies the run collision-free
+    "doc_ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+            FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        ),
+        c AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(SUM(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               COUNT(*) AS n_grams,
+               ROUND(SUM(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+                   AS novelty
+        FROM g JOIN c USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

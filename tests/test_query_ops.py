@@ -96,6 +96,9 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "corpus_export",
         "doc_stopword_prune",
         "events_window_dedup",
+        "source_cap",
+        "user_retention_cohorts",
+        "doc_ngram_novelty",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
