@@ -3086,6 +3086,157 @@ def q_relational_er_entities(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_doc_oov_rate(sf_dir: str):
+    """Out-of-vocabulary audit against the corpus's own top-K vocabulary
+    (K=20, count DESC / token ASC — the tie-break both sides share): per
+    doc, total token count and how many tokens fall OUTSIDE the top-K set.
+    The 100-TB shape is the stopword-prune one: vocab-bounded partial
+    counts → distributed ``sort + limit(K)`` (only K rows reach the
+    driver) → ONE ``ray.put`` broadcast → an embarrassingly-parallel
+    per-doc ``np.isin`` scan. Counts are exact integers, so the oracle
+    hash-compare needs no float rounding at all."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        flat = pc.split_pattern(col, " ").flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"term": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "term"], descending=[True, False]).limit(20).to_pandas()
+    vocab = np.sort(top["term"].to_numpy(dtype=object).astype(str))
+    vocab_ref = ray.put(vocab)
+
+    def scan(t: pa.Table) -> pa.Table:
+        vocab_ = ray.get(vocab_ref)  # node-local fetch, cached by the object store
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lists)), lens)
+        nonempty = flat != ""
+        oov = nonempty & ~np.isin(flat, vocab_)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    np.bincount(row_idx[nonempty], minlength=len(lists)).astype(np.int64)
+                ),
+                "n_oov": pa.array(
+                    np.bincount(row_idx[oov], minlength=len(lists)).astype(np.int64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_source_dup_stats(sf_dir: str):
+    """Per-source boilerplate triage — for every crawl source: doc count
+    and how many of its docs share their 8-token HEAD SIGNATURE with any
+    other doc CORPUS-WIDE (any source). Mirrored pages and templated
+    articles open identically long before their bodies diverge, so the
+    head signature is the cheap first-pass dup key crawl curation
+    throttles feeds by (the fixtures contain real prefix dups but zero
+    full-text dups). ONE fat shuffle: derive the signature vectorized in
+    Arrow, hash-partition by it so each partition sees every copy
+    (partition-local signature counts ARE global counts), emit one slim
+    partial row per source per partition, then a tiny
+    ``groupby(source).sum``. At 100 TB the partition key becomes the
+    signature's 64-bit hash with the same layout; exact strings here keep
+    the DuckDB oracle comparison hash-exact (same note as
+    exact_dedup_docs, queries.py:65)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.list_slice(pc.split_pattern(col, " "), 0, 8)
+        return pa.table({"source": t["source"], "sig": pc.binary_join(lists, " ")})
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=str),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_dup_docs": pd.Series([], dtype=np.int64),
+                }
+            )
+        n_per_sig = pdf.groupby("sig", sort=False)["sig"].transform("size")
+        g = pdf.assign(dup=(n_per_sig > 1).astype(np.int64)).groupby("source", sort=False)
+        out = g.agg(n_docs=("dup", "size"), n_dup_docs=("dup", "sum")).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    partials = partition_map_groups(
+        ds.map_batches(sig, batch_format="pyarrow"), ["sig"], per_partition
+    )
+    agg = (
+        partials.groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dup_docs", alias_name="n_dup_docs"))
+        .to_pandas()
+    )
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_dup_docs"] = agg["n_dup_docs"].astype(np.int64)
+    return agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy (bits) — the bot-likeness
+    signal: a scripted client hammering one endpoint scores ~0, an organic
+    user scores high. Two-level aggregation keeps the fat side slim: per-
+    batch ``(user_id, event_type)`` partial counts → global ``groupby.sum``
+    (the only wide shuffle, |users|×|types| rows) → per-user vectorized
+    entropy inside a hash-partitioned map (no per-row Python). Entropy is
+    ROUND(Σ −p·log2 p, 4); both sides derive p from identical integer
+    counts so the doubles agree bit-for-bit before rounding."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def entropy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "entropy": pd.Series([], dtype=np.float64),
+                }
+            )
+        tot = pdf.groupby("user_id", sort=False)["n"].transform("sum").to_numpy(np.float64)
+        p = pdf["n"].to_numpy(np.float64) / tot
+        h = pdf.assign(term=-p * np.log2(p)).groupby("user_id", sort=False).agg(
+            n_events=("n", "sum"), entropy=("term", "sum")
+        )
+        h = h.reset_index()
+        h["n_events"] = h["n_events"].astype(np.int64)
+        h["entropy"] = h["entropy"].round(4)
+        return h
+
+    out = partition_map_groups(counts, ["user_id"], entropy).to_pandas()
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -3168,6 +3319,9 @@ QUERIES = {
     "source_cap": q_source_cap,
     "user_retention_cohorts": q_user_retention_cohorts,
     "doc_ngram_novelty": q_doc_ngram_novelty,
+    "doc_oov_rate": q_doc_oov_rate,
+    "source_dup_stats": q_source_dup_stats,
+    "user_event_entropy": q_user_event_entropy,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4151,6 +4305,65 @@ ORACLE_SQL = {
                    AS n_removed
         FROM base
         ORDER BY doc_id
+    """,
+    # top-20 vocab (count DESC, token ASC) then per-doc OOV counts — all
+    # integers, no float rounding in the compare
+    "doc_oov_rate": """
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents
+        ),
+        vocab AS (
+            SELECT list(term) AS arr FROM (
+                SELECT term FROM tok GROUP BY term
+                ORDER BY COUNT(*) DESC, term ASC LIMIT 20
+            )
+        ),
+        base AS (
+            SELECT d.doc_id,
+                   list_filter(string_split(d.text, ' '), x -> x <> '') AS w,
+                   v.arr AS arr
+            FROM documents d CROSS JOIN vocab v
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(w, x -> NOT list_contains(arr, x))) AS BIGINT) AS n_oov
+        FROM base
+        ORDER BY doc_id
+    """,
+    # corpus-wide 8-token head-signature dup flags re-aggregated per source
+    "source_dup_stats": """
+        WITH s AS (
+            SELECT source,
+                   array_to_string(string_split(text, ' ')[1:8], ' ') AS sig
+            FROM documents
+        ),
+        c AS (
+            SELECT sig, COUNT(*) AS n FROM s GROUP BY sig
+        )
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM s JOIN c USING (sig)
+        GROUP BY s.source
+        ORDER BY s.source
+    """,
+    # Shannon entropy of the per-user event-type mix, bits, ROUND(...,4)
+    "user_event_entropy": """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        t AS (
+            SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id
+        )
+        SELECT c.user_id,
+               CAST(t.tot AS BIGINT) AS n_events,
+               ROUND(SUM(-(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                         * log2(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))), 4) AS entropy
+        FROM c JOIN t USING (user_id)
+        GROUP BY c.user_id, t.tot
+        ORDER BY c.user_id
     """,
     # LAG-window debounce: strict > 300 s gap to the previous raw event
     "events_window_dedup": """

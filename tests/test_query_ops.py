@@ -99,6 +99,9 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "source_cap",
         "user_retention_cohorts",
         "doc_ngram_novelty",
+        "doc_oov_rate",
+        "source_dup_stats",
+        "user_event_entropy",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -223,3 +226,49 @@ def test_supplier_triangles_cogroup_path_matches_broadcast(ray_session):
     broadcast = q_supplier_triangles(sf)
     cogroup = q_supplier_triangles(sf, _broadcast_limit_nodes=0)
     assert broadcast["n_triangles"].iloc[0] == cogroup["n_triangles"].iloc[0]
+
+
+def test_doc_oov_rate_exercises_both_paths(ray_session):
+    """The fixture corpus has 31 distinct terms, so the K=20 vocab must
+    leave REAL out-of-vocabulary tokens — if every n_oov is 0 the OOV path
+    is dead code on this fixture (that is why K is 20, not 50)."""
+    from entity_resolution_engine_ray.pipelines.queries import q_doc_oov_rate
+
+    out = q_doc_oov_rate(SF_DIR)
+    assert (out["n_oov"] <= out["n_tokens"]).all()
+    assert (out["n_oov"] > 0).any(), "no OOV tokens — vocab swallowed the corpus"
+    assert (out["n_oov"] < out["n_tokens"]).all(), "vocab head must cover something"
+
+
+def test_source_dup_stats_totals_and_dup_path(ray_session):
+    """Per-source doc counts must partition the corpus exactly, and the
+    fixture must actually contain corpus-wide duplicate head signatures
+    (otherwise the dup branch is untested — full texts are all unique in
+    every fixture, which is why the key is the 8-token head)."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import q_source_dup_stats
+
+    out = q_source_dup_stats(SF_DIR)
+    total = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_docs"].sum()) == total
+    assert int(out["n_dup_docs"].sum()) > 0, "fixture has no head-signature dups"
+    assert (out["n_dup_docs"] <= out["n_docs"]).all()
+
+
+def test_user_event_entropy_bounds(ray_session):
+    """0 ≤ H ≤ log2(#event types); single-type users (if any) score 0 and
+    the fixture must show real spread, not a constant column."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import q_user_event_entropy
+
+    out = q_user_event_entropy(SF_DIR)
+    n_types = duckdb.sql(
+        f"select count(distinct event_type) from read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert (out["entropy"] >= 0).all()
+    assert (out["entropy"] <= np.log2(n_types) + 1e-9).all()
+    assert out["entropy"].nunique() > 1
