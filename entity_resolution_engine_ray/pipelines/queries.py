@@ -3195,12 +3195,17 @@ def q_source_dup_stats(sf_dir: str):
 def q_user_event_entropy(sf_dir: str):
     """Per-user event-type Shannon entropy (bits) — the bot-likeness
     signal: a scripted client hammering one endpoint scores ~0, an organic
-    user scores high. Two-level aggregation keeps the fat side slim: per-
-    batch ``(user_id, event_type)`` partial counts → global ``groupby.sum``
-    (the only wide shuffle, |users|×|types| rows) → per-user vectorized
-    entropy inside a hash-partitioned map (no per-row Python). Entropy is
-    ROUND(Σ −p·log2 p, 4); both sides derive p from identical integer
-    counts so the doubles agree bit-for-bit before rounding."""
+    user scores high. ONE user_id hash shuffle total: per-batch
+    ``(user_id, event_type)`` partial counts (slim — |users|×|types| rows
+    per batch, never raw events) → hash-partition by user_id → inside the
+    partition, finish the count sum AND the vectorized entropy in one
+    pandas pass (every partial for a user lands in its partition, so the
+    partition-local sum IS the global count). A first draft used Ray's
+    multi-key ``groupby([user, type]).aggregate(Sum)`` for the finish sum
+    and paid ~5.5 s of sort-based shuffle for 750 output rows — measured,
+    rejected. Entropy is ROUND(Σ −p·log2 p, 4); both sides derive p from
+    identical integer counts so the doubles agree bit-for-bit before
+    rounding."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3208,11 +3213,7 @@ def q_user_event_entropy(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    counts = ds.map_batches(partial, batch_format="pandas")
 
     def entropy(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -3223,6 +3224,11 @@ def q_user_event_entropy(sf_dir: str):
                     "entropy": pd.Series([], dtype=np.float64),
                 }
             )
+        # finish the two-level aggregation: partials from different input
+        # batches for the same (user, type) meet here
+        pdf = (
+            pdf.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index(name="n")
+        )
         tot = pdf.groupby("user_id", sort=False)["n"].transform("sum").to_numpy(np.float64)
         p = pdf["n"].to_numpy(np.float64) / tot
         h = pdf.assign(term=-p * np.log2(p)).groupby("user_id", sort=False).agg(
