@@ -3243,6 +3243,313 @@ def q_user_event_entropy(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user next-event Markov transition matrix — the sequence-mining
+    primitive behind funnel discovery and bot fingerprinting: count every
+    consecutive ``(prev_type → next_type)`` pair within a user's timeline
+    and the conditional probability p(next|prev). ONE user_id hash shuffle;
+    inside each partition the timeline sort, the LEAD pairing and the
+    partial (prev, next) counts are all vectorized (the window-dedup
+    pattern, queries.py:2996). The partials are bounded by
+    |types|² × partitions, so the finish-sum is a driver-side pandas
+    groupby over a tiny frame — a bounded aggregate, not a data collect."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def trans(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=str),
+                    "next_type": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        same = us[1:] == us[:-1]
+        pairs = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        g = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = partition_map_groups(ds, ["user_id"], trans).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series([], dtype=str),
+                "next_type": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+                "p": pd.Series([], dtype=np.float64),
+            }
+        )
+    out = (
+        partials.groupby(["prev_type", "next_type"], sort=False)["n"].sum().reset_index(name="n")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    tot = out.groupby("prev_type", sort=False)["n"].transform("sum").to_numpy(np.float64)
+    out["p"] = _rha(out["n"].to_numpy(np.float64) / tot, 4)
+    return out.sort_values(["prev_type", "next_type"], kind="mergesort").reset_index(drop=True)
+
+
+def q_table_profile(sf_dir: str):
+    """Data profiling — the first operator anyone runs on an unknown 100-TB
+    table: per column, row count, null count, EXACT distinct count and
+    numeric min/max (NULL for non-numeric columns). Two passes: (1) the
+    narrow stats are per-batch Arrow partials (null_count off the validity
+    bitmap, pc.min_max) combined on the driver — 6 rows per batch, a
+    bounded aggregate; (2) exact distinct is per-batch ``np.unique`` THEN a
+    64-bit value hash, so only unique slim (col, hash) pairs enter the ONE
+    hash shuffle, with per-partition distinct partials summed in a tiny
+    groupby. The DuckDB oracle's exact COUNT(DISTINCT) match certifies the
+    hashed run collision-free on this input (same argument as
+    doc_ngram_novelty)."""
+    from entity_resolution_engine_ray.functions.similarity import hash_tokens
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            if c in numeric:
+                mm = pc.min_max(col)
+                lo = mm["min"].as_py()
+                hi = mm["max"].as_py()
+                lo = float(lo) if lo is not None else None
+                hi = float(hi) if hi is not None else None
+            else:
+                lo = hi = None
+            rows.append((c, len(col), col.null_count, lo, hi))
+        return pa.table(
+            {
+                "col_name": pa.array([r[0] for r in rows]),
+                "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_nulls": pa.array([r[2] for r in rows], type=pa.int64()),
+                "min_num": pa.array([r[3] for r in rows], type=pa.float64()),
+                "max_num": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    stats = ds.map_batches(narrow, batch_format="pyarrow").to_pandas()
+    agg = stats.groupby("col_name", sort=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_nulls=("n_nulls", "sum"),
+        min_num=("min_num", "min"),
+        max_num=("max_num", "max"),
+    )
+
+    def uniq_hashes(t: pa.Table) -> pa.Table:
+        names, hashes = [], []
+        for c in cols:
+            col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            col = col.drop_null()  # COUNT(DISTINCT) ignores NULLs
+            vals = np.unique(pc.cast(col, pa.string()).to_numpy(zero_copy_only=False))
+            if len(vals):
+                names.append(np.full(len(vals), c, dtype=object))
+                hashes.append(hash_tokens([f"{c}\x00{v}" for v in vals]).astype(np.int64))
+        if not names:
+            return pa.table(
+                {
+                    "col_name": pa.array([], type=pa.string()),
+                    "vhash": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "col_name": pa.array(np.concatenate(names)),
+                "vhash": pa.array(np.concatenate(hashes)),
+            }
+        )
+
+    def distinct_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"col_name": pd.Series([], dtype=str), "nd": pd.Series([], dtype=np.int64)}
+            )
+        d = pdf.drop_duplicates(["col_name", "vhash"])
+        g = d.groupby("col_name", sort=False).size().reset_index(name="nd")
+        g["nd"] = g["nd"].astype(np.int64)
+        return g
+
+    dparts = partition_map_groups(
+        ds.map_batches(uniq_hashes, batch_format="pyarrow"), ["vhash"], distinct_partial
+    ).to_pandas()
+    nd = (
+        dparts.groupby("col_name", sort=False)["nd"].sum()
+        if not dparts.empty
+        else pd.Series(dtype=np.int64)
+    )
+    agg["n_distinct"] = nd.reindex(agg.index).fillna(0).astype(np.int64)
+    out = agg.reset_index()[["col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num"]]
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return out.sort_values("col_name", kind="mergesort").reset_index(drop=True)
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (rows-only — iterative, not
+    SQL-expressible; the serial oracle lives in
+    tests/test_query_ops.py::test_bpe_train_matches_serial_reference).
+    Stage 1 collapses the corpus to the WORD-TYPE table (word, count) —
+    per-batch partial counts, one word-hash shuffle — which is orders of
+    magnitude smaller than the corpus and is the only thing the iterations
+    touch (the classic trick that makes BPE trainable at 100 TB: Sennrich
+    et al. 2016 operate on word types, never raw text). Each merge round is
+    one vectorized map_batches pass: words are flat int32 symbol arrays;
+    pair counting is a boundary-masked shift-compare + np.bincount over
+    count-weighted pairs; per-batch partials (distinct adjacent pairs, a
+    bounded set) are summed on the driver, the argmax pair (tie-break:
+    lexicographically smallest merged string) is broadcast back, and the
+    merge itself applies left-to-right non-overlapping (runs of consecutive
+    matches keep alternating positions — 'aaaa' merges to 'aa','aa'). The
+    symbol id→string vocab lives on the driver only; workers see ids."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups as pmg
+
+    n_merges = 16
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    empty_out = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype=np.int64),
+            "left": pd.Series([], dtype=str),
+            "right": pd.Series([], dtype=str),
+            "merged": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        flat = pc.split_pattern(col, " ").flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"word": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def word_finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
+            )
+        g = pdf.groupby("word", sort=False)["n"].sum().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    words = pmg(
+        ds.map_batches(word_partial, batch_format="pyarrow"), ["word"], word_finish
+    ).materialize()
+    if words.count() == 0:
+        return empty_out
+
+    # initial symbolization: one pass over WORD TYPES (small by construction);
+    # the per-word char split is the only Python loop and runs once, not per round
+    def char_ids(t: pa.Table) -> pa.Table:
+        ws = t["word"].to_pylist()
+        return pa.table(
+            {
+                "syms": pa.array(
+                    [[ord(c) for c in w] for w in ws], type=pa.list_(pa.int64())
+                ),
+                "n": t["n"],
+            }
+        )
+
+    state = words.map_batches(char_ids, batch_format="pyarrow").materialize()
+    # codepoints are the initial symbol ids; merged symbols get ids from 0x110000 up
+    next_id = 0x110000
+    merged_str: dict[int, str] = {}
+
+    def sym_str(i: int) -> str:
+        return merged_str[i] if i >= 0x110000 else chr(i)
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
+        n = t["n"].to_numpy(zero_copy_only=False)
+        flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 2:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())}
+            )
+        word_idx = np.repeat(np.arange(len(lens)), lens)
+        a, b = flat[:-1], flat[1:]
+        within = word_idx[:-1] == word_idx[1:]
+        keys = a[within] * np.int64(1 << 22) + b[within]
+        w = n[word_idx[:-1][within]]
+        uk, inv = np.unique(keys, return_inverse=True)
+        ws = np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({"key": pa.array(uk), "w": pa.array(ws)})
+
+    # symbol ids span [0, 0x110000 + n_merges) < 2^22, so the pair key
+    # a * 2^22 + b is injective in int64
+    def apply_merge(t: pa.Table, a: int, b: int, new: int) -> pa.Table:
+        syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
+        flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 2:
+            return t
+        word_idx = np.repeat(np.arange(len(lens)), lens)
+        m = np.flatnonzero(
+            (flat[:-1] == a) & (flat[1:] == b) & (word_idx[:-1] == word_idx[1:])
+        )
+        if len(m) == 0:
+            return t
+        # left-to-right non-overlap: in each run of consecutive match
+        # positions keep alternating ones ('aaaa' → matches 0,1,2 → keep 0,2)
+        starts = np.r_[True, np.diff(m) != 1]
+        run_first = m[starts][np.cumsum(starts) - 1]
+        keep = m[((m - run_first) % 2) == 0]
+        flat[keep] = new
+        drop = np.zeros(len(flat), dtype=bool)
+        drop[keep + 1] = True
+        new_lens = lens - np.bincount(word_idx[keep], minlength=len(lens))
+        out = pa.ListArray.from_arrays(
+            pa.array(np.r_[np.int64(0), np.cumsum(new_lens)], type=pa.int32()),
+            pa.array(flat[~drop]),
+        )
+        return pa.table({"syms": out, "n": t["n"]})
+
+    merges = []
+    for rank in range(n_merges):
+        partials = state.map_batches(count_pairs, batch_format="pyarrow").to_pandas()
+        if partials.empty:
+            break
+        counts = partials.groupby("key", sort=False)["w"].sum()
+        best_w = int(counts.max())
+        if best_w < 2:
+            break
+        cand = counts[counts == best_w].index.to_numpy()
+        pairs = [(int(k) >> 22, int(k) & ((1 << 22) - 1)) for k in cand]
+        a, b = min(pairs, key=lambda p: (sym_str(p[0]), sym_str(p[1])))
+        new = next_id
+        next_id += 1
+        merged_str[new] = sym_str(a) + sym_str(b)
+        merges.append((rank, sym_str(a), sym_str(b), merged_str[new], best_w))
+        state = state.map_batches(
+            apply_merge, fn_kwargs={"a": a, "b": b, "new": new}, batch_format="pyarrow"
+        ).materialize()
+
+    if not merges:
+        return empty_out
+    out = pd.DataFrame(merges, columns=["rank", "left", "right", "merged", "n"])
+    out["rank"] = out["rank"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -3328,6 +3635,9 @@ QUERIES = {
     "doc_oov_rate": q_doc_oov_rate,
     "source_dup_stats": q_source_dup_stats,
     "user_event_entropy": q_user_event_entropy,
+    "event_transitions": q_event_transitions,
+    "table_profile": q_table_profile,
+    "bpe_train_merges": q_bpe_train_merges,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4370,6 +4680,68 @@ ORACLE_SQL = {
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id, t.tot
         ORDER BY c.user_id
+    """,
+    # LEAD-window consecutive-pair counts + conditional probability per prev
+    "event_transitions": """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+        )
+        SELECT prev_type, next_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type), 4) AS p
+        FROM c
+        ORDER BY prev_type, next_type
+    """,
+    # per-column profile of orders: COUNT(DISTINCT) is NULL-excluding on
+    # both sides; min/max only for numeric columns (NULL otherwise)
+    "table_profile": """
+        SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        ORDER BY col_name
     """,
     # LAG-window debounce: strict > 300 s gap to the previous raw event
     "events_window_dedup": """

@@ -102,6 +102,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_oov_rate",
         "source_dup_stats",
         "user_event_entropy",
+        "event_transitions",
+        "table_profile",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -272,3 +274,78 @@ def test_user_event_entropy_bounds(ray_session):
     assert (out["entropy"] >= 0).all()
     assert (out["entropy"] <= np.log2(n_types) + 1e-9).all()
     assert out["entropy"].nunique() > 1
+
+
+def _serial_bpe(sf_dir: str, n_merges: int = 16):
+    """Serial reference BPE (Sennrich-style, word-type table, left-to-right
+    non-overlapping merge, max-count / lexicographically-smallest tie-break)
+    — the oracle for the distributed trainer."""
+    import collections
+
+    import duckdb
+
+    words = duckdb.sql(
+        f"""
+        SELECT w AS word, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM read_parquet('{sf_dir}/documents.parquet')) GROUP BY w
+        """
+    ).fetchall()
+    wt = {w: n for w, n in words}
+    state = {w: tuple(w) for w in wt}
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: collections.Counter = collections.Counter()
+        for w, syms in state.items():
+            n = wt[w]
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += n
+        if not pair_counts:
+            break
+        best = max(pair_counts.values())
+        if best < 2:
+            break
+        a, b = min(p for p, c in pair_counts.items() if c == best)
+        merges.append((rank, a, b, a + b, best))
+        new_state = {}
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[w] = tuple(out)
+        state = new_state
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "merged", "n"])
+
+
+def test_bpe_train_matches_serial_reference(ray_session):
+    """Distributed BPE trainer == serial Sennrich reference, merge for
+    merge (pair choice, tie-breaks, counts) on the sf0.001 corpus."""
+    from entity_resolution_engine_ray.pipelines.queries import q_bpe_train_merges
+
+    eng = q_bpe_train_merges(SF_DIR)
+    ref = _serial_bpe(SF_DIR)
+    assert len(eng) > 0, "fixture corpus produced no merges"
+    eng = eng.astype({"rank": np.int64, "n": np.int64}).reset_index(drop=True)
+    ref = ref.astype({"rank": np.int64, "n": np.int64}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, ref)
+    # merged symbols must actually be multi-char concatenations
+    assert (eng["merged"] == eng["left"] + eng["right"]).all()
+    assert (eng["merged"].str.len() >= 2).all()
+
+
+def test_table_profile_semantics(ray_session):
+    """Exact distinct counts, no nulls in the fixture, and min/max only on
+    numeric columns (NULL elsewhere)."""
+    from entity_resolution_engine_ray.pipelines.queries import q_table_profile
+
+    out = q_table_profile(SF_DIR).set_index("col_name")
+    assert (out["n_nulls"] == 0).all()
+    assert (out["n_distinct"] <= out["n_rows"]).all()
+    assert out.loc["o_orderkey", "n_distinct"] == out.loc["o_orderkey", "n_rows"]
+    assert np.isnan(out.loc["o_orderstatus", "min_num"])
+    assert out.loc["o_orderkey", "min_num"] <= out.loc["o_orderkey", "max_num"]
