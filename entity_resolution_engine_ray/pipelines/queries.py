@@ -3398,76 +3398,118 @@ def q_table_profile(sf_dir: str):
     return out.sort_values("col_name", kind="mergesort").reset_index(drop=True)
 
 
-def q_bpe_train_merges(sf_dir: str):
-    """Distributed BPE tokenizer training (rows-only — iterative, not
-    SQL-expressible; the serial oracle lives in
-    tests/test_query_ops.py::test_bpe_train_matches_serial_reference).
-    Stage 1 collapses the corpus to the WORD-TYPE table (word, count) —
-    per-batch partial counts, one word-hash shuffle — which is orders of
-    magnitude smaller than the corpus and is the only thing the iterations
-    touch (the classic trick that makes BPE trainable at 100 TB: Sennrich
-    et al. 2016 operate on word types, never raw text). Each merge round is
-    one vectorized map_batches pass: words are flat int32 symbol arrays;
-    pair counting is a boundary-masked shift-compare + np.bincount over
-    count-weighted pairs; per-batch partials (distinct adjacent pairs, a
-    bounded set) are summed on the driver, the argmax pair (tie-break:
-    lexicographically smallest merged string) is broadcast back, and the
-    merge itself applies left-to-right non-overlapping (runs of consecutive
-    matches keep alternating positions — 'aaaa' merges to 'aa','aa'). The
-    symbol id→string vocab lives on the driver only; workers see ids."""
+def _bpe_count_pairs(t: pa.Table) -> pa.Table:
+    """Count-weighted adjacent symbol pairs in one vectorized pass: a
+    boundary-masked shift-compare over the flat symbol buffer, np.unique +
+    np.bincount for the weighted partial. Symbol ids stay < 2^22 (codepoints
+    plus ≤ a few hundred merges), so key = a·2^22 + b is injective in int64."""
+    syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
+    n = t["n"].to_numpy(zero_copy_only=False)
+    flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return pa.table(
+            {"key": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())}
+        )
+    word_idx = np.repeat(np.arange(len(lens)), lens)
+    a, b = flat[:-1], flat[1:]
+    within = word_idx[:-1] == word_idx[1:]
+    keys = a[within] * np.int64(1 << 22) + b[within]
+    w = n[word_idx[:-1][within]]
+    uk, inv = np.unique(keys, return_inverse=True)
+    ws = np.bincount(inv, weights=w).astype(np.int64)
+    return pa.table({"key": pa.array(uk), "w": pa.array(ws)})
+
+
+def _bpe_apply_merge(t: pa.Table, a: int, b: int, new: int) -> pa.Table:
+    """Replace left-to-right non-overlapping (a, b) adjacencies with `new`
+    (runs of consecutive matches keep alternating positions — 'aaaa' merges
+    to 'aa','aa'). Every non-syms column passes through untouched."""
+    syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
+    flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return t
+    word_idx = np.repeat(np.arange(len(lens)), lens)
+    m = np.flatnonzero((flat[:-1] == a) & (flat[1:] == b) & (word_idx[:-1] == word_idx[1:]))
+    if len(m) == 0:
+        return t
+    starts = np.r_[True, np.diff(m) != 1]
+    run_first = m[starts][np.cumsum(starts) - 1]
+    keep = m[((m - run_first) % 2) == 0]
+    flat[keep] = new
+    drop = np.zeros(len(flat), dtype=bool)
+    drop[keep + 1] = True
+    new_lens = lens - np.bincount(word_idx[keep], minlength=len(lens))
+    merged = pa.ListArray.from_arrays(
+        pa.array(np.r_[np.int64(0), np.cumsum(new_lens)], type=pa.int32()),
+        pa.array(flat[~drop]),
+    )
+    return pa.table({c: (merged if c == "syms" else t[c]) for c in t.column_names})
+
+
+def _bpe_word_state(sf_dir: str, by_lang: bool = False):
+    """Collapse the corpus to the WORD-TYPE table and symbolize it — the
+    classic trick that makes BPE trainable at 100 TB (Sennrich et al. 2016):
+    iterations never touch raw text, only (word, count) rows, which are
+    orders of magnitude fewer. Per-batch partial counts, ONE word-hash
+    shuffle, then a one-time char→codepoint split (the only Python loop,
+    over word TYPES, once — never per round). With by_lang the rows are
+    (lang, word) — training totals are unchanged (weights just split per
+    lang and pair counting re-sums them) but per-lang encode stats become a
+    partition-local partial. Returns None on an empty corpus."""
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups as pmg
 
-    n_merges = 16
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cols = ["text", "lang"] if by_lang else ["text"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    keys = ["lang", "word"] if by_lang else ["word"]
 
-    empty_out = pd.DataFrame(
-        {
-            "rank": pd.Series([], dtype=np.int64),
-            "left": pd.Series([], dtype=str),
-            "right": pd.Series([], dtype=str),
-            "merged": pd.Series([], dtype=str),
-            "n": pd.Series([], dtype=np.int64),
-        }
-    )
-
-    def word_partial(t: pa.Table) -> pa.Table:
-        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        flat = pc.split_pattern(col, " ").flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {"word": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
-        )
+    def word_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = pdf["text"].str.split(" ")
+        ex = pdf[cols[1:]].join(pd.DataFrame({"word": words})).explode("word")
+        ex = ex[ex["word"].astype(str) != ""]
+        g = ex.groupby(keys, sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
 
     def word_finish(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame(
-                {"word": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
-            )
-        g = pdf.groupby("word", sort=False)["n"].sum().reset_index(name="n")
+            out = {k: pd.Series([], dtype=str) for k in keys}
+            out["n"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(out)
+        g = pdf.groupby(keys, sort=False)["n"].sum().reset_index(name="n")
         g["n"] = g["n"].astype(np.int64)
         return g
 
     words = pmg(
-        ds.map_batches(word_partial, batch_format="pyarrow"), ["word"], word_finish
+        ds.map_batches(word_partial, batch_format="pandas"), ["word"], word_finish
     ).materialize()
     if words.count() == 0:
-        return empty_out
+        return None
 
-    # initial symbolization: one pass over WORD TYPES (small by construction);
-    # the per-word char split is the only Python loop and runs once, not per round
     def char_ids(t: pa.Table) -> pa.Table:
         ws = t["word"].to_pylist()
-        return pa.table(
-            {
-                "syms": pa.array(
-                    [[ord(c) for c in w] for w in ws], type=pa.list_(pa.int64())
-                ),
-                "n": t["n"],
-            }
-        )
+        out = {
+            "syms": pa.array([[ord(c) for c in w] for w in ws], type=pa.list_(pa.int64())),
+            "n": t["n"],
+        }
+        if by_lang:
+            out["lang"] = t["lang"]
+            out["n_chars"] = pa.array(
+                np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+            )
+        return pa.table(out)
 
-    state = words.map_batches(char_ids, batch_format="pyarrow").materialize()
+    return words.map_batches(char_ids, batch_format="pyarrow").materialize()
+
+
+def _bpe_train(state, n_merges: int = 16):
+    """Run the merge rounds. Each round is one vectorized map_batches pass
+    producing bounded (distinct adjacent pair, weight) partials summed on
+    the driver; the argmax pair (tie-break: lexicographically smallest
+    (left, right) strings — unambiguous because symbol→string is injective)
+    is broadcast back into the next merge pass. The id→string vocab lives
+    on the driver only; workers see ids. Returns (merges, final_state)."""
     # codepoints are the initial symbol ids; merged symbols get ids from 0x110000 up
     next_id = 0x110000
     merged_str: dict[int, str] = {}
@@ -3475,56 +3517,9 @@ def q_bpe_train_merges(sf_dir: str):
     def sym_str(i: int) -> str:
         return merged_str[i] if i >= 0x110000 else chr(i)
 
-    def count_pairs(t: pa.Table) -> pa.Table:
-        syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
-        n = t["n"].to_numpy(zero_copy_only=False)
-        flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(flat) < 2:
-            return pa.table(
-                {"key": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())}
-            )
-        word_idx = np.repeat(np.arange(len(lens)), lens)
-        a, b = flat[:-1], flat[1:]
-        within = word_idx[:-1] == word_idx[1:]
-        keys = a[within] * np.int64(1 << 22) + b[within]
-        w = n[word_idx[:-1][within]]
-        uk, inv = np.unique(keys, return_inverse=True)
-        ws = np.bincount(inv, weights=w).astype(np.int64)
-        return pa.table({"key": pa.array(uk), "w": pa.array(ws)})
-
-    # symbol ids span [0, 0x110000 + n_merges) < 2^22, so the pair key
-    # a * 2^22 + b is injective in int64
-    def apply_merge(t: pa.Table, a: int, b: int, new: int) -> pa.Table:
-        syms = t["syms"].combine_chunks() if isinstance(t["syms"], pa.ChunkedArray) else t["syms"]
-        flat = syms.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(flat) < 2:
-            return t
-        word_idx = np.repeat(np.arange(len(lens)), lens)
-        m = np.flatnonzero(
-            (flat[:-1] == a) & (flat[1:] == b) & (word_idx[:-1] == word_idx[1:])
-        )
-        if len(m) == 0:
-            return t
-        # left-to-right non-overlap: in each run of consecutive match
-        # positions keep alternating ones ('aaaa' → matches 0,1,2 → keep 0,2)
-        starts = np.r_[True, np.diff(m) != 1]
-        run_first = m[starts][np.cumsum(starts) - 1]
-        keep = m[((m - run_first) % 2) == 0]
-        flat[keep] = new
-        drop = np.zeros(len(flat), dtype=bool)
-        drop[keep + 1] = True
-        new_lens = lens - np.bincount(word_idx[keep], minlength=len(lens))
-        out = pa.ListArray.from_arrays(
-            pa.array(np.r_[np.int64(0), np.cumsum(new_lens)], type=pa.int32()),
-            pa.array(flat[~drop]),
-        )
-        return pa.table({"syms": out, "n": t["n"]})
-
     merges = []
     for rank in range(n_merges):
-        partials = state.map_batches(count_pairs, batch_format="pyarrow").to_pandas()
+        partials = state.map_batches(_bpe_count_pairs, batch_format="pyarrow").to_pandas()
         if partials.empty:
             break
         counts = partials.groupby("key", sort=False)["w"].sum()
@@ -3539,15 +3534,135 @@ def q_bpe_train_merges(sf_dir: str):
         merged_str[new] = sym_str(a) + sym_str(b)
         merges.append((rank, sym_str(a), sym_str(b), merged_str[new], best_w))
         state = state.map_batches(
-            apply_merge, fn_kwargs={"a": a, "b": b, "new": new}, batch_format="pyarrow"
+            _bpe_apply_merge, fn_kwargs={"a": a, "b": b, "new": new}, batch_format="pyarrow"
         ).materialize()
+    return merges, state
 
+
+_BPE_EMPTY = {
+    "rank": np.int64,
+    "left": str,
+    "right": str,
+    "merged": str,
+    "n": np.int64,
+}
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (rows-only — iterative, not
+    SQL-expressible; the serial Sennrich-reference oracle lives in
+    tests/test_query_ops.py::test_bpe_train_matches_serial_reference).
+    See _bpe_word_state / _bpe_train for the scale design."""
+    state = _bpe_word_state(sf_dir)
+    merges = [] if state is None else _bpe_train(state, 16)[0]
     if not merges:
-        return empty_out
+        return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in _BPE_EMPTY.items()})
     out = pd.DataFrame(merges, columns=["rank", "left", "right", "merged", "n"])
     out["rank"] = out["rank"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def q_bpe_encode_stats(sf_dir: str):
+    """Apply the trained BPE to the corpus and report per-language tokenizer
+    fertility — tokens/word and chars/token, THE acceptance metric for a
+    tokenizer across a multilingual corpus (rows-only; serial parity test in
+    tests/test_query_ops.py). Training and encoding both run on the
+    (lang, word)-type table, so 'encoding' is free: after the merge rounds
+    each row's symbol count IS its token count, and per-lang totals are
+    count-weighted partials (Σn, Σn·chars, Σn·tokens) — one tiny driver sum,
+    the corpus text is read exactly once."""
+    state = _bpe_word_state(sf_dir, by_lang=True)
+    empty = pd.DataFrame(
+        {
+            "lang": pd.Series([], dtype=str),
+            "n_words": pd.Series([], dtype=np.int64),
+            "n_chars": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "tokens_per_word": pd.Series([], dtype=np.float64),
+            "chars_per_token": pd.Series([], dtype=np.float64),
+        }
+    )
+    if state is None:
+        return empty
+    _, final = _bpe_train(state, 16)
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        toks = pc.list_value_length(t["syms"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "n_words": n,
+                "n_chars": n * chars,
+                "n_tokens": n * toks,
+            }
+        )
+        g = pdf.groupby("lang", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = final.map_batches(lang_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    out = parts.groupby("lang", sort=False, as_index=False).sum()
+    for c in ("n_words", "n_chars", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    out["tokens_per_word"] = _rha(out["n_tokens"] / out["n_words"], 4)
+    out["chars_per_token"] = _rha(out["n_chars"] / out["n_tokens"], 4)
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+def q_inverted_index(sf_dir: str):
+    """Sharded inverted-index build — term → document-frequency + the
+    ordered posting list (the artifact behind any corpus-scale keyword
+    retrieval; BM25 at query time reads THIS instead of rescanning text).
+    Per-batch: tokenize, per-doc unique (term, doc_id) pairs; ONE term-hash
+    shuffle co-locates every posting of a term, so the partition-local sort
+    + join IS the final posting list. The df band [2, ⌊78% of corpus⌋] is
+    the scale story: hapax terms are index bloat and stopword-frequency
+    terms produce postings proportional to the corpus (at 100 TB those
+    lists are unusable and get dropped or tiered — the fixtures' Zipf head
+    sits at df 74–83% of 500 docs, so this cap really drops terms on every
+    fixture and the branch is exercised). Postings serialize as a
+    comma-joined string so the DuckDB string_agg oracle hash-matches."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    df_max = max(2, int(np.floor(0.78 * n_docs)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keepmask = flat != ""
+        pdf = pd.DataFrame({"term": flat[keepmask], "doc_id": ids[keepmask]})
+        pdf = pdf.drop_duplicates()  # per-doc unique: df counts DOCS, not occurrences
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=str),
+                    "df": pd.Series([], dtype=np.int64),
+                    "postings": pd.Series([], dtype=str),
+                }
+            )
+        pdf = pdf.drop_duplicates().sort_values(["term", "doc_id"], kind="mergesort")
+        g = pdf.groupby("term", sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        g = g.reset_index()
+        g["df"] = g["df"].astype(np.int64)
+        return g[(g["df"] >= 2) & (g["df"] <= df_max)]
+
+    out = partition_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["term"], build
+    ).to_pandas()
+    return out.sort_values("term", kind="mergesort").reset_index(drop=True)
 
 
 QUERIES = {
@@ -3638,6 +3753,8 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "table_profile": q_table_profile,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_stats": q_bpe_encode_stats,
+    "inverted_index": q_inverted_index,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4680,6 +4797,24 @@ ORACLE_SQL = {
         FROM c JOIN t USING (user_id)
         GROUP BY c.user_id, t.tot
         ORDER BY c.user_id
+    """,
+    # term -> df + ordered posting list, df band [2, floor(0.78 * |docs|)]
+    "inverted_index": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                FROM documents
+            )
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM tok
+        GROUP BY term
+        HAVING COUNT(*) >= 2
+           AND COUNT(*) <= GREATEST(
+                   2, CAST(FLOOR(0.78 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+        ORDER BY term
     """,
     # LEAD-window consecutive-pair counts + conditional probability per prev
     "event_transitions": """

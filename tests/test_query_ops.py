@@ -104,6 +104,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "user_event_entropy",
         "event_transitions",
         "table_profile",
+        "inverted_index",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -349,3 +350,75 @@ def test_table_profile_semantics(ray_session):
     assert out.loc["o_orderkey", "n_distinct"] == out.loc["o_orderkey", "n_rows"]
     assert np.isnan(out.loc["o_orderstatus", "min_num"])
     assert out.loc["o_orderkey", "min_num"] <= out.loc["o_orderkey", "max_num"]
+
+
+def test_bpe_encode_stats_matches_serial_reference(ray_session):
+    """Per-lang fertility from the distributed trainer+encoder == applying
+    the serial reference merges to serial per-(lang, word) counts."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import _rha, q_bpe_encode_stats
+
+    eng = q_bpe_encode_stats(SF_DIR)
+    merges = _serial_bpe(SF_DIR)
+
+    lw = duckdb.sql(
+        f"""
+        SELECT lang, w AS word, COUNT(*) AS n FROM (
+            SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM read_parquet('{SF_DIR}/documents.parquet')) GROUP BY lang, w
+        """
+    ).fetchall()
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, a, b, _m, _n in merges.itertuples(index=False):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    tok_len = {w: encode(w) for w in {w for _, w, _ in lw}}
+    agg: dict = {}
+    for lang, w, n in lw:
+        s = agg.setdefault(lang, [0, 0, 0])
+        s[0] += n
+        s[1] += n * len(w)
+        s[2] += n * tok_len[w]
+    ref = pd.DataFrame(
+        [(lang, s[0], s[1], s[2]) for lang, s in sorted(agg.items())],
+        columns=["lang", "n_words", "n_chars", "n_tokens"],
+    )
+    ref["tokens_per_word"] = _rha(ref["n_tokens"] / ref["n_words"], 4)
+    ref["chars_per_token"] = _rha(ref["n_chars"] / ref["n_tokens"], 4)
+    eng = eng.reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, ref.astype(eng.dtypes.to_dict()))
+    # the tokenizer must actually compress: merges mean fewer tokens than chars
+    assert (eng["n_tokens"] < eng["n_chars"]).all()
+    assert (eng["n_tokens"] >= eng["n_words"]).all()
+
+
+def test_inverted_index_band_binds(ray_session):
+    """The df band must do real work on the fixture: some terms dropped by
+    the stopword-head cap, survivors' postings sorted and df-consistent."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import q_inverted_index
+
+    out = q_inverted_index(SF_DIR)
+    n_terms = duckdb.sql(
+        f"""select count(distinct w) from (select unnest(list_filter(
+        string_split(text,' '), x -> x <> '')) AS w
+        from read_parquet('{SF_DIR}/documents.parquet'))"""
+    ).fetchone()[0]
+    assert 0 < len(out) < n_terms, "df cap dropped nothing — band is dead code"
+    for _, row in out.head(5).iterrows():
+        ids = [int(x) for x in row["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == row["df"] == len(set(ids))
