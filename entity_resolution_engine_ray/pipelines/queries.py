@@ -3294,18 +3294,22 @@ def q_event_transitions(sf_dir: str):
     return out.sort_values(["prev_type", "next_type"], kind="mergesort").reset_index(drop=True)
 
 
-def q_table_profile(sf_dir: str):
+def q_table_profile(sf_dir: str, n_distinct_mode: str = "exact"):
     """Data profiling — the first operator anyone runs on an unknown 100-TB
-    table: per column, row count, null count, EXACT distinct count and
-    numeric min/max (NULL for non-numeric columns). Two passes: (1) the
-    narrow stats are per-batch Arrow partials (null_count off the validity
+    table: per column, row count, null count, distinct count and numeric
+    min/max (NULL for non-numeric columns). Two passes: (1) the narrow
+    stats are per-batch Arrow partials (null_count off the validity
     bitmap, pc.min_max) combined on the driver — 6 rows per batch, a
-    bounded aggregate; (2) exact distinct is per-batch ``np.unique`` THEN a
+    bounded aggregate; (2) EXACT distinct is per-batch ``np.unique`` THEN a
     64-bit value hash, so only unique slim (col, hash) pairs enter the ONE
     hash shuffle, with per-partition distinct partials summed in a tiny
     groupby. The DuckDB oracle's exact COUNT(DISTINCT) match certifies the
     hashed run collision-free on this input (same argument as
-    doc_ngram_novelty)."""
+    doc_ngram_novelty). ``n_distinct_mode="sketch"`` is the 100-TB path:
+    the same slim pairs feed stages/sketch.hll_count_distinct instead, so
+    the shuffle carries only per-batch HLL register maxima (≤2^p rows per
+    batch per column) — no pair ever crosses the wire; a paths-agree test
+    pins the estimate within HLL error of exact."""
     from entity_resolution_engine_ray.functions.similarity import hash_tokens
 
     cols = [
@@ -3373,24 +3377,34 @@ def q_table_profile(sf_dir: str):
             }
         )
 
-    def distinct_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                {"col_name": pd.Series([], dtype=str), "nd": pd.Series([], dtype=np.int64)}
-            )
-        d = pdf.drop_duplicates(["col_name", "vhash"])
-        g = d.groupby("col_name", sort=False).size().reset_index(name="nd")
-        g["nd"] = g["nd"].astype(np.int64)
-        return g
+    pairs = ds.map_batches(uniq_hashes, batch_format="pyarrow")
+    if n_distinct_mode == "sketch":
+        from entity_resolution_engine_ray.stages.sketch import hll_count_distinct
 
-    dparts = partition_map_groups(
-        ds.map_batches(uniq_hashes, batch_format="pyarrow"), ["vhash"], distinct_partial
-    ).to_pandas()
-    nd = (
-        dparts.groupby("col_name", sort=False)["nd"].sum()
-        if not dparts.empty
-        else pd.Series(dtype=np.int64)
-    )
+        hdf = hll_count_distinct(pairs, ["col_name"], "vhash").to_pandas()
+        nd = (
+            hdf.set_index("col_name")["approx_distinct"]
+            if not hdf.empty
+            else pd.Series(dtype=np.int64)
+        )
+    else:
+
+        def distinct_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"col_name": pd.Series([], dtype=str), "nd": pd.Series([], dtype=np.int64)}
+                )
+            d = pdf.drop_duplicates(["col_name", "vhash"])
+            g = d.groupby("col_name", sort=False).size().reset_index(name="nd")
+            g["nd"] = g["nd"].astype(np.int64)
+            return g
+
+        dparts = partition_map_groups(pairs, ["vhash"], distinct_partial).to_pandas()
+        nd = (
+            dparts.groupby("col_name", sort=False)["nd"].sum()
+            if not dparts.empty
+            else pd.Series(dtype=np.int64)
+        )
     agg["n_distinct"] = nd.reindex(agg.index).fillna(0).astype(np.int64)
     out = agg.reset_index()[["col_name", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num"]]
     out["n_rows"] = out["n_rows"].astype(np.int64)

@@ -422,3 +422,22 @@ def test_inverted_index_band_binds(ray_session):
         ids = [int(x) for x in row["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == row["df"] == len(set(ids))
+
+
+def test_table_profile_sketch_path_agrees(ray_session):
+    """The HLL profile path (the 100-TB mode — register maxima shuffle,
+    no value pair ever crosses the wire) must estimate every column's
+    distinct count within standard HLL error (~0.8% at p=14; allow 5%)
+    of the exact path, including the all-distinct key column."""
+    from entity_resolution_engine_ray.pipelines.queries import q_table_profile
+
+    exact = q_table_profile(SF_DIR).set_index("col_name")
+    sk = q_table_profile(SF_DIR, n_distinct_mode="sketch").set_index("col_name")
+    assert list(exact.index) == list(sk.index)
+    for c in exact.index:
+        e, s = exact.loc[c, "n_distinct"], sk.loc[c, "n_distinct"]
+        assert abs(s - e) <= max(1, 0.05 * e), (c, e, s)
+    # everything except n_distinct is shared code and must be identical
+    pd.testing.assert_frame_equal(
+        exact.drop(columns="n_distinct"), sk.drop(columns="n_distinct")
+    )
