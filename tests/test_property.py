@@ -162,3 +162,82 @@ def test_char_ngram_hashes_jaccard_matches_string_grams(texts):
     inter = len(np.intersect1d(sa, sb))
     union = len(sa) + len(sb) - inter
     assert abs(inter / union - ngram_jaccard(a, b, 3)) < 1e-12
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=97, max_value=99), min_size=0, max_size=12),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(min_value=97, max_value=99),
+    st.integers(min_value=97, max_value=99),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_apply_merge_matches_serial_left_to_right(words, a, b):
+    """The vectorized flat-buffer merge (run-alternation trick for
+    overlapping matches like 'aaaa') == the obvious serial left-to-right
+    scan, for every word list over a 3-symbol alphabet (maximizes
+    adjacency collisions) and every target pair including a == b."""
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_resolution_engine_ray.pipelines.queries import _bpe_apply_merge
+
+    NEW = 0x110000
+    t = pa.table(
+        {
+            "syms": pa.array([list(w) for w in words], type=pa.list_(pa.int64())),
+            "n": pa.array(np.ones(len(words), dtype=np.int64)),
+        }
+    )
+    got = _bpe_apply_merge(t, a, b, NEW)["syms"].to_pylist()
+
+    def serial(w):
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                out.append(NEW)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return out
+
+    assert got == [serial(list(w)) for w in words]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=97, max_value=100), min_size=2, max_size=10),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(st.integers(min_value=1, max_value=5), min_size=15, max_size=15),
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_count_pairs_matches_serial(words, weights):
+    """Weighted adjacent-pair counting over the flat buffer == a dict-based
+    serial count, including cross-word boundary exclusion."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_resolution_engine_ray.pipelines.queries import _bpe_count_pairs
+
+    w = weights[: len(words)]
+    t = pa.table(
+        {
+            "syms": pa.array(words, type=pa.list_(pa.int64())),
+            "n": pa.array(np.array(w, dtype=np.int64)),
+        }
+    )
+    got = _bpe_count_pairs(t).to_pandas()
+    got_map = {int(k): int(v) for k, v in zip(got["key"], got["w"])}
+
+    ref: collections.Counter = collections.Counter()
+    for word, n in zip(words, w):
+        for i in range(len(word) - 1):
+            ref[word[i] * (1 << 22) + word[i + 1]] += n
+    assert got_map == dict(ref)
