@@ -3243,6 +3243,101 @@ def q_user_event_entropy(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_token_pmi(sf_dir: str):
+    """Collocation mining — top-25 token pairs by pointwise mutual
+    information over per-document co-occurrence (the classic corpus-
+    linguistics screen for multiword expressions, and a cheap phrase-
+    detection pass before tokenizer training). The 100-TB shape caps the
+    pair space FIRST: a distributed doc-frequency pass picks the top-V
+    vocabulary (V=16 here — smaller than the fixture's 31 terms so the cap
+    genuinely binds; ``sort + limit`` means only V rows reach the driver),
+    the vocab broadcasts once via ``ray.put``, and per-batch pair counting
+    is a vocab-filtered self-merge per doc emitting ≤C(V,2) partial rows
+    per batch — a bounded aggregate, so the driver finish-sum and the PMI
+    arithmetic never see corpus-sized data."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def doc_terms(t: pa.Table) -> pd.DataFrame:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        return pd.DataFrame({"doc_id": ids[keep], "term": flat[keep]}).drop_duplicates()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        d = doc_terms(t)
+        g = d.groupby("term", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = dfreq.sort(["n", "term"], descending=[True, False]).limit(16).to_pandas()
+    n_of = dict(zip(top["term"], top["n"].astype(np.int64)))
+    vocab_ref = ray.put(np.sort(top["term"].to_numpy(dtype=object).astype(str)))
+
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        vocab = ray.get(vocab_ref)
+        d = doc_terms(t)
+        d = d[np.isin(d["term"].to_numpy(), vocab)]
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "term_a": pd.Series([], dtype=str),
+                    "term_b": pd.Series([], dtype=str),
+                    "n_ab": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = d.merge(d, on="doc_id")
+        m = m[m["term_x"] < m["term_y"]]
+        g = (
+            m.groupby(["term_x", "term_y"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+            .rename(columns={"term_x": "term_a", "term_y": "term_b"})
+        )
+        g["n_ab"] = g["n_ab"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "term_a": pd.Series([], dtype=str),
+                "term_b": pd.Series([], dtype=str),
+                "n_ab": pd.Series([], dtype=np.int64),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+                "pmi": pd.Series([], dtype=np.float64),
+            }
+        )
+    out = (
+        parts.groupby(["term_a", "term_b"], sort=False)["n_ab"].sum().reset_index(name="n_ab")
+    )
+    out["n_ab"] = out["n_ab"].astype(np.int64)
+    out = out[out["n_ab"] >= 5]
+    out["n_a"] = out["term_a"].map(n_of).astype(np.int64)
+    out["n_b"] = out["term_b"].map(n_of).astype(np.int64)
+    ratio = (
+        out["n_ab"].to_numpy(np.float64)
+        * np.float64(n_docs)
+        / (out["n_a"].to_numpy(np.int64) * out["n_b"].to_numpy(np.int64)).astype(np.float64)
+    )
+    out["pmi"] = _rha(np.log2(ratio), 4)
+    out = out.sort_values(
+        ["pmi", "term_a", "term_b"], ascending=[False, True, True], kind="mergesort"
+    ).head(25)
+    return out.reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user next-event Markov transition matrix — the sequence-mining
     primitive behind funnel discovery and bot fingerprinting: count every
@@ -3769,6 +3864,7 @@ QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
     "inverted_index": q_inverted_index,
+    "token_pmi": q_token_pmi,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4829,6 +4925,36 @@ ORACLE_SQL = {
            AND COUNT(*) <= GREATEST(
                    2, CAST(FLOOR(0.78 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
         ORDER BY term
+    """,
+    # top-16-vocab per-doc co-occurrence -> PMI, support >= 5, top-25
+    "token_pmi": """
+        WITH dt AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                FROM documents
+            )
+        ),
+        vocab AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY term
+            ORDER BY COUNT(*) DESC, term ASC LIMIT 16
+        ),
+        pairs AS (
+            SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+            WHERE a.term IN (SELECT term FROM vocab)
+              AND b.term IN (SELECT term FROM vocab)
+            GROUP BY a.term, b.term
+            HAVING COUNT(*) >= 5
+        )
+        SELECT term_a, term_b, n_ab, va.n AS n_a, vb.n AS n_b,
+               ROUND(log2(CAST(n_ab AS DOUBLE)
+                          * (SELECT COUNT(*) FROM documents)
+                          / CAST(va.n * vb.n AS DOUBLE)), 4) AS pmi
+        FROM pairs
+        JOIN vocab va ON va.term = term_a
+        JOIN vocab vb ON vb.term = term_b
+        ORDER BY pmi DESC, term_a, term_b LIMIT 25
     """,
     # LEAD-window consecutive-pair counts + conditional probability per prev
     "event_transitions": """

@@ -105,6 +105,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "event_transitions",
         "table_profile",
         "inverted_index",
+        "token_pmi",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -441,3 +442,16 @@ def test_table_profile_sketch_path_agrees(ray_session):
     pd.testing.assert_frame_equal(
         exact.drop(columns="n_distinct"), sk.drop(columns="n_distinct")
     )
+
+
+def test_token_pmi_vocab_cap_binds(ray_session):
+    """V=16 < the fixture's 31 distinct terms, so the vocab cap must drop
+    real terms; survivors' PMI stays finite and counts consistent."""
+    from entity_resolution_engine_ray.pipelines.queries import q_token_pmi
+
+    out = q_token_pmi(SF_DIR)
+    assert 0 < len(out) <= 25
+    terms = set(out["term_a"]) | set(out["term_b"])
+    assert len(terms) <= 16
+    assert (out["n_ab"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert np.isfinite(out["pmi"]).all()
