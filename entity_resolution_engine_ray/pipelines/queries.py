@@ -3571,6 +3571,10 @@ def _bpe_word_state(sf_dir: str, by_lang: bool = False):
 
     cols = ["text", "lang"] if by_lang else ["text"]
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    # zero-row inputs skip lazy map_batches, so the word-key exchange would
+    # see the SOURCE schema (no word column) — short-circuit (metadata count)
+    if ds.count() == 0:
+        return None
     keys = ["lang", "word"] if by_lang else ["word"]
 
     def word_partial(pdf: pd.DataFrame) -> pd.DataFrame:
