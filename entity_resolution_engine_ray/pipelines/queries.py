@@ -3338,6 +3338,37 @@ def q_token_pmi(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_doc_length_pctile(sf_dir: str):
+    """Per-language length-percentile normalization (SQL PERCENT_RANK
+    semantics: (RANK−1)/(count−1), ties share the min rank) — the
+    group-relative score curation uses when absolute length thresholds
+    don't transfer across languages. ONE lang hash shuffle; inside each
+    partition every lang's ranks come from a vectorized groupby.rank
+    (method='min' == SQL RANK), no per-group Python. Single-row groups
+    score 0.0, matching the window function."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def pctile(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "lang": pd.Series([], dtype=str),
+                    "n_chars": pd.Series([], dtype=np.int64),
+                    "pctile": pd.Series([], dtype=np.float64),
+                }
+            )
+        g = pdf.groupby("lang", sort=False)["n_chars"]
+        rank = g.rank(method="min").to_numpy(np.float64)
+        cnt = g.transform("size").to_numpy(np.float64)
+        pdf = pdf.copy()
+        pdf["pctile"] = _rha(np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0), 4)
+        return pdf[["doc_id", "lang", "n_chars", "pctile"]]
+
+    out = partition_map_groups(ds, ["lang"], pctile).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user next-event Markov transition matrix — the sequence-mining
     primitive behind funnel discovery and bot fingerprinting: count every
@@ -3869,6 +3900,7 @@ QUERIES = {
     "bpe_encode_stats": q_bpe_encode_stats,
     "inverted_index": q_inverted_index,
     "token_pmi": q_token_pmi,
+    "doc_length_pctile": q_doc_length_pctile,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4929,6 +4961,13 @@ ORACLE_SQL = {
            AND COUNT(*) <= GREATEST(
                    2, CAST(FLOOR(0.78 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
         ORDER BY term
+    """,
+    # per-lang PERCENT_RANK of n_chars (ties share min rank; 1-row group = 0)
+    "doc_length_pctile": """
+        SELECT doc_id, lang, n_chars,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars), 4) AS pctile
+        FROM documents
+        ORDER BY doc_id
     """,
     # top-16-vocab per-doc co-occurrence -> PMI, support >= 5, top-25
     "token_pmi": """

@@ -106,6 +106,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "table_profile",
         "inverted_index",
         "token_pmi",
+        "doc_length_pctile",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
