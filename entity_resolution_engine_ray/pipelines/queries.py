@@ -3338,6 +3338,47 @@ def q_token_pmi(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_event_props_stats(sf_dir: str):
+    """Semi-structured extraction — pull a typed field out of the JSON
+    ``props`` payload column and aggregate it per event type (every
+    telemetry pipeline's first JSON op). The engine never JSON-parses in
+    Python: ``pc.extract_regex`` pulls the field vectorized in Arrow (the
+    payload contract is flat single-level JSON, which a compiled RE2
+    pattern handles zero-copy; a nested payload would swap this kernel for
+    a real parser behind the same partial shape), per-batch partials carry
+    only (event_type, n, n_with_k, sum_k), and the finish is a tiny
+    single-key groupby. The DuckDB oracle uses real json_extract, so the
+    match also certifies the regex against a actual JSON parser on every
+    fixture row."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["props"].combine_chunks() if isinstance(t["props"], pa.ChunkedArray) else t["props"]
+        ext = pc.extract_regex(col, r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        pdf = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "has_k": pc.is_valid(k).to_numpy(zero_copy_only=False),
+                "k": k.fill_null(0).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = pdf.groupby("event_type", sort=False).agg(
+            n=("k", "size"), n_with_k=("has_k", "sum"), sum_k=("k", "sum")
+        )
+        g = g.reset_index()
+        for c in ("n", "n_with_k", "sum_k"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", sort=False, as_index=False).sum()
+    for c in ("n", "n_with_k", "sum_k"):
+        out[c] = out[c].astype(np.int64)
+    out["avg_k"] = _rha(out["sum_k"].to_numpy(np.float64) / out["n_with_k"].to_numpy(np.float64), 4)
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_length_pctile(sf_dir: str):
     """Per-language length-percentile normalization (SQL PERCENT_RANK
     semantics: (RANK−1)/(count−1), ties share the min rank) — the
@@ -3901,6 +3942,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "token_pmi": q_token_pmi,
     "doc_length_pctile": q_doc_length_pctile,
+    "event_props_stats": q_event_props_stats,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -4961,6 +5003,22 @@ ORACLE_SQL = {
            AND COUNT(*) <= GREATEST(
                    2, CAST(FLOOR(0.78 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
         ORDER BY term
+    """,
+    # JSON field extraction + per-type aggregate (engine: Arrow regex kernel)
+    "event_props_stats": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+               ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
+        FROM e
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     # per-lang PERCENT_RANK of n_chars (ties share min rank; 1-row group = 0)
     "doc_length_pctile": """

@@ -107,6 +107,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "inverted_index",
         "token_pmi",
         "doc_length_pctile",
+        "event_props_stats",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
