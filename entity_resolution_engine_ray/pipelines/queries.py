@@ -1736,6 +1736,89 @@ def q_knn_cosine_top10(sf_dir: str):
     return out
 
 
+def q_knn_int8_recall(sf_dir: str):
+    """Scalar int8 quantization audit for the embedding store — the 4×
+    memory/IO lever a 100-TB vector corpus takes before anything else, and
+    the recall check that decides whether it's safe. Pass 1 computes global
+    per-dimension min/max as per-batch Arrow partials (2 rows × d per
+    batch, driver-combined — a bounded aggregate); the (scale, offset)
+    pair broadcasts once via ``ray.put``. Pass 2 quantizes each batch to
+    int8, DEquantizes, and runs the same broadcast-query cosine top-k as
+    knn_cosine_top10; the output row compares the quantized top-k id set
+    against the exact one (rows-only — recall of a lossy codec has no SQL
+    oracle; the test pins recall and the error bound)."""
+    import ray
+
+    from entity_resolution_engine_ray.stages.knn import _to_matrix, knn_brute_force
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
+    )
+    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    k = 10
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], type=pa.float64()), "hi": pa.array([], type=pa.float64())})
+        m = _to_matrix(t["embedding"])
+        return pa.table(
+            {
+                "lo": pa.array(m.min(axis=0).astype(np.float64)),
+                "hi": pa.array(m.max(axis=0).astype(np.float64)),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    d = len(q)
+    lo = mm["lo"].to_numpy().reshape(-1, d).min(axis=0)
+    hi = mm["hi"].to_numpy().reshape(-1, d).max(axis=0)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    params_ref = ray.put((lo, scale))
+
+    qn = q / np.linalg.norm(q)
+
+    def quant_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())}
+            )
+        lo_, scale_ = ray.get(params_ref)
+        m = _to_matrix(t["embedding"])
+        codes = np.clip(np.round((m - lo_) / scale_), 0, 255).astype(np.uint8)
+        deq = codes.astype(np.float64) * scale_ + lo_
+        norms = np.linalg.norm(deq, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (deq @ qn) / norms
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids != 0
+        cos, ids = cos[keep], ids[keep]
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top]), "cos": pa.array(cos[top], type=pa.float64())}
+        )
+
+    parts = ds.map_batches(quant_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+    quant_ids = set(parts.head(k)["vec_id"].astype(np.int64))
+
+    exact = knn_brute_force(ds, q, k=k, id_col="vec_id", exclude_ids={0})
+    exact_ids = set(exact["vec_id"].astype(np.int64))
+    exact_cos = dict(zip(exact["vec_id"].astype(np.int64), exact["cos"]))
+    quant_cos = dict(zip(parts["vec_id"].astype(np.int64), parts["cos"]))
+    common = exact_ids & quant_ids
+    err = max((abs(quant_cos[i] - exact_cos[i]) for i in common), default=0.0)
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype=np.int64),
+            "recall": pd.Series([_rha(len(common) / k, 4)], dtype=np.float64),
+            "max_abs_cos_err": pd.Series([float(err)], dtype=np.float64),
+        }
+    )
+
+
 def q_reciprocal_nn(sf_dir: str):
     """Mutual (reciprocal) 10-NN pairs over the embedding table — the
     high-confidence match filter (b in a's top-10 AND a in b's). EXACT
@@ -3943,6 +4026,7 @@ QUERIES = {
     "token_pmi": q_token_pmi,
     "doc_length_pctile": q_doc_length_pctile,
     "event_props_stats": q_event_props_stats,
+    "knn_int8_recall": q_knn_int8_recall,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }

@@ -457,3 +457,16 @@ def test_token_pmi_vocab_cap_binds(ray_session):
     assert len(terms) <= 16
     assert (out["n_ab"] <= out[["n_a", "n_b"]].min(axis=1)).all()
     assert np.isfinite(out["pmi"]).all()
+
+
+def test_knn_int8_recall_bounds(ray_session):
+    """int8 scalar quantization (256 levels per dim) must preserve the
+    exact top-10 nearly perfectly on the fixture and keep the cosine
+    perturbation small — if recall dips the codec or the min/max pass is
+    wrong, not the data."""
+    from entity_resolution_engine_ray.pipelines.queries import q_knn_int8_recall
+
+    out = q_knn_int8_recall(SF_DIR)
+    assert len(out) == 1
+    assert out["recall"].iloc[0] >= 0.9
+    assert out["max_abs_cos_err"].iloc[0] < 0.01
