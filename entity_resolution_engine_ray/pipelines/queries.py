@@ -3493,6 +3493,147 @@ def q_doc_length_pctile(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_training_shards(sf_dir: str):
+    """END-TO-END tokenized-training-shard manifest, composed as ONE
+    pipeline — the artifact an LLM data run actually ships: quality filter
+    (≥30 whitespace tokens, fused into the read) → BPE tokenizer TRAINED on
+    the surviving corpus (16 merges over the word-type table) → per-doc
+    TRUE token counts under that tokenizer via a word-keyed COGROUP of the
+    exploded (doc, word, count) rows against (word, tok_len) — no broadcast:
+    at 10^12 docs the word-type table outgrows any driver dict, so the join
+    ships both sides through the same hash exchange — → doc-keyed partial
+    sum → concat-and-pack at a 4096-token budget in doc_id order
+    (distributed grouped prefix-sum; a doc belongs to the shard its first
+    token lands in) → per-shard manifest (docs, tokens, doc_id range).
+    Rows-only: the tokenizer is iterative; the serial pin
+    (tests/test_query_ops.py::test_training_shards_matches_serial) rebuilds
+    the whole manifest single-process and compares frame-for-frame."""
+    from entity_resolution_engine_ray.functions.textstats import token_count
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    budget = 4096
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.cast(token_count(t["text"]), pa.int64()), 30))
+
+    empty = pd.DataFrame(
+        {
+            "shard_id": pd.Series([], dtype=np.int64),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "min_doc_id": pd.Series([], dtype=np.int64),
+            "max_doc_id": pd.Series([], dtype=np.int64),
+        }
+    )
+    kept = docs.map_batches(prefilter, batch_format="pyarrow").materialize()
+    if kept.count() == 0:
+        return empty
+
+    state = _bpe_word_state(sf_dir, ds=kept, keep_word=True)
+    _, final = _bpe_train(state, 16)
+    wlen = final.map_batches(
+        lambda t: pa.table(
+            {
+                "word": t["word"],
+                "tok_len": pc.cast(pc.list_value_length(t["syms"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def doc_word_counts(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        pdf = pd.DataFrame({"doc_id": ids[keep], "word": flat[keep]})
+        g = pdf.groupby(["doc_id", "word"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dw = kept.map_batches(doc_word_counts, batch_format="pyarrow")
+
+    def join_len(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: (doc_id, word, cnt); right: (word, tok_len) — co-hashed on word
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64), "tk": pd.Series([], dtype=np.int64)}
+            )
+        m = left.merge(right, on="word", how="inner")
+        g = (
+            m.assign(tk=m["cnt"].to_numpy(np.int64) * m["tok_len"].to_numpy(np.int64))
+            .groupby("doc_id", sort=False)["tk"]
+            .sum()
+            .reset_index()
+        )
+        g["tk"] = g["tk"].astype(np.int64)
+        return g
+
+    parts = hash_exchange_cogroup(dw, wlen, ["word"], ["word"], join_len)
+
+    def finish_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "g": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = pdf.groupby("doc_id", sort=False)["tk"].sum().reset_index(name="n_tokens")
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        g["g"] = np.int64(0)  # single packing stream: constant scan key
+        return g
+
+    doctok = partition_map_groups(parts, ["doc_id"], finish_doc)
+    cum = grouped_prefix_sum(doctok, ["g"], ["doc_id"], "n_tokens", "cum")
+
+    def shard_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "shard_id": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "min_doc_id": pa.array([], type=pa.int64()),
+                    "max_doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {
+                "shard_id": (c - n) // budget,
+                "n_tokens": n,
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = pdf.groupby("shard_id", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tokens", "sum"),
+            min_doc_id=("doc_id", "min"),
+            max_doc_id=("doc_id", "max"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    sp = cum.map_batches(shard_partial, batch_format="pyarrow").to_pandas()
+    if sp.empty:
+        return empty
+    out = sp.groupby("shard_id", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_tokens=("n_tokens", "sum"),
+        min_doc_id=("min_doc_id", "min"),
+        max_doc_id=("max_doc_id", "max"),
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user next-event Markov transition matrix — the sequence-mining
     primitive behind funnel discovery and bot fingerprinting: count every
@@ -3712,7 +3853,7 @@ def _bpe_apply_merge(t: pa.Table, a: int, b: int, new: int) -> pa.Table:
     return pa.table({c: (merged if c == "syms" else t[c]) for c in t.column_names})
 
 
-def _bpe_word_state(sf_dir: str, by_lang: bool = False):
+def _bpe_word_state(sf_dir: str, by_lang: bool = False, ds=None, keep_word: bool = False):
     """Collapse the corpus to the WORD-TYPE table and symbolize it — the
     classic trick that makes BPE trainable at 100 TB (Sennrich et al. 2016):
     iterations never touch raw text, only (word, count) rows, which are
@@ -3721,11 +3862,17 @@ def _bpe_word_state(sf_dir: str, by_lang: bool = False):
     over word TYPES, once — never per round). With by_lang the rows are
     (lang, word) — training totals are unchanged (weights just split per
     lang and pair counting re-sums them) but per-lang encode stats become a
-    partition-local partial. Returns None on an empty corpus."""
+    partition-local partial. ``ds`` overrides the read (an already-filtered
+    corpus); ``keep_word`` carries the word string through symbolization
+    (needed when the caller re-joins token lengths back onto documents).
+    Returns None on an empty corpus."""
     from entity_resolution_engine_ray.stages.grouping import partition_map_groups as pmg
 
     cols = ["text", "lang"] if by_lang else ["text"]
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    if ds is None:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    else:
+        ds = ds.select_columns(cols)
     # zero-row inputs skip lazy map_batches, so the word-key exchange would
     # see the SOURCE schema (no word column) — short-circuit (metadata count)
     if ds.count() == 0:
@@ -3766,6 +3913,8 @@ def _bpe_word_state(sf_dir: str, by_lang: bool = False):
             out["n_chars"] = pa.array(
                 np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
             )
+        if keep_word:
+            out["word"] = t["word"]
         return pa.table(out)
 
     return words.map_batches(char_ids, batch_format="pyarrow").materialize()
@@ -4027,6 +4176,7 @@ QUERIES = {
     "doc_length_pctile": q_doc_length_pctile,
     "event_props_stats": q_event_props_stats,
     "knn_int8_recall": q_knn_int8_recall,
+    "training_shards": q_training_shards,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }

@@ -280,22 +280,24 @@ def test_user_event_entropy_bounds(ray_session):
     assert out["entropy"].nunique() > 1
 
 
-def _serial_bpe(sf_dir: str, n_merges: int = 16):
+def _serial_bpe(sf_dir: str, n_merges: int = 16, wt: dict | None = None):
     """Serial reference BPE (Sennrich-style, word-type table, left-to-right
     non-overlapping merge, max-count / lexicographically-smallest tie-break)
-    — the oracle for the distributed trainer."""
+    — the oracle for the distributed trainer. ``wt`` overrides the word
+    counts (a pre-filtered corpus)."""
     import collections
 
     import duckdb
 
-    words = duckdb.sql(
-        f"""
-        SELECT w AS word, COUNT(*) AS n FROM (
-            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-            FROM read_parquet('{sf_dir}/documents.parquet')) GROUP BY w
-        """
-    ).fetchall()
-    wt = {w: n for w, n in words}
+    if wt is None:
+        words = duckdb.sql(
+            f"""
+            SELECT w AS word, COUNT(*) AS n FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM read_parquet('{sf_dir}/documents.parquet')) GROUP BY w
+            """
+        ).fetchall()
+        wt = {w: n for w, n in words}
     state = {w: tuple(w) for w in wt}
     merges = []
     for rank in range(n_merges):
@@ -470,3 +472,61 @@ def test_knn_int8_recall_bounds(ray_session):
     assert len(out) == 1
     assert out["recall"].iloc[0] >= 0.9
     assert out["max_abs_cos_err"].iloc[0] < 0.01
+
+
+def test_training_shards_matches_serial(ray_session):
+    """The composed filter → BPE-train → tokenize → pack → manifest
+    pipeline, rebuilt single-process from raw parquet, must match
+    frame-for-frame — plus token conservation across shards."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.pipelines.queries import q_training_shards
+
+    eng = q_training_shards(SF_DIR)
+    assert len(eng) > 0
+
+    budget = 4096
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    tbl["words"] = tbl["text"].map(lambda s: [w for w in s.split(" ") if w])
+    kept = tbl[tbl["words"].map(len) >= 30].sort_values("doc_id")
+    wt: collections.Counter = collections.Counter()
+    for ws in kept["words"]:
+        wt.update(ws)
+    merges = _serial_bpe(SF_DIR, wt=dict(wt))
+
+    def encode_len(word):
+        syms = list(word)
+        for _, a, b, _m, _n in merges.itertuples(index=False):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    tok_len = {w: encode_len(w) for w in wt}
+    kept = kept.assign(n_tokens=kept["words"].map(lambda ws: sum(tok_len[w] for w in ws)))
+    cum = kept["n_tokens"].cumsum().to_numpy()
+    shard = (cum - kept["n_tokens"].to_numpy()) // budget
+    ref = (
+        kept.assign(shard_id=shard)
+        .groupby("shard_id", as_index=False)
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tokens", "sum"),
+            min_doc_id=("doc_id", "min"),
+            max_doc_id=("doc_id", "max"),
+        )
+    )
+    ref = ref.astype({c: np.int64 for c in ref.columns}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, ref)
+    # conservation + coverage invariants
+    assert int(eng["n_tokens"].sum()) == int(kept["n_tokens"].sum())
+    assert int(eng["n_docs"].sum()) == len(kept)
+    assert list(eng["shard_id"]) == list(range(len(eng)))
