@@ -72,3 +72,37 @@ def test_incremental_rejects_mismatched_previous_run(ray_session, tmp_path):
         run_pages_er_incremental(
             str(tmp_path / "runA"), fix["pages"], str(tmp_path / "inc"), other
         )
+
+
+def test_incremental_chain_two_batches(ray_session, tmp_path):
+    """A CHAIN of increments (runA + batch1 → runB, runB + batch2 → runC)
+    must still equal one full run over the union — the ingestion pattern a
+    live crawl actually follows, and the case that catches state the first
+    fold forgets to carry (touched-block bookkeeping, edge provenance)."""
+    fix = write_pages_fixture(str(tmp_path / "fx"), 900, seed=11)
+    tbl = pads.dataset(fix["pages"]).to_table()
+    pq.write_table(tbl.slice(0, 500), str(tmp_path / "b0.parquet"))
+    pq.write_table(tbl.slice(500, 200), str(tmp_path / "b1.parquet"))
+    pq.write_table(tbl.slice(700), str(tmp_path / "b2.parquet"))
+
+    cfg = PagesERConfig(max_block_size=10_000, pair_sample_cap=1_000_000)
+
+    full = run_pages_er(fix["pages"], str(tmp_path / "full"), cfg)
+    run_pages_er(str(tmp_path / "b0.parquet"), str(tmp_path / "runA"), cfg)
+    run_pages_er_incremental(
+        str(tmp_path / "runA"), str(tmp_path / "b1.parquet"), str(tmp_path / "runB"), cfg
+    )
+    inc = run_pages_er_incremental(
+        str(tmp_path / "runB"), str(tmp_path / "b2.parquet"), str(tmp_path / "runC"), cfg
+    )
+
+    ef = full["edges"].to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    ei = inc["edges"].to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert len(ef) == len(ei)
+    sem = [c for c in ef.columns if c not in ("block_key", "salt")]
+    pd.testing.assert_frame_equal(ei[sem], ef[sem], check_like=False)
+
+    lf = CheckpointStore(str(tmp_path / "full")).read("labeled").to_pandas()
+    li = CheckpointStore(str(tmp_path / "runC")).read("labeled").to_pandas()
+    assert len(lf) == len(li) == 900
+    assert _partitions(lf) == _partitions(li)
