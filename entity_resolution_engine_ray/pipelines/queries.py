@@ -543,7 +543,14 @@ def q_simhash_fingerprint(sf_dir: str):
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped pricing summary: filter at the read, partial per-batch
-    aggregation, tiny global groupby."""
+    aggregation, tiny global groupby. Money columns sum as INTEGER CENTS
+    (prices and discounts are exact 2-decimal values): float partial sums
+    are order-dependent across parallel partitions and drifted from the
+    serial DuckDB sum at the 2nd decimal of ~2.7e9 by sf0.1 — integer sums
+    are associative, so distributed == serial at ANY scale; the oracle
+    mirrors with DECIMAL(18,2) arithmetic. disc_price accumulates in
+    1e-4 dollars (cents × discount-hundredths) and rounds to cents in
+    integer math ((u+50)//100, u ≥ 0 — half away from zero like ROUND)."""
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -552,19 +559,23 @@ def q_lineitem_pricing(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         mask = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"), type=t["l_shipdate"].type))
         t = t.filter(mask)
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        pdf = pa.table(
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        ext_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_h = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty": t["l_quantity"],
-                "base": t["l_extendedprice"],
-                "disc": disc_price,
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": qty,
+                "base_c": ext_c,
+                "disc_u": ext_c * (100 - disc_h),  # exact 1e-4 dollars
             }
-        ).to_pandas()
-        g = pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_base=("base", "sum"), sum_disc=("disc", "sum"), n=("qty", "size")
         )
+        g = pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base=("base_c", "sum"), sum_disc=("disc_u", "sum"), n=("qty", "size")
+        )
+        for c in ("sum_qty", "sum_base", "sum_disc", "n"):
+            g[c] = g[c].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
@@ -577,14 +588,15 @@ def q_lineitem_pricing(sf_dir: str):
             Sum("n", alias_name="n"),
         )
     ).to_pandas()
+    disc_cents = (agg["sum_disc"].to_numpy(np.int64) + 50) // 100
     out = pd.DataFrame(
         {
             "l_returnflag": agg["l_returnflag"],
             "l_linestatus": agg["l_linestatus"],
-            "sum_qty": _rha(agg["sum_qty"], 2),
-            "sum_base_price": _rha(agg["sum_base"], 2),
-            "sum_disc_price": _rha(agg["sum_disc"], 2),
-            "avg_qty": _rha(agg["sum_qty"] / agg["n"], 2),
+            "sum_qty": agg["sum_qty"].to_numpy(np.int64).astype(np.float64),
+            "sum_base_price": agg["sum_base"].to_numpy(np.int64) / 100.0,
+            "sum_disc_price": disc_cents / 100.0,
+            "avg_qty": _rha(agg["sum_qty"].to_numpy(np.int64) / agg["n"].to_numpy(np.int64), 2),
             "n_rows": agg["n"].astype(np.int64),
         }
     )
@@ -638,18 +650,23 @@ def q_nation_revenue(sf_dir: str):
                 }
             )
         m = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
-        return m.groupby("c_nationkey", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        # integer cents: order-invariant partial sums (float drifted vs the
+        # serial oracle at sf0.1 elsewhere; see q_lineitem_pricing)
+        m["rev_c"] = np.round(m["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = m.groupby("c_nationkey", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_orders=("rev_c", "size")
         )
+        g["rev_c"] = g["rev_c"].astype(np.int64)
+        return g
 
     partials = hash_exchange_cogroup(
         orders, customer, ["o_custkey"], ["c_custkey"], per_partition, default_join_partitions()
     ).to_pandas()
     agg = partials.groupby("c_nationkey", as_index=False).agg(
-        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+        rev_c=("rev_c", "sum"), n_orders=("n_orders", "sum")
     )
     agg["n_name"] = agg["c_nationkey"].map(nation_map)
-    agg["revenue"] = _rha(agg["revenue"], 2)
+    agg["revenue"] = agg["rev_c"].to_numpy(np.int64) / 100.0
     agg["n_orders"] = agg["n_orders"].astype(np.int64)
     return agg[["n_name", "revenue", "n_orders"]]
 
@@ -693,18 +710,23 @@ def q_supplier_region_stats(sf_dir: str):
 
     def add_region(t: pa.Table) -> pa.Table:
         names = [r2name[n2r[k]] for k in t["s_nationkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]})
+        # integer cents: float partial sums drift vs the serial oracle by
+        # sf0.1 (order-dependent); exact-2-decimal money sums associatively
+        cents = np.round(t["s_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"r_name": pa.array(names, type=pa.string()), "bal_c": pa.array(cents)})
 
     agg = (
         supplier.map_batches(add_region, batch_format="pyarrow")
         .groupby("r_name")
-        .aggregate(Sum("s_acctbal", alias_name="sum_acctbal"), Count(alias_name="n_suppliers"))
+        .aggregate(Sum("bal_c", alias_name="sum_c"), Count(alias_name="n_suppliers"))
     ).to_pandas()
     out = pd.DataFrame(
         {
             "r_name": agg["r_name"],
             "n_suppliers": agg["n_suppliers"].astype(np.int64),
-            "avg_acctbal": _rha(agg["sum_acctbal"] / agg["n_suppliers"], 2),
+            "avg_acctbal": _rha(
+                (agg["sum_c"].to_numpy(np.int64) / 100.0) / agg["n_suppliers"].to_numpy(np.int64), 2
+            ),
         }
     )
     return out
@@ -1645,19 +1667,24 @@ def q_events_hourly(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        pdf = pa.table({"event_type": t["event_type"], "hour": hour, "value": t["value"]}).to_pandas()
+        # integer cents: order-invariant partial sums (see q_lineitem_pricing)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pa.table({"event_type": t["event_type"], "hour": hour}).to_pandas()
+        pdf["val_c"] = cents
         g = pdf.groupby(["event_type", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("val_c", "size"), sum_c=("val_c", "sum")
         )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_c"] = g["sum_c"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_c", alias_name="sum_c"))
     ).to_pandas()
     agg["n_events"] = agg["n_events"].astype(np.int64)
-    agg["sum_value"] = _rha(agg["sum_value"], 2)
+    agg["sum_value"] = agg["sum_c"].to_numpy(np.int64) / 100.0
     agg["hour"] = agg["hour"].astype("datetime64[us]")  # match DuckDB TIMESTAMP
     return agg[["event_type", "hour", "n_events", "sum_value"]]
 
@@ -1689,8 +1716,18 @@ def q_sliding_window(sf_dir: str):
     from entity_resolution_engine_ray.stages.windows import sliding_window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    out = sliding_window(ds, "user_id", "ts", "value", size_s=7200, slide_s=3600).to_pandas()
-    out["sum_value"] = _rha(out["sum_value"], 2)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # integer cents BEFORE the window stage: its per-window sums become
+        # order-invariant ints (see q_lineitem_pricing)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"], "value": pa.array(cents)})
+
+    out = sliding_window(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", "ts", "value", size_s=7200, slide_s=3600,
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].to_numpy(np.int64) / 100.0
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype(np.int64)
     return out[["user_id", "window_start", "n_events", "sum_value"]]
@@ -2001,9 +2038,15 @@ def q_shipping_priority(sf_dir: str):
     )
 
     def li_partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        pdf = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+        # revenue in exact 1e-4 dollars (cents x discount-hundredths):
+        # order-invariant integer sums, see q_lineitem_pricing
+        ext_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_h = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False), "rev": ext_c * (100 - disc_h)}
+        )
         g = pdf.groupby("l_orderkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def semi(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2047,7 +2090,8 @@ def q_shipping_priority(sf_dir: str):
         ascending=[False, True, True],
         kind="mergesort",
     ).head(10)
-    top["revenue"] = _rha(top["revenue"], 2)
+    # exact integer 1e-4 dollars -> half-away-rounded cents -> dollars
+    top["revenue"] = ((top["revenue"].to_numpy(np.int64) + 50) // 100) / 100.0
     return top.reset_index(drop=True)
 
 
@@ -2066,7 +2110,8 @@ def q_user_event_pivot(sf_dir: str):
         oh = oh.astype(np.int64)
         oh.columns = [f"n_{t}" for t in types]
         oh["user_id"] = pdf["user_id"].to_numpy()
-        oh["sum_value"] = pdf["value"].to_numpy()
+        # integer cents: order-invariant partial sums (see q_lineitem_pricing)
+        oh["val_c"] = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
         return pa.Table.from_pandas(
             oh.groupby("user_id", as_index=False).sum(), preserve_index=False
         )
@@ -2079,8 +2124,8 @@ def q_user_event_pivot(sf_dir: str):
             empty["sum_value"] = pd.Series([], dtype=np.float64)
             return pd.DataFrame(empty)
         g = pdf.groupby("user_id", as_index=False).sum()
-        g["sum_value"] = _rha(g["sum_value"], 2)
-        return g
+        g["sum_value"] = g["val_c"].to_numpy(np.int64) / 100.0
+        return g.drop(columns="val_c")
 
     return partition_map_groups(
         ds.map_batches(partial, batch_format="pandas"), ["user_id"], finish, 8
@@ -2119,17 +2164,22 @@ def q_nation_revenue_share(sf_dir: str):
                 }
             )
         m = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
-        return m.groupby("c_nationkey", as_index=False).agg(revenue=("o_totalprice", "sum"))
+        # integer cents: order-invariant partial sums (see q_lineitem_pricing)
+        m["rev_c"] = np.round(m["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = m.groupby("c_nationkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["rev_c"] = g["rev_c"].astype(np.int64)
+        return g
 
     partials = hash_exchange_cogroup(
         orders, customer, ["o_custkey"], ["c_custkey"], per_partition, default_join_partitions()
     ).to_pandas()
-    agg = partials.groupby("c_nationkey", as_index=False)["revenue"].sum()
-    agg["revenue"] = _rha(agg["revenue"], 2)
+    agg = partials.groupby("c_nationkey", as_index=False)["rev_c"].sum()
+    agg["revenue"] = agg["rev_c"].to_numpy(np.int64) / 100.0
     agg["n_name"] = agg["c_nationkey"].map(n_name)
     agg["r_name"] = agg["c_nationkey"].map(n_region).map(r_name)
-    region_tot = agg.groupby("r_name")["revenue"].transform("sum")
-    agg["share"] = _rha(agg["revenue"] / region_tot, 6)
+    # region totals in exact cents too, then one double division per nation
+    tot_c = agg.groupby("r_name")["rev_c"].transform("sum")
+    agg["share"] = _rha(agg["revenue"] / (tot_c.to_numpy(np.int64) / 100.0), 6)
     out = agg[["r_name", "n_name", "revenue", "share"]].sort_values(
         ["r_name", "n_name"], kind="mergesort"
     )
@@ -4307,12 +4357,14 @@ ORACLE_SQL = {
     """,
     "nation_revenue_share": """
         WITH rev AS (
-            SELECT c.c_nationkey, ROUND(SUM(o.o_totalprice), 2) AS revenue
+            SELECT c.c_nationkey,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
         )
-        SELECT r.r_name, n.n_name, rev.revenue,
-               ROUND(rev.revenue / SUM(rev.revenue) OVER (PARTITION BY r.r_name), 6)
+        SELECT r.r_name, n.n_name, CAST(rev.revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(rev.revenue AS DOUBLE)
+                     / CAST(SUM(rev.revenue) OVER (PARTITION BY r.r_name) AS DOUBLE), 6)
                    AS share
         FROM rev
         JOIN nation n ON n.n_nationkey = rev.c_nationkey
@@ -4627,12 +4679,17 @@ ORACLE_SQL = {
                     AS BIGINT) AS n_cut_tokens
         FROM marked GROUP BY doc_id
     """,
+    # money sums in DECIMAL (exact, order-invariant) so the parallel
+    # integer-cents engine matches at any scale; see q_lineitem_pricing
     "lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                   AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+                   AS avg_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -4647,7 +4704,9 @@ ORACLE_SQL = {
         ) WHERE rn = 1
     """,
     "nation_revenue": """
-        SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -4658,10 +4717,12 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     """,
+    # DECIMAL sum (exact) mirrors the engine's integer-cents partials
     "supplier_region_stats": """
         SELECT r.r_name,
                COUNT(*) AS n_suppliers,
-               ROUND(SUM(s.s_acctbal) / COUNT(*), 2) AS avg_acctbal
+               ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+                   AS avg_acctbal
         FROM supplier s
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -4798,7 +4859,8 @@ ORACLE_SQL = {
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,
-               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
     "user_sessions": """
@@ -4816,7 +4878,7 @@ ORACLE_SQL = {
     """,
     "sliding_window": """
         SELECT user_id, window_start, COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM (
             SELECT user_id, value,
                    date_trunc('hour', ts) - to_hours(offs.h) AS window_start
@@ -4851,7 +4913,9 @@ ORACLE_SQL = {
     """,
     "shipping_priority": """
         SELECT l.l_orderkey,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                   AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -4860,7 +4924,8 @@ ORACLE_SQL = {
           AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
           AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-        ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+        ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
                  o.o_orderdate ASC, l.l_orderkey ASC
         LIMIT 10
     """,
@@ -4871,7 +4936,7 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id
     """,
     "doc_quality_gate": f"""
