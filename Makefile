@@ -6,7 +6,7 @@
 
 PY ?= python
 
-.PHONY: ci lint typecheck compile test check bench
+.PHONY: ci lint typecheck compile test check check-sf0.1 bench
 
 ci: lint typecheck compile test
 
@@ -34,6 +34,13 @@ test:
 # DuckDB oracle at sf0.01
 check:
 	$(PY) scripts/check_queries.py /root/testdata/sf0.01
+
+# third-scale gate: the same comparison at 10x the driver's scale — this
+# is what exposed the order-dependent float-sum drift in the money
+# aggregates (BASELINE.md round-4 note); run it after touching any
+# ROUND/SUM oracle pair
+check-sf0.1:
+	$(PY) scripts/check_queries.py /root/testdata/sf0.1
 
 bench:
 	$(PY) bench.py
