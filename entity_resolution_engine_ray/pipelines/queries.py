@@ -547,10 +547,16 @@ def q_lineitem_pricing(sf_dir: str):
     (prices and discounts are exact 2-decimal values): float partial sums
     are order-dependent across parallel partitions and drifted from the
     serial DuckDB sum at the 2nd decimal of ~2.7e9 by sf0.1 — integer sums
-    are associative, so distributed == serial at ANY scale; the oracle
-    mirrors with DECIMAL(18,2) arithmetic. disc_price accumulates in
-    1e-4 dollars (cents × discount-hundredths) and rounds to cents in
-    integer math ((u+50)//100, u ≥ 0 — half away from zero like ROUND)."""
+    are associative, so distributed == serial independent of partitioning;
+    the oracle mirrors with DECIMAL(18,2) arithmetic. disc_price
+    accumulates in 1e-4 dollars (cents × discount-hundredths) and rounds
+    to cents in integer math ((u+50)//100, u ≥ 0 — half away from zero
+    like ROUND). Headroom: a single int64 lane in 1e-4 dollars saturates
+    near $9.2e14 per group (~TPC-H sf9k), so each per-batch partial splits
+    into whole-dollar + 1e-4-remainder lanes recombined in Python big-int
+    on the driver — the whole-dollar lane wraps only past $9.2e18 per
+    group; cents-lane sums elsewhere (nation_revenue etc.) bound at
+    $9.2e16 per group."""
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -576,7 +582,11 @@ def q_lineitem_pricing(sf_dir: str):
         )
         for c in ("sum_qty", "sum_base", "sum_disc", "n"):
             g[c] = g[c].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # split the 1e-4-dollar lane per batch so the GLOBAL sums never
+        # approach int64 saturation (see docstring headroom note)
+        g["disc_w"] = g["sum_disc"] // 10_000
+        g["disc_r"] = g["sum_disc"] % 10_000
+        return pa.Table.from_pandas(g.drop(columns="sum_disc"), preserve_index=False)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -584,11 +594,15 @@ def q_lineitem_pricing(sf_dir: str):
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base", alias_name="sum_base"),
-            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("disc_w", alias_name="disc_w"),
+            Sum("disc_r", alias_name="disc_r"),
             Sum("n", alias_name="n"),
         )
     ).to_pandas()
-    disc_cents = (agg["sum_disc"].to_numpy(np.int64) + 50) // 100
+    disc_u = [  # exact big-int recombine, immune to int64 saturation
+        int(w) * 10_000 + int(r) for w, r in zip(agg["disc_w"], agg["disc_r"])
+    ]
+    disc_cents = np.array([(u + 50) // 100 for u in disc_u], dtype=np.int64)
     out = pd.DataFrame(
         {
             "l_returnflag": agg["l_returnflag"],
@@ -645,7 +659,7 @@ def q_nation_revenue(sf_dir: str):
             return pd.DataFrame(
                 {
                     "c_nationkey": pd.Series([], dtype=np.int64),
-                    "revenue": pd.Series([], dtype=np.float64),
+                    "rev_c": pd.Series([], dtype=np.int64),
                     "n_orders": pd.Series([], dtype=np.int64),
                 }
             )
@@ -836,15 +850,10 @@ def q_ann_ivf_top10(sf_dir: str):
     """IVF approximate top-k: 2 distributed Lloyd refinement passes over
     seeded centroids, then probe the nearest centroid lists only — no
     SQL oracle (approximate index)."""
-    import pyarrow.parquet as pq
-
     from entity_resolution_engine_ray.stages.knn import knn_ivf
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    emb = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
-    )
-    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    q = _query_vector(sf_dir)
     out = knn_ivf(ds, q, k=10, id_col="vec_id", n_centroids=16, n_probe=8, n_iters=2)
     out["cos"] = _rha(out["cos"], 4)
     return out
@@ -1760,14 +1769,7 @@ def q_knn_cosine_top10(sf_dir: str):
     from entity_resolution_engine_ray.stages.knn import knn_brute_force
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    import pyarrow.parquet as pq
-
-    # predicate + projection pushdown: only the query vector's row group is
-    # decoded — never the whole embedding table on the driver
-    emb = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
-    )
-    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    q = _query_vector(sf_dir)  # row-group-pruned, never the whole table
     out = knn_brute_force(ds, q, k=10, id_col="vec_id", exclude_ids={0})
     out["cos"] = _rha(out["cos"], 4)
     return out
@@ -1788,13 +1790,12 @@ def q_knn_int8_recall(sf_dir: str):
 
     from entity_resolution_engine_ray.stages.knn import _to_matrix, knn_brute_force
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
-    )
-    q = np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+    # materialize: three consumers (min/max, quantized top-k, exact top-k)
+    # would otherwise each re-read and re-decode the parquet
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    q = _query_vector(sf_dir)
     k = 10
 
     def minmax(t: pa.Table) -> pa.Table:
@@ -1832,7 +1833,10 @@ def q_knn_int8_recall(sf_dir: str):
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         keep = ids != 0
         cos, ids = cos[keep], ids[keep]
-        top = np.argsort(-cos, kind="stable")[:k]
+        # tie-break by vec_id like the exact path: quantization collapses
+        # nearby vectors to equal cos, and a row-order break would make the
+        # reported recall depend on batch layout
+        top = np.lexsort((ids, -cos))[:k]
         return pa.table(
             {"vec_id": pa.array(ids[top]), "cos": pa.array(cos[top], type=pa.float64())}
         )
@@ -2062,7 +2066,8 @@ def q_shipping_priority(sf_dir: str):
             return pd.DataFrame(
                 {
                     "l_orderkey": pd.Series([], dtype=np.int64),
-                    "revenue": pd.Series([], dtype=np.float64),
+                    # revenue is int 1e-4 dollars until the final rounding
+                    "revenue": pd.Series([], dtype=np.int64),
                     "o_orderdate": pd.Series([], dtype="datetime64[us]"),
                     "o_orderpriority": pd.Series([], dtype=object),
                 }
@@ -2160,7 +2165,7 @@ def q_nation_revenue_share(sf_dir: str):
             return pd.DataFrame(
                 {
                     "c_nationkey": pd.Series([], dtype=np.int64),
-                    "revenue": pd.Series([], dtype=np.float64),
+                    "rev_c": pd.Series([], dtype=np.int64),
                 }
             )
         m = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
@@ -3376,6 +3381,34 @@ def q_user_event_entropy(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def _doc_term_rows(
+    t: pa.Table, id_col: str = "doc_id", text_col: str = "text", distinct: bool = False
+) -> pd.DataFrame:
+    """Explode a documents batch into slim (id, term) rows — single-space
+    split, empty tokens dropped (the corpus tokenization contract shared by
+    every term-level operator). ``distinct=True`` dedups within the batch,
+    which IS per-document unique because a document lives in one row."""
+    col = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    lists = pc.split_pattern(col, " ")
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = flat != ""
+    pdf = pd.DataFrame({id_col: ids[keep], "term": flat[keep]})
+    return pdf.drop_duplicates() if distinct else pdf
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Row-group-pruned fetch of ONE query embedding (predicate + projection
+    pushdown — the embedding table never reaches the driver)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", vec_id)]
+    )
+    return np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_token_pmi(sf_dir: str):
     """Collocation mining — top-25 token pairs by pointwise mutual
     information over per-document co-occurrence (the classic corpus-
@@ -3393,17 +3426,8 @@ def q_token_pmi(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = ds.count()
 
-    def doc_terms(t: pa.Table) -> pd.DataFrame:
-        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        lists = pc.split_pattern(col, " ")
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
-        keep = flat != ""
-        return pd.DataFrame({"doc_id": ids[keep], "term": flat[keep]}).drop_duplicates()
-
     def df_partial(t: pa.Table) -> pa.Table:
-        d = doc_terms(t)
+        d = _doc_term_rows(t, distinct=True)
         g = d.groupby("term", sort=False).size().reset_index(name="n")
         g["n"] = g["n"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -3419,7 +3443,7 @@ def q_token_pmi(sf_dir: str):
 
     def pair_partial(t: pa.Table) -> pd.DataFrame:
         vocab = ray.get(vocab_ref)
-        d = doc_terms(t)
+        d = _doc_term_rows(t, distinct=True)
         d = d[np.isin(d["term"].to_numpy(), vocab)]
         if d.empty:
             return pd.DataFrame(
@@ -3487,7 +3511,10 @@ def q_event_props_stats(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         col = t["props"].combine_chunks() if isinstance(t["props"], pa.ChunkedArray) else t["props"]
-        ext = pc.extract_regex(col, r'"k"\s*:\s*(?P<k>-?\d+)')
+        # anchored to a member position ({ or , before the quote) so a
+        # '"k": N' SUBSTRING inside a string value can't match; a non-integer
+        # k fails the [,}] tail and stays NULL like the JSON parser's CAST
+        ext = pc.extract_regex(col, r'[{,]\s*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         pdf = pd.DataFrame(
             {
@@ -3558,7 +3585,6 @@ def q_training_shards(sf_dir: str):
     Rows-only: the tokenizer is iterative; the serial pin
     (tests/test_query_ops.py::test_training_shards_matches_serial) rebuilds
     the whole manifest single-process and compares frame-for-frame."""
-    from entity_resolution_engine_ray.functions.textstats import token_count
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
     from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
 
@@ -3566,7 +3592,16 @@ def q_training_shards(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def prefilter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(pc.cast(token_count(t["text"]), pa.int64()), 30))
+        # count words with the SAME single-space split the BPE word table
+        # and doc_word_counts use — a whitespace-regex count here would
+        # disagree on tab/newline-separated tokens at the >=30 boundary
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        n_words = np.bincount(row_idx[flat != ""], minlength=len(lens))
+        return t.filter(pa.array(n_words >= 30))
 
     empty = pd.DataFrame(
         {
@@ -3594,13 +3629,7 @@ def q_training_shards(sf_dir: str):
     )
 
     def doc_word_counts(t: pa.Table) -> pa.Table:
-        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        lists = pc.split_pattern(col, " ")
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
-        keep = flat != ""
-        pdf = pd.DataFrame({"doc_id": ids[keep], "word": flat[keep]})
+        pdf = _doc_term_rows(t).rename(columns={"term": "word"})
         g = pdf.groupby(["doc_id", "word"], sort=False).size().reset_index(name="cnt")
         g["cnt"] = g["cnt"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -4098,15 +4127,8 @@ def q_inverted_index(sf_dir: str):
     df_max = max(2, int(np.floor(0.78 * n_docs)))
 
     def pairs(t: pa.Table) -> pa.Table:
-        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        lists = pc.split_pattern(col, " ")
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
-        keepmask = flat != ""
-        pdf = pd.DataFrame({"term": flat[keepmask], "doc_id": ids[keepmask]})
-        pdf = pdf.drop_duplicates()  # per-doc unique: df counts DOCS, not occurrences
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        # per-doc unique (distinct=True): df counts DOCS, not occurrences
+        return pa.Table.from_pandas(_doc_term_rows(t, distinct=True), preserve_index=False)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
