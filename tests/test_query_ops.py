@@ -530,3 +530,27 @@ def test_training_shards_matches_serial(ray_session):
     assert int(eng["n_tokens"].sum()) == int(kept["n_tokens"].sum())
     assert int(eng["n_docs"].sum()) == len(kept)
     assert list(eng["shard_id"]) == list(range(len(eng)))
+
+
+def test_doc_term_rows_helper_contract():
+    """The shared tokenize-explode kernel every term-level operator now
+    rides on: single-space split, empty tokens dropped (double spaces,
+    leading/trailing), tabs/newlines are NOT separators, distinct=True
+    dedups within a doc."""
+    import pyarrow as pa
+
+    from entity_resolution_engine_ray.pipelines.queries import _doc_term_rows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a  b a", " c ", "x\ty"]),
+        }
+    )
+    rows = _doc_term_rows(t)
+    got = sorted(zip(rows["doc_id"], rows["term"]))
+    assert got == [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (3, "x\ty")]
+    d = _doc_term_rows(t, distinct=True)
+    assert sorted(zip(d["doc_id"], d["term"])) == [
+        (1, "a"), (1, "b"), (2, "c"), (3, "x\ty"),
+    ]
