@@ -4154,6 +4154,275 @@ def q_inverted_index(sf_dir: str):
     return out.sort_values("term", kind="mergesort").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# relational: part-dimension join trees (TPC-H Q14 / Q9 / Q17 shapes)
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share per ship month: lineitem ⋈ part
+    on partkey through ONE task-level hash cogroup — part projects to just
+    (p_partkey, is_promo) but at corpus scale the part dimension is ~2% of
+    lineitem rows (far past any broadcast), so it rides the same exchange
+    as the fact table. In-partition merge + partial aggregation by month
+    leaves ≤ P×months partial rows for the driver fold. Money sums in
+    exact 1e-4-dollar integer lanes split whole/remainder per partition so
+    the global recombine is big-int exact (see q_lineitem_pricing); a
+    per-(partition, month) lane saturates only past $9.2e14."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+
+    _EMPTY = pd.DataFrame(
+        {
+            "month": pd.Series([], dtype=object),
+            "promo_w": pd.Series([], dtype=np.int64),
+            "promo_r": pd.Series([], dtype=np.int64),
+            "total_w": pd.Series([], dtype=np.int64),
+            "total_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def per_partition(l_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or p_pdf.empty:
+            return _EMPTY.copy()
+        p_pdf = p_pdf.assign(is_promo=(p_pdf["p_type"] == "PROMO").to_numpy())
+        m = l_pdf.merge(
+            p_pdf[["p_partkey", "is_promo"]], left_on="l_partkey", right_on="p_partkey"
+        )
+        ext_c = np.round(m["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_h = np.round(m["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        u = ext_c * (100 - disc_h)  # exact 1e-4 dollars
+        g = (
+            pd.DataFrame(
+                {
+                    "month": pd.to_datetime(m["l_shipdate"]).dt.strftime("%Y-%m"),
+                    "u": u,
+                    "pu": np.where(m["is_promo"].to_numpy(), u, 0),
+                }
+            )
+            .groupby("month", as_index=False)
+            .agg(u=("u", "sum"), pu=("pu", "sum"))
+        )
+        return pd.DataFrame(
+            {
+                "month": g["month"],
+                "promo_w": (g["pu"] // 10_000).astype(np.int64),
+                "promo_r": (g["pu"] % 10_000).astype(np.int64),
+                "total_w": (g["u"] // 10_000).astype(np.int64),
+                "total_r": (g["u"] % 10_000).astype(np.int64),
+            }
+        )
+
+    partials = hash_exchange_cogroup(
+        li, part, ["l_partkey"], ["p_partkey"], per_partition, default_join_partitions()
+    ).to_pandas()
+    if partials.empty:
+        partials = _EMPTY.copy()
+    agg = partials.groupby("month", as_index=False).agg(
+        promo_w=("promo_w", "sum"),
+        promo_r=("promo_r", "sum"),
+        total_w=("total_w", "sum"),
+        total_r=("total_r", "sum"),
+    )
+    promo_c = np.array(
+        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["promo_w"], agg["promo_r"])],
+        dtype=np.int64,
+    )
+    total_c = np.array(
+        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["total_w"], agg["total_r"])],
+        dtype=np.int64,
+    )
+    out = pd.DataFrame(
+        {
+            "month": agg["month"],
+            "promo_revenue": promo_c / 100.0,
+            "total_revenue": total_c / 100.0,
+            "promo_share": _rha(promo_c / np.maximum(total_c, 1), 6),
+        }
+    )
+    return out.sort_values("month", kind="mergesort").reset_index(drop=True)
+
+
+def q_brand_nation_revenue(sf_dir: str):
+    """TPC-H Q9-shaped join tree: disc revenue per (part brand, supplier
+    nation) — lineitem ⋈ part ⋈ supplier ⋈ nation as TWO slim task-level
+    cogroups with aggregation pushed below each exchange. Stage 1 cogroups
+    the fact table with part on partkey and immediately folds to
+    (p_brand, l_suppkey) partials (brands × touched-suppliers rows — far
+    smaller than the fact table); stage 2 cogroups those partials with
+    supplier on suppkey and folds to (p_brand, s_nationkey). Only the tiny
+    nation dimension is a driver-side lookup. Cents lanes stay split
+    whole/remainder across BOTH exchanges so the final recombine is
+    big-int exact regardless of partitioning."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation_tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+
+    _E1 = pd.DataFrame(
+        {
+            "p_brand": pd.Series([], dtype=object),
+            "l_suppkey": pd.Series([], dtype=np.int64),
+            "rev_w": pd.Series([], dtype=np.int64),
+            "rev_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def stage1(l_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or p_pdf.empty:
+            return _E1.copy()
+        m = l_pdf.merge(p_pdf, left_on="l_partkey", right_on="p_partkey")
+        ext_c = np.round(m["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_h = np.round(m["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        m = m.assign(u=ext_c * (100 - disc_h))
+        g = m.groupby(["p_brand", "l_suppkey"], as_index=False)["u"].sum()
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"],
+                "l_suppkey": g["l_suppkey"].astype(np.int64),
+                "rev_w": (g["u"] // 10_000).astype(np.int64),
+                "rev_r": (g["u"] % 10_000).astype(np.int64),
+            }
+        )
+
+    brand_supp = hash_exchange_cogroup(
+        li, part, ["l_partkey"], ["p_partkey"], stage1, default_join_partitions()
+    )
+
+    _E2 = pd.DataFrame(
+        {
+            "p_brand": pd.Series([], dtype=object),
+            "s_nationkey": pd.Series([], dtype=np.int64),
+            "rev_w": pd.Series([], dtype=np.int64),
+            "rev_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def stage2(bs_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        if bs_pdf.empty or s_pdf.empty:
+            return _E2.copy()
+        m = bs_pdf.merge(s_pdf, left_on="l_suppkey", right_on="s_suppkey")
+        g = m.groupby(["p_brand", "s_nationkey"], as_index=False).agg(
+            rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+        )
+        g["s_nationkey"] = g["s_nationkey"].astype(np.int64)
+        g["rev_w"] = g["rev_w"].astype(np.int64)
+        g["rev_r"] = g["rev_r"].astype(np.int64)
+        return g
+
+    partials = hash_exchange_cogroup(
+        brand_supp, supplier, ["l_suppkey"], ["s_suppkey"], stage2, default_join_partitions()
+    ).to_pandas()
+    if partials.empty:
+        partials = _E2.copy()
+    agg = partials.groupby(["p_brand", "s_nationkey"], as_index=False).agg(
+        rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+    )
+    rev_c = np.array(
+        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["rev_w"], agg["rev_r"])],
+        dtype=np.int64,
+    )
+    out = pd.DataFrame(
+        {
+            "p_brand": agg["p_brand"],
+            "n_name": agg["s_nationkey"].map(nation_map),
+            "revenue": rev_c / 100.0,
+        }
+    )
+    return out.sort_values(["p_brand", "n_name"], kind="mergesort").reset_index(drop=True)
+
+
+def q_small_qty_loss(sf_dir: str):
+    """TPC-H Q17-shaped correlated-aggregate threshold: revenue locked in
+    lineitems whose quantity is below 20% of their part's average quantity.
+    Two passes over the fact table, both partition-parallel: pass 1 is a
+    per-batch partial (partkey → Σqty, n) folded by ONE partkey groupby
+    into a per-part threshold dataset (one row per part — at corpus scale
+    that is itself large, so pass 2 cogroups it with lineitem on partkey
+    rather than broadcasting). The filter compares in pure integers
+    (5·qty·n < Σqty ⟺ qty < 0.2·avg, quantities are integral), so
+    distributed == serial with no float boundary cases; revenue sums as
+    exact cents lanes."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "qty": np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("l_partkey", as_index=False).agg(sq=("qty", "sum"), n=("qty", "size"))
+        g["sq"] = g["sq"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    thresholds = (
+        ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+    )
+
+    _E = pd.DataFrame(
+        {
+            "ext_w": pd.Series([], dtype=np.int64),
+            "ext_r": pd.Series([], dtype=np.int64),
+            "n_lines": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def small_qty(l_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or t_pdf.empty:
+            return _E.copy()
+        m = l_pdf.merge(t_pdf, on="l_partkey")
+        qty = np.round(m["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        keep = 5 * qty * m["n"].to_numpy(np.int64) < m["sq"].to_numpy(np.int64)
+        ext_c = np.round(m["l_extendedprice"].to_numpy(np.float64)[keep] * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "ext_w": [int(ext_c.sum()) // 10_000],
+                "ext_r": [int(ext_c.sum()) % 10_000],
+                "n_lines": [int(keep.sum())],
+            }
+        )
+
+    partials = hash_exchange_cogroup(
+        ds, thresholds, ["l_partkey"], ["l_partkey"], small_qty, default_join_partitions()
+    ).to_pandas()
+    total_c = int(partials["ext_w"].sum()) * 10_000 + int(partials["ext_r"].sum())
+    return pd.DataFrame(
+        {
+            "avg_yearly": [float(_rha(np.array([total_c / 100.0 / 7.0]), 2)[0])],
+            "n_lines": [np.int64(partials["n_lines"].sum())],
+        }
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -4249,6 +4518,9 @@ QUERIES = {
     "event_props_stats": q_event_props_stats,
     "knn_int8_recall": q_knn_int8_recall,
     "training_shards": q_training_shards,
+    "promo_revenue": q_promo_revenue,
+    "brand_nation_revenue": q_brand_nation_revenue,
+    "small_qty_loss": q_small_qty_loss,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -5497,6 +5769,55 @@ ORACLE_SQL = {
                    AS novelty
         FROM g JOIN c USING (gram)
         GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    "promo_revenue": """
+        WITH j AS (
+            SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+                   CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS HUGEINT)) AS u,
+                   CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS HUGEINT))
+                        ELSE 0 END AS pu
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        m AS (SELECT month, SUM(u) AS tu, SUM(pu) AS pu FROM j GROUP BY month)
+        SELECT month,
+               CAST((pu + 50) // 100 AS DOUBLE) / 100.0 AS promo_revenue,
+               CAST((tu + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue,
+               ROUND(CAST((pu + 50) // 100 AS DOUBLE)
+                     / CAST(GREATEST((tu + 50) // 100, 1) AS DOUBLE), 6) AS promo_share
+        FROM m ORDER BY month
+    """,
+    "brand_nation_revenue": """
+        WITH j AS (
+            SELECT p.p_brand, l.l_suppkey,
+                   CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS HUGEINT)) AS u
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        a AS (
+            SELECT j.p_brand, s.s_nationkey, SUM(j.u) AS u
+            FROM j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+            GROUP BY j.p_brand, s.s_nationkey
+        )
+        SELECT a.p_brand, n.n_name,
+               CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
+        ORDER BY a.p_brand, n.n_name
+    """,
+    "small_qty_loss": """
+        WITH t AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sq,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
+                     / 100.0 / 7.0, 2) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        WHERE 5 * CAST(ROUND(l.l_quantity) AS HUGEINT) * t.n < t.sq
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

@@ -108,6 +108,9 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "token_pmi",
         "doc_length_pctile",
         "event_props_stats",
+        "promo_revenue",
+        "brand_nation_revenue",
+        "small_qty_loss",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
