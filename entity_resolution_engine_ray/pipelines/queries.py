@@ -4423,6 +4423,173 @@ def q_small_qty_loss(sf_dir: str):
     )
 
 
+def q_order_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21-shaped grouped existential filter: suppliers who were the
+    ONLY late shipper in a multi-supplier finished order (late := shipped
+    more than 90 days after the order date). Every predicate — EXISTS
+    (another supplier), NOT EXISTS (another late supplier) — is local to
+    one orderkey group, so the whole query is ONE orderkey hash cogroup
+    (lineitem × status-filtered orders, predicate pushed to the read) with
+    vectorized per-order set logic inside the partition, emitting per-
+    supplier partial counts; the driver folds ≤ P×suppliers rows and
+    takes the top 20."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+
+    _E = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "numwait": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def per_partition(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or o_pdf.empty:
+            return _E.copy()
+        m = l_pdf.merge(
+            o_pdf[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey"
+        )
+        if m.empty:
+            return _E.copy()
+        m["late"] = (
+            pd.to_datetime(m["l_shipdate"])
+            > pd.to_datetime(m["o_orderdate"]) + pd.Timedelta(days=90)
+        ).astype(np.int64)
+        # per (order, supplier): did this supplier ship anything late?
+        g = m.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"].max()
+        per_order = g.groupby("l_orderkey").agg(n_supp=("late", "size"), n_late=("late", "sum"))
+        g = g.merge(per_order, left_on="l_orderkey", right_index=True)
+        hit = g[(g["late"] == 1) & (g["n_supp"] >= 2) & (g["n_late"] == 1)]
+        out = hit.groupby("l_suppkey", as_index=False).agg(numwait=("late", "size"))
+        return pd.DataFrame(
+            {
+                "s_suppkey": out["l_suppkey"].astype(np.int64),
+                "numwait": out["numwait"].astype(np.int64),
+            }
+        )
+
+    partials = hash_exchange_cogroup(
+        li, orders, ["l_orderkey"], ["o_orderkey"], per_partition, default_join_partitions()
+    ).to_pandas()
+    if partials.empty:
+        partials = _E.copy()
+    agg = partials.groupby("s_suppkey", as_index=False)["numwait"].sum()
+    agg["numwait"] = agg["numwait"].astype(np.int64)
+    agg = agg.sort_values(["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
+def q_doc_stats_cube(sf_dir: str):
+    """Grouping-sets / CUBE aggregate: doc count + char volume by
+    (lang, source) with all four margins — (lang, source), (lang), (source)
+    and the grand total — from ONE pass. The corpus folds to per-batch
+    (lang, source) integer partials (≤ langs×sources rows per batch), one
+    tiny groupby merges them, and the driver expands the three coarser
+    groupings from the finest cells — exact integer sums are re-aggregable,
+    so no second scan and no shuffle beyond the partial fold. NULL margin
+    markers are the string 'ALL' on both engines."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    ).to_pandas()
+    pieces = [cells.assign()]
+    for keys, fill in ((["lang"], "source"), (["source"], "lang"), ([], None)):
+        if keys:
+            m = cells.groupby(keys, as_index=False).agg(
+                n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+            )
+            m[fill] = "ALL"
+        else:
+            m = pd.DataFrame(
+                {
+                    "lang": ["ALL"],
+                    "source": ["ALL"],
+                    "n_docs": [cells["n_docs"].sum()],
+                    "sum_chars": [cells["sum_chars"].sum()],
+                }
+            )
+        pieces.append(m)
+    out = pd.concat(pieces, ignore_index=True)[["lang", "source", "n_docs", "sum_chars"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values(["lang", "source"], kind="mergesort").reset_index(drop=True)
+
+
+def q_events_winsorized(sf_dir: str):
+    """Percentile winsorization (robust feature scaling for ML prep): clip
+    each event's value to its type's [p05, p95] band, then report per type
+    the band and the winsorized mean. Cutoffs come from the exact grouped-
+    quantile operator (actual data values, `quantile_disc` semantics) — a
+    tiny per-type table broadcast into the clip pass; clipped values sum as
+    exact integer cents so the mean is order-invariant (see
+    q_lineitem_pricing)."""
+    from entity_resolution_engine_ray.stages.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    cuts = grouped_quantiles(ds, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}).to_pandas()
+    lo = dict(zip(cuts["event_type"], cuts["lo"]))
+    hi = dict(zip(cuts["event_type"], cuts["hi"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "value": t["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        lo_v = pdf["event_type"].map(lo).to_numpy(np.float64)
+        hi_v = pdf["event_type"].map(hi).to_numpy(np.float64)
+        clipped = np.minimum(np.maximum(pdf["value"].to_numpy(np.float64), lo_v), hi_v)
+        cents = np.round(clipped * 100).astype(np.int64)  # values are 2-dec exact
+        g = pd.DataFrame({"event_type": pdf["event_type"], "c": cents}).groupby(
+            "event_type", as_index=False
+        ).agg(sum_c=("c", "sum"), n=("c", "size"))
+        g["sum_c"] = g["sum_c"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_c", alias_name="sum_c"), Sum("n", alias_name="n"))
+    ).to_pandas()
+    agg["lo"] = agg["event_type"].map(lo)
+    agg["hi"] = agg["event_type"].map(hi)
+    agg["avg_winsorized"] = _rha(
+        (agg["sum_c"].to_numpy(np.int64) / 100.0) / agg["n"].to_numpy(np.int64), 4
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    out = agg[["event_type", "lo", "hi", "n", "avg_winsorized"]]
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -4521,6 +4688,9 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "brand_nation_revenue": q_brand_nation_revenue,
     "small_qty_loss": q_small_qty_loss,
+    "order_sole_late_supplier": q_order_sole_late_supplier,
+    "doc_stats_cube": q_doc_stats_cube,
+    "events_winsorized": q_events_winsorized,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -5818,6 +5988,51 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
         WHERE 5 * CAST(ROUND(l.l_quantity) AS HUGEINT) * t.n < t.sq
+    """,
+    "order_sole_late_supplier": """
+        WITH l AS (
+            SELECT li.l_orderkey, li.l_suppkey,
+                   MAX(CASE WHEN li.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY li.l_orderkey, li.l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+            FROM l GROUP BY l_orderkey
+        )
+        SELECT l.l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l JOIN per_order USING (l_orderkey)
+        WHERE l.late = 1 AND per_order.n_supp >= 2 AND per_order.n_late = 1
+        GROUP BY l.l_suppkey
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20
+    """,
+    "doc_stats_cube": """
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(source, 'ALL') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)
+        ORDER BY lang, source
+    """,
+    "events_winsorized": """
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.05) AS lo,
+                   quantile_disc(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, c.lo, c.hi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, c.lo), c.hi) * 100)
+                                   AS HUGEINT)) AS DOUBLE) / 100.0
+                     / COUNT(*), 4) AS avg_winsorized
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type, c.lo, c.hi
+        ORDER BY e.event_type
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks

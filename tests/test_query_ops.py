@@ -111,6 +111,9 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "promo_revenue",
         "brand_nation_revenue",
         "small_qty_loss",
+        "order_sole_late_supplier",
+        "doc_stats_cube",
+        "events_winsorized",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
