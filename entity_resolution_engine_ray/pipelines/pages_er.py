@@ -39,7 +39,7 @@ def run_pages_er(
 ) -> dict:
     """Run the full pipeline.
 
-    ``pages``: a path/dir (``pages_format``: parquet|jsonl|csv, normalized
+    ``pages``: a path/dir (``pages_format``: parquet|jsonl|csv|warc, normalized
     to the input_hint schema by sources.pages.read_pages) or an existing
     Dataset with that schema (url, warc_ts, html, text, lang).
     """

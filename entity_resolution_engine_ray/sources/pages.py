@@ -286,6 +286,11 @@ def read_pages(path: str, format: str = "parquet", columns: list[str] | None = N
     so only requested columns leave storage. format="jsonl" / "csv" —
     row-oriented transports: parse, then normalize types and prune columns
     post-parse (these formats have no columnar projection to push into).
+    format="warc" — Common-Crawl capture shards (.warc.gz, one gzip member
+    per record): ``read_binary_files`` streams whole shards to parse tasks
+    (a shard is the atomic unit — WARC has no intra-file row index), the
+    parser drops-and-counts malformed records, and text/lang come back
+    NULL for downstream re-extraction.
     """
     import ray.data as rd
 
@@ -296,12 +301,163 @@ def read_pages(path: str, format: str = "parquet", columns: list[str] | None = N
         ds = rd.read_json(path)
     elif format == "csv":
         ds = rd.read_csv(path)
+    elif format == "warc":
+        ds = rd.read_binary_files(path).map_batches(
+            _warc_batch_to_pages, batch_format="pyarrow", batch_size=4
+        )
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     else:
-        raise ValueError(f"unknown pages format {format!r} (parquet|jsonl|csv)")
+        raise ValueError(f"unknown pages format {format!r} (parquet|jsonl|csv|warc)")
     ds = ds.map_batches(_normalize_pages_batch, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def write_pages_warc(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> str:
+    """Write a PAGES_SCHEMA table as sharded WARC/1.0 gzip files — the
+    Common-Crawl transport convention: every record is its OWN gzip member
+    and members concatenate into one ``.warc.gz`` per shard (so a reader
+    can seek to any member independently; ISO 28500 layout, format
+    knowledge from the public WARC spec — nothing here reads real crawl
+    data). Each shard opens with a ``warcinfo`` record followed by one
+    ``response`` record per page (HTTP/1.1 response head + the html bytes
+    as payload); ``text``/``lang`` are derived columns and do NOT ride the
+    transport — re-extraction downstream is the contract."""
+    import gzip
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.remove(os.path.join(out_dir, old))
+
+    def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers
+        ) + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        return gzip.compress(head + payload + b"\r\n\r\n", mtime=0)
+
+    for shard, start in enumerate(range(0, pages.num_rows, shard_rows)):
+        chunk = pages.slice(start, shard_rows)
+        path = os.path.join(out_dir, f"part-{shard:05d}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(
+                _record(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Date", "2025-01-01T00:00:00Z"),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    b"software: entity-resolution-engine-ray fixture writer\r\n",
+                )
+            )
+            for row in chunk.to_pylist():
+                html = row["html"] or b""
+                ts = row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                rid = hashlib.md5((row["url"] + ts).encode()).hexdigest()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                    + html
+                )
+                f.write(
+                    _record(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                            ("WARC-Date", ts),
+                            ("WARC-Target-URI", row["url"]),
+                            ("Content-Type", "application/http; msgtype=response"),
+                        ],
+                        http,
+                    )
+                )
+    return out_dir
+
+
+def _parse_warc_bytes(blob: bytes) -> tuple[list[dict], int]:
+    """Parse one (multi-member-gzip or plain) WARC blob → (page rows,
+    malformed-record drop count). Only ``response`` records yield rows;
+    warcinfo/request/metadata records are skipped. Records missing a
+    required header or with a short payload are DROPPED AND COUNTED, never
+    raised — at crawl scale malformed records are a certainty and one bad
+    record must not kill a 100-TB read."""
+    import gzip
+
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)  # handles concatenated members
+    rows: list[dict] = []
+    dropped = 0
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        head_lines = blob[pos:head_end].split(b"\r\n")
+        if not head_lines or not head_lines[0].startswith(b"WARC/"):
+            dropped += 1
+            pos = head_end + 4
+            continue
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = v.decode("latin-1").strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            dropped += 1
+            pos = head_end + 4
+            continue
+        payload = blob[head_end + 4 : head_end + 4 + clen]
+        pos = head_end + 4 + clen + 4  # skip the two record-ending CRLFs
+        if len(payload) < clen:
+            dropped += 1
+            continue
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        ts = headers.get("warc-date")
+        if not url or not ts:
+            dropped += 1
+            continue
+        http_split = payload.find(b"\r\n\r\n")
+        html = payload[http_split + 4 :] if http_split >= 0 else payload
+        try:
+            when = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            dropped += 1
+            continue
+        rows.append({"url": url, "warc_ts": when, "html": html})
+    return rows, dropped
+
+
+def _warc_batch_to_pages(batch: pa.Table) -> pa.Table:
+    """read_binary_files batch (bytes, path) → PAGES_SCHEMA rows.
+    text/lang come back NULL — WARC carries raw capture only; the extract
+    stage recomputes text downstream (the byte-identical contract)."""
+    import logging
+
+    rows: list[dict] = []
+    dropped = 0
+    for blob in batch["bytes"].to_pylist():
+        r, d = _parse_warc_bytes(blob)
+        rows.extend(r)
+        dropped += d
+    if dropped:
+        logging.getLogger(__name__).warning("warc read: dropped %d malformed records", dropped)
+    if not rows:
+        return PAGES_SCHEMA.empty_table()
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        }
+    )
+    return _normalize_pages_batch(t)
 
 
 def write_pages_jsonl(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> str:

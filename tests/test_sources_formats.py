@@ -132,3 +132,56 @@ def test_write_sharded_parquet_rejects_path_escaping_shard_values(ray_session, t
         with pytest.raises((ValueError, Exception)) as exc_info:
             write_sharded_parquet(rd.from_pandas(pdf), out, "shard")
         assert "invalid shard value" in str(exc_info.value)
+
+
+def test_read_pages_warc_roundtrip(ray_session, tmp_path):
+    """WARC transport (Common-Crawl convention): capture columns round-trip
+    byte-identically; text/lang come back NULL (re-extraction downstream is
+    the contract) and re-running the canonical extractor over the WARC-read
+    html reproduces the original text column byte-for-byte."""
+    from entity_resolution_engine_ray.sources.pages import write_pages_warc
+    from entity_resolution_engine_ray.stages.extract import extract_text_column
+
+    pages, _truth = generate_pages(60, seed=7)
+    out = write_pages_warc(pages, str(tmp_path / "warc"), shard_rows=25)
+
+    ds = read_pages(out, format="warc")
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pages.to_pandas().sort_values("url").reset_index(drop=True)
+
+    assert list(got.columns) == [f.name for f in PAGES_SCHEMA]
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert all(a == b for a, b in zip(got["html"], exp["html"]))
+    assert (got["warc_ts"].values == exp["warc_ts"].values).all()
+    assert got["text"].isna().all() and got["lang"].isna().all()
+
+    # the byte-identical contract: extractor(warc html) == original text
+    re_extracted, _title = extract_text_column(
+        pa.table({"html": pa.array(list(got["html"]), type=pa.binary())})["html"]
+    )
+    assert re_extracted.to_pylist() == exp["text"].tolist()
+
+
+def test_read_pages_warc_skips_malformed_and_non_response(ray_session, tmp_path):
+    """One bad record must never kill a crawl-scale read: truncated payloads
+    and header-less garbage are dropped-and-counted; warcinfo/request
+    records are skipped silently; the good records still come through."""
+    import gzip
+
+    p = tmp_path / "warcbad"
+    p.mkdir()
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2025-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://ok/\r\nContent-Length: 39\r\n\r\n"
+        + b"HTTP/1.1 200 OK\r\n\r\n<html>ok body</html>" + b"\r\n\r\n"
+    )
+    request = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Date: 2025-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://ok/\r\nContent-Length: 4\r\n\r\nGET " + b"\r\n\r\n"
+    )
+    no_length = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://bad/\r\n\r\n"
+    with open(p / "part-0.warc.gz", "wb") as f:
+        f.write(gzip.compress(request) + gzip.compress(no_length) + gzip.compress(good))
+    got = read_pages(str(p), format="warc").to_pandas()
+    assert got["url"].tolist() == ["http://ok/"]
+    assert bytes(got["html"].iloc[0]) == b"<html>ok body</html>"
