@@ -4488,6 +4488,44 @@ def q_order_sole_late_supplier(sf_dir: str):
     return agg.head(20).reset_index(drop=True)
 
 
+def q_part_supplier_concentration(sf_dir: str):
+    """TPC-H Q20-flavored nested-aggregate concentration screen: for every
+    part, WHO ships the most of it and what fraction of the part's total
+    lineitem quantity that top supplier owns. Both aggregate levels — per
+    (part, supplier) and per part — plus the argmax live under the same
+    partkey, so the whole query is ONE partkey hash shuffle with vectorized
+    two-level groupbys + first-row argmax (qty desc, suppkey asc tie-break)
+    inside the partition; shares divide exact integer quantity sums, the
+    output is one row per part at every scale (a fixed >50% dominance cut
+    goes vacuous as supplier counts grow — a share column keeps the
+    operator informative at any scale)."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+
+    def top_share(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(qty=np.round(pdf["l_quantity"].to_numpy(np.float64)).astype(np.int64))
+        ps = pdf.groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"].sum()
+        ps["tot"] = ps.groupby("l_partkey")["qty"].transform("sum")
+        ps = ps.sort_values(
+            ["l_partkey", "qty", "l_suppkey"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("l_partkey", keep="first")
+        return pd.DataFrame(
+            {
+                "p_partkey": ps["l_partkey"].astype(np.int64),
+                "s_suppkey": ps["l_suppkey"].astype(np.int64),
+                "top_share": _rha(
+                    ps["qty"].to_numpy(np.int64) / ps["tot"].to_numpy(np.int64), 6
+                ),
+            }
+        )
+
+    out = partition_map_groups(ds, ["l_partkey"], top_share).to_pandas()
+    return out.sort_values("p_partkey", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_stats_cube(sf_dir: str):
     """Grouping-sets / CUBE aggregate: doc count + char volume by
     (lang, source) with all four margins — (lang, source), (lang), (source)
@@ -4689,6 +4727,7 @@ QUERIES = {
     "brand_nation_revenue": q_brand_nation_revenue,
     "small_qty_loss": q_small_qty_loss,
     "order_sole_late_supplier": q_order_sole_late_supplier,
+    "part_supplier_concentration": q_part_supplier_concentration,
     "doc_stats_cube": q_doc_stats_cube,
     "events_winsorized": q_events_winsorized,
     "er_pages_entities": q_er_pages_entities,
@@ -6008,6 +6047,24 @@ ORACLE_SQL = {
         GROUP BY l.l_suppkey
         ORDER BY numwait DESC, s_suppkey
         LIMIT 20
+    """,
+    "part_supplier_concentration": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        p AS (SELECT l_partkey, SUM(sq) AS tot FROM ps GROUP BY l_partkey),
+        r AS (
+            SELECT ps.l_partkey, ps.l_suppkey, ps.sq, p.tot,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ps.l_partkey ORDER BY ps.sq DESC, ps.l_suppkey
+                   ) AS rk
+            FROM ps JOIN p USING (l_partkey)
+        )
+        SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+               ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_share
+        FROM r WHERE rk = 1 ORDER BY p_partkey
     """,
     "doc_stats_cube": """
         SELECT COALESCE(lang, 'ALL') AS lang,

@@ -112,6 +112,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "brand_nation_revenue",
         "small_qty_loss",
         "order_sole_late_supplier",
+        "part_supplier_concentration",
         "doc_stats_cube",
         "events_winsorized",
     ],
