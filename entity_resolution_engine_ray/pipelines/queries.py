@@ -52,6 +52,17 @@ def _rha(x, decimals):
     return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
 
 
+def _cents_from_lanes(w, r) -> np.ndarray:
+    """Recombine split whole-dollar / 1e-4-dollar-remainder lanes in Python
+    big-int and round to exact cents, half away from zero ((u+50)//100,
+    u ≥ 0) — the shared finish of every money aggregate that splits its
+    1e-4-dollar sums per partition to dodge int64 saturation (see
+    q_lineitem_pricing's headroom note)."""
+    return np.array(
+        [(int(a) * 10_000 + int(b) + 50) // 100 for a, b in zip(w, r)], dtype=np.int64
+    )
+
+
 def _knuth32(ids: np.ndarray) -> np.ndarray:
     """(id * 2654435761) mod 2^32 — Knuth multiplicative hash, computed in
     uint64 so it is exact for EVERY int64 id: the multiply wraps mod 2^64 and
@@ -599,10 +610,7 @@ def q_lineitem_pricing(sf_dir: str):
             Sum("n", alias_name="n"),
         )
     ).to_pandas()
-    disc_u = [  # exact big-int recombine, immune to int64 saturation
-        int(w) * 10_000 + int(r) for w, r in zip(agg["disc_w"], agg["disc_r"])
-    ]
-    disc_cents = np.array([(u + 50) // 100 for u in disc_u], dtype=np.int64)
+    disc_cents = _cents_from_lanes(agg["disc_w"], agg["disc_r"])
     out = pd.DataFrame(
         {
             "l_returnflag": agg["l_returnflag"],
@@ -4230,14 +4238,8 @@ def q_promo_revenue(sf_dir: str):
         total_w=("total_w", "sum"),
         total_r=("total_r", "sum"),
     )
-    promo_c = np.array(
-        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["promo_w"], agg["promo_r"])],
-        dtype=np.int64,
-    )
-    total_c = np.array(
-        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["total_w"], agg["total_r"])],
-        dtype=np.int64,
-    )
+    promo_c = _cents_from_lanes(agg["promo_w"], agg["promo_r"])
+    total_c = _cents_from_lanes(agg["total_w"], agg["total_r"])
     out = pd.DataFrame(
         {
             "month": agg["month"],
@@ -4337,10 +4339,7 @@ def q_brand_nation_revenue(sf_dir: str):
     agg = partials.groupby(["p_brand", "s_nationkey"], as_index=False).agg(
         rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
     )
-    rev_c = np.array(
-        [(int(w) * 10_000 + int(r) + 50) // 100 for w, r in zip(agg["rev_w"], agg["rev_r"])],
-        dtype=np.int64,
-    )
+    rev_c = _cents_from_lanes(agg["rev_w"], agg["rev_r"])
     out = pd.DataFrame(
         {
             "p_brand": agg["p_brand"],
@@ -4533,15 +4532,18 @@ def q_doc_stats_cube(sf_dir: str):
     (lang, source) integer partials (≤ langs×sources rows per batch), one
     tiny groupby merges them, and the driver expands the three coarser
     groupings from the finest cells — exact integer sums are re-aggregable,
-    so no second scan and no shuffle beyond the partial fold. NULL margin
-    markers are the string 'ALL' on both engines."""
+    so no second scan and no shuffle beyond the partial fold. NULL keys are
+    folded to '(null)' BEFORE grouping (pandas groupby would silently drop
+    them; the oracle COALESCEs identically pre-CUBE) and margin markers are
+    the string 'ALL' on both engines — both markers assume no genuine
+    lang/source value collides with them."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
         pdf = pd.DataFrame(
             {
-                "lang": t["lang"].to_numpy(zero_copy_only=False),
-                "source": t["source"].to_numpy(zero_copy_only=False),
+                "lang": pd.Series(t["lang"].to_numpy(zero_copy_only=False)).fillna("(null)"),
+                "source": pd.Series(t["source"].to_numpy(zero_copy_only=False)).fillna("(null)"),
                 "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
             }
         )
@@ -4557,7 +4559,7 @@ def q_doc_stats_cube(sf_dir: str):
         .groupby(["lang", "source"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
     ).to_pandas()
-    pieces = [cells.assign()]
+    pieces = [cells]
     for keys, fill in ((["lang"], "source"), (["source"], "lang"), ([], None)):
         if keys:
             m = cells.groupby(keys, as_index=False).agg(
@@ -6067,11 +6069,16 @@ ORACLE_SQL = {
         FROM r WHERE rk = 1 ORDER BY p_partkey
     """,
     "doc_stats_cube": """
+        WITH d AS (
+            SELECT COALESCE(lang, '(null)') AS lang,
+                   COALESCE(source, '(null)') AS source, n_chars
+            FROM documents
+        )
         SELECT COALESCE(lang, 'ALL') AS lang,
                COALESCE(source, 'ALL') AS source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        FROM documents
+        FROM d
         GROUP BY CUBE (lang, source)
         ORDER BY lang, source
     """,

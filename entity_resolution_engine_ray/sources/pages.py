@@ -355,7 +355,14 @@ def write_pages_warc(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> s
             )
             for row in chunk.to_pylist():
                 html = row["html"] or b""
-                ts = row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                # whole-second captures use the Common-Crawl-conventional form;
+                # sub-second timestamps keep their microseconds (WARC-Date
+                # allows fractional seconds) so the capture column round-trips
+                # losslessly at timestamp[us] precision
+                when = row["warc_ts"]
+                ts = when.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ" if when.microsecond == 0 else "%Y-%m-%dT%H:%M:%S.%fZ"
+                )
                 rid = hashlib.md5((row["url"] + ts).encode()).hexdigest()
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
@@ -411,6 +418,10 @@ def _parse_warc_bytes(blob: bytes) -> tuple[list[dict], int]:
             dropped += 1
             pos = head_end + 4
             continue
+        if clen < 0:  # a negative length would move pos BACKWARDS (infinite loop)
+            dropped += 1
+            pos = head_end + 4
+            continue
         payload = blob[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen + 4  # skip the two record-ending CRLFs
         if len(payload) < clen:
@@ -426,7 +437,9 @@ def _parse_warc_bytes(blob: bytes) -> tuple[list[dict], int]:
         http_split = payload.find(b"\r\n\r\n")
         html = payload[http_split + 4 :] if http_split >= 0 else payload
         try:
-            when = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+            when = datetime.strptime(
+                ts, "%Y-%m-%dT%H:%M:%S.%fZ" if "." in ts else "%Y-%m-%dT%H:%M:%SZ"
+            )
         except ValueError:
             dropped += 1
             continue

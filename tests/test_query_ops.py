@@ -561,3 +561,36 @@ def test_doc_term_rows_helper_contract():
     assert sorted(zip(d["doc_id"], d["term"])) == [
         (1, "a"), (1, "b"), (2, "c"), (3, "x\ty"),
     ]
+
+
+def test_doc_stats_cube_counts_null_keys(ray_session, tmp_path):
+    """NULL lang/source rows must be counted (as '(null)' groups), not
+    silently dropped by pandas groupby — and the oracle must agree."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.pipelines.queries import ORACLE_SQL, q_doc_stats_cube
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["aa", "bb", "cc", "dd"],
+            "lang": pa.array(["en", None, "en", "de"]),
+            "source": pa.array(["s1", "s1", None, "s2"]),
+            "n_chars": pa.array([2, 2, 2, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = _canon(q_doc_stats_cube(str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = _canon(con.execute(ORACLE_SQL["doc_stats_cube"]).df())
+    con.close()
+    _assert_match(got, exp)
+    # the grand total really counts all four rows
+    assert got.loc[
+        (got["lang"] == "ALL") & (got["source"] == "ALL"), "n_docs"
+    ].iloc[0] == 4

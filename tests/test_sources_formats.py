@@ -185,3 +185,56 @@ def test_read_pages_warc_skips_malformed_and_non_response(ray_session, tmp_path)
     got = read_pages(str(p), format="warc").to_pandas()
     assert got["url"].tolist() == ["http://ok/"]
     assert bytes(got["html"].iloc[0]) == b"<html>ok body</html>"
+
+
+def test_warc_negative_content_length_cannot_hang():
+    """A negative Content-Length must be dropped-and-counted, not move the
+    parse cursor backwards (the infinite-loop / bogus-row hazard)."""
+    from entity_resolution_engine_ray.sources.pages import _parse_warc_bytes
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2025-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://neg/\r\nContent-Length: -37\r\n\r\n"
+    )
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2025-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://ok/\r\nContent-Length: 39\r\n\r\n"
+        + b"HTTP/1.1 200 OK\r\n\r\n<html>ok body</html>" + b"\r\n\r\n"
+    )
+    rows, dropped = _parse_warc_bytes(bad + good)
+    assert [r["url"] for r in rows] == ["http://ok/"]
+    assert dropped == 1
+
+
+def test_warc_subsecond_timestamp_roundtrip(ray_session, tmp_path):
+    """timestamp[us] precision survives the WARC transport (fractional
+    WARC-Date is emitted only when needed; whole seconds stay in the
+    Common-Crawl-conventional form)."""
+    import pandas as pd
+
+    from entity_resolution_engine_ray.sources.pages import (
+        PAGES_SCHEMA,
+        write_pages_warc,
+    )
+
+    tbl = pa.table(
+        {
+            "url": ["http://a/", "http://b/"],
+            "warc_ts": pa.array(
+                [
+                    pd.Timestamp("2025-01-01T00:00:00.123456"),
+                    pd.Timestamp("2025-01-01T00:00:07"),
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "html": pa.array([b"<html>x</html>", b"<html>y</html>"], type=pa.binary()),
+            "text": ["x", "y"],
+            "lang": ["en", "en"],
+        }
+    ).cast(PAGES_SCHEMA)
+    out = write_pages_warc(tbl, str(tmp_path / "warcus"))
+    got = read_pages(out, format="warc").to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["warc_ts"].tolist() == [
+        pd.Timestamp("2025-01-01T00:00:00.123456"),
+        pd.Timestamp("2025-01-01T00:00:07"),
+    ]
