@@ -1783,6 +1783,67 @@ def q_knn_cosine_top10(sf_dir: str):
     return out
 
 
+def q_mmr_diverse_top10(sf_dir: str, pool: int = 50, k: int = 10, lam: float = 0.7):
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98)
+    — the curation pattern for picking eval/few-shot sets that are relevant
+    but not redundant. Scale shape: relevance is the SAME distributed
+    broadcast-query partial-top-k as knn_cosine_top10, widened to a
+    ``pool`` of 50 candidates; only those 50 vectors are then fetched by
+    predicate-pushdown read (the embedding table never reaches the driver)
+    and the inherently-sequential greedy re-rank runs on the driver over a
+    pool×pool sim matrix — MMR's data dependency chain (each pick needs
+    max-sim against all PRIOR picks) caps the parallel part at candidate
+    generation, which is where all the data volume lives. Rows-only by
+    design (greedy sequential selection has no SQL oracle); the serial pin
+    test recomputes the whole selection from a flat numpy scan."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.knn import knn_brute_force
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _query_vector(sf_dir)
+    cand = knn_brute_force(ds, q, k=pool, id_col="vec_id", exclude_ids={0})
+    ids = cand["vec_id"].to_numpy(np.int64)
+    rel = cand["cos"].to_numpy(np.float64)
+
+    vec_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())],
+    )
+    order = {int(v): i for i, v in enumerate(vec_tbl["vec_id"].to_pylist())}
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in vec_tbl["embedding"].to_pylist()])
+    m = m[[order[int(v)] for v in ids]]  # align rows to candidate order
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    sim = mn @ mn.T
+
+    picked: list[int] = []
+    scores: list[float] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        if picked:
+            max_sim = sim[:, picked].max(axis=1)
+        else:
+            max_sim = np.zeros(len(ids))
+        mmr = lam * rel - (1.0 - lam) * max_sim
+        mmr[~remaining] = -np.inf
+        # deterministic argmax: max score, ties -> min vec_id
+        best = np.lexsort((ids, -mmr))[0]
+        picked.append(int(best))
+        scores.append(float(mmr[best]))
+        remaining[best] = False
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+            "vec_id": ids[picked],
+            "rel": _rha(rel[picked], 6),
+            "mmr_score": _rha(np.array(scores), 6),
+        }
+    )
+
+
 def q_knn_int8_recall(sf_dir: str):
     """Scalar int8 quantization audit for the embedding store — the 4×
     memory/IO lever a 100-TB vector corpus takes before anything else, and
@@ -4698,6 +4759,7 @@ QUERIES = {
     "doc_pack_chunks": q_doc_pack_chunks,
     "approx_distinct_by_lang": q_approx_distinct_by_lang,
     "knn_cosine_top10": q_knn_cosine_top10,
+    "mmr_diverse_top10": q_mmr_diverse_top10,
     "reciprocal_nn": q_reciprocal_nn,
     "reciprocal_nn_ivf": q_reciprocal_nn_ivf,
     "embedding_near_dup": q_embedding_near_dup,

@@ -594,3 +594,47 @@ def test_doc_stats_cube_counts_null_keys(ray_session, tmp_path):
     assert got.loc[
         (got["lang"] == "ALL") & (got["source"] == "ALL"), "n_docs"
     ].iloc[0] == 4
+
+
+def test_mmr_diverse_matches_serial_and_diversifies(ray_session):
+    """MMR pin: the distributed-prefilter + driver-greedy path must equal a
+    flat single-process numpy recompute pick-for-pick, and the selection
+    must actually diverge from plain cosine top-10 (diversity bites on the
+    clustered embedding fixture)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.pipelines.queries import (
+        q_knn_cosine_top10,
+        q_mmr_diverse_top10,
+    )
+
+    got = q_mmr_diverse_top10(SF_DIR)
+    assert len(got) == 10 and list(got["rank"]) == list(range(1, 11))
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()])
+    q = m[ids.tolist().index(0)]
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    rel_all = (m @ qn) / norms
+    keep = ids != 0
+    ids, m, rel_all, norms = ids[keep], m[keep], rel_all[keep], norms[keep]
+    order = np.lexsort((ids, -rel_all))[:50]
+    ids, m, rel = ids[order], m[order], rel_all[order]
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    sim = mn @ mn.T
+    picked = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(10):
+        max_sim = sim[:, picked].max(axis=1) if picked else np.zeros(len(ids))
+        mmr = 0.7 * rel - 0.3 * max_sim
+        mmr[~remaining] = -np.inf
+        best = np.lexsort((ids, -mmr))[0]
+        picked.append(int(best))
+        remaining[best] = False
+    assert got["vec_id"].tolist() == ids[picked].tolist()
+
+    plain = q_knn_cosine_top10(SF_DIR)
+    assert set(got["vec_id"]) != set(plain["vec_id"]), "MMR never diversified"
