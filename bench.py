@@ -48,6 +48,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers occasionally echo a line to the driver's stdout (Ray
+        # prefixes remote-fn output); that would break the one-JSON-line
+        # stdout contract the bench driver parses
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
