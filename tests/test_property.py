@@ -241,3 +241,49 @@ def test_bpe_count_pairs_matches_serial(words, weights):
         for i in range(len(word) - 1):
             ref[word[i] * (1 << 22) + word[i + 1]] += n
     assert got_map == dict(ref)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048), st.integers(min_value=0, max_value=2047))
+def test_warc_parser_never_hangs_or_raises_on_garbage(blob, cut):
+    """Crawl-scale contract: _parse_warc_bytes must terminate and return
+    (rows, dropped) on ARBITRARY bytes — including truncations of valid
+    records spliced with garbage — never raise, never loop."""
+    from entity_resolution_engine_ray.sources.pages import _parse_warc_bytes
+
+    valid = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2025-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://ok/\r\nContent-Length: 39\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\n<html>ok body</html>\r\n\r\n"
+    )
+    for payload in (blob, valid[: cut % len(valid)] + blob, blob + valid):
+        rows, dropped = _parse_warc_bytes(payload)
+        assert isinstance(rows, list) and dropped >= 0
+        for r in rows:
+            assert isinstance(r["url"], str) and isinstance(r["html"], bytes)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**14), st.booleans()),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_cents_lane_recombine_equals_bigint_reference(vals, nsplit):
+    """The shared lane-split money finish: splitting 1e-4-dollar sums into
+    whole/remainder lanes per partition and recombining must equal exact
+    big-int cents arithmetic for ANY partitioning of the same rows."""
+    from entity_resolution_engine_ray.pipelines.queries import _cents_from_lanes
+
+    us = [u for u, _ in vals]
+    total = sum(us)
+    expect = (total + 50) // 100
+    # arbitrary partitioning: each partition contributes (w, r) lanes
+    parts = [us[i::nsplit] for i in range(nsplit)]
+    w_sum = sum(sum(p) // 10_000 for p in parts)
+    r_sum = sum(sum(p) % 10_000 for p in parts)
+    got = _cents_from_lanes([w_sum], [r_sum])[0]
+    assert int(got) == expect
