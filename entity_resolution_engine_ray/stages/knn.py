@@ -46,7 +46,10 @@ def _to_matrix(col) -> np.ndarray:
 def knn_brute_force(ds, query: np.ndarray, k: int, id_col: str = "vec_id", exclude_ids=frozenset()):
     """Exact cosine top-k. Returns a pandas DataFrame (id_col, cos)."""
     q = np.asarray(query, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    qnorm = np.linalg.norm(q)
+    if qnorm == 0:  # silent 0/0 would return k rows of NaN cos
+        raise ValueError("knn_brute_force: query vector has zero norm")
+    qn = q / qnorm
     exclude = set(exclude_ids)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -102,8 +105,19 @@ def cosine_near_dup_pairs(
     """SRP-LSH bucketed near-duplicate pairs with exact cosine verification.
 
     band_bits=8, 8 bands: P(bucket match) = (1 - θ/π)^8 per band; at
-    cos=0.95 (θ≈18°) ≈ 0.43/band → ≥98% recall over 8 bands."""
+    cos=0.95 (θ≈18°) ≈ 0.43/band → ≥98% recall over 8 bands. Thresholding
+    uses UNROUNDED cos and reports half-away 4 dp — identical semantics to
+    the exact twin ``cosine_all_pairs_exact``, so the LSH output is always
+    a value-exact subset of the exact output."""
+    if nbits % band_bits != 0:
+        raise ValueError(
+            f"nbits ({nbits}) must be divisible by band_bits ({band_bits}) — "
+            "leftover hyperplane bits would be silently discarded and the "
+            "documented per-band recall formula would not hold"
+        )
     feats = ds.materialize()
+    if feats.count() == 0:
+        return _empty_pairs_ds()
 
     def sig_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -161,50 +175,40 @@ def cosine_near_dup_pairs(
         import ray
 
         emb_pdf = feats.to_pandas()
-        ids = emb_pdf[id_col].to_numpy()
+        ids = emb_pdf[id_col].to_numpy().astype(np.int64)
         m = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = (m.T / norms).T
-        row_of = {int(i): r for r, i in enumerate(ids)}
-        mn_ref = ray.put(mn)
-        row_ref = ray.put(row_of)
+        # sorted ids + searchsorted row lookup: both broadcasts are numpy
+        # arrays (zero-copy from the object store per worker — a python
+        # id→row dict would re-unpickle on every batch and its footprint
+        # would dodge the broadcast size gate)
+        order = np.argsort(ids)
+        ids_ref = ray.put(ids[order])
+        mn_ref = ray.put(mn[order])
 
         def verify_broadcast(pdf: pd.DataFrame) -> pd.DataFrame:
             mat = ray.get(mn_ref)
-            rows = ray.get(row_ref)
-            li = pdf["left_id"].to_numpy()
-            ri = pdf["right_id"].to_numpy()
-            lrow = np.fromiter((rows[int(i)] for i in li), dtype=np.int64, count=len(li))
-            rrow = np.fromiter((rows[int(i)] for i in ri), dtype=np.int64, count=len(ri))
-            cos = np.round(np.einsum("ij,ij->i", mat[lrow], mat[rrow]), 6)
+            ids_sorted = ray.get(ids_ref)
+            li = pdf["left_id"].to_numpy(np.int64)
+            ri = pdf["right_id"].to_numpy(np.int64)
+            lrow = np.searchsorted(ids_sorted, li)
+            rrow = np.searchsorted(ids_sorted, ri)
+            cos = np.einsum("ij,ij->i", mat[lrow], mat[rrow])
             out = pdf.assign(cos=cos)
-            return out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
+            out = out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
+            out["cos"] = _round4(out["cos"].to_numpy())
+            return out
 
         return pairs.map_batches(verify_broadcast, batch_format="pandas")
 
-    def norm_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "id": pa.array([], type=pa.int64()),
-                    "emb": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
-        m = _to_matrix(t["embedding"])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = (m.T / norms).T
-        return pa.table(
-            {
-                "id": pa.array(
-                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), type=pa.int64()
-                ),
-                "emb": pa.array(list(mn), type=pa.list_(pa.float64())),
-            }
-        )
-
-    emb_norm = feats.map_batches(norm_rows, batch_format="pyarrow")
+    # shared vectorized normalize kernel (one fix point for offset/empty
+    # handling); materialized because BOTH attach cogroups consume it — a
+    # lazy map would re-run the full corpus normalization pass twice
+    emb_norm = feats.map_batches(
+        _norm_block, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    ).materialize()
 
     def attach(col_from: str, col_to: str):
         def fn(pairs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -237,9 +241,11 @@ def cosine_near_dup_pairs(
             )
         ml = np.vstack(pdf["emb_l"].to_numpy())
         mr = np.vstack(pdf["emb_r"].to_numpy())
-        cos = np.round(np.einsum("ij,ij->i", ml, mr), 6)
+        cos = np.einsum("ij,ij->i", ml, mr)
         out = pdf.assign(cos=cos)
-        return out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
+        out = out[out["cos"] >= threshold][["left_id", "right_id", "cos"]]
+        out["cos"] = _round4(out["cos"].to_numpy())
+        return out
 
     return with_both.map_batches(verify, batch_format="pandas")
 
@@ -321,7 +327,9 @@ def cosine_all_pairs_exact(ds, id_col: str = "vec_id", threshold: float = 0.95):
     if n_rows == 0:
         return _empty_pairs_ds()
     target_blocks = max(1, -(-n_rows // CHUNK))
-    if normed.num_blocks() > target_blocks:
+    # != not >: oversized input blocks must SPLIT too, or one fat upstream
+    # block turns a single _pair_task into an unbounded n×n matmul
+    if normed.num_blocks() != target_blocks:
         normed = normed.repartition(target_blocks).materialize()
     blocks = normed.to_arrow_refs()
 
@@ -516,7 +524,12 @@ def kmeans_assign(
         lab = np.argmax(mn @ cents.T, axis=1).astype(np.int64)
         return pa.table(
             {
-                id_col: t[id_col],
+                # cast: the empty-batch branch emits int64, and mixed block
+                # schemas (e.g. an int32 id column) break downstream unify
+                id_col: pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
                 "cluster": pa.array(lab, type=pa.int64()),
             }
         )
@@ -543,7 +556,10 @@ def knn_ivf(
     Approximate — recall grows with n_probe; n_probe == n_centroids
     degenerates to exact."""
     q = np.asarray(query, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    qnorm = np.linalg.norm(q)
+    if qnorm == 0:
+        raise ValueError("knn_ivf: query vector has zero norm")
+    qn = q / qnorm
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, len(q)))
     cents = (cents.T / np.linalg.norm(cents, axis=1)).T

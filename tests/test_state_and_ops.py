@@ -1081,3 +1081,96 @@ def test_mjpeg_avi_roundtrip_and_frame_sampling(ray_session):
         decode_avi_mjpeg(b"not an avi")
     with pytest.raises(NotImplementedError):
         frame_sample_stage(rd.from_arrow(tbl), decoder="ffmpeg")
+
+
+def test_cosine_near_dup_edge_contracts(ray_session):
+    """Review-pass pins: empty input returns a typed empty Dataset on BOTH
+    gate paths; indivisible nbits/band_bits raises instead of silently
+    discarding hyperplanes; a zero query vector raises in brute-force and
+    IVF instead of returning NaN rows."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import (
+        cosine_near_dup_pairs,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float64())),
+        }
+    )
+    for lim in (256 << 20, 0):
+        out = cosine_near_dup_pairs(rd.from_arrow(empty), broadcast_limit_bytes=lim)
+        assert out.count() == 0
+        assert [f.name for f in out.schema().base_schema] == ["left_id", "right_id", "cos"]
+
+    with pytest.raises(ValueError, match="divisible"):
+        cosine_near_dup_pairs(rd.from_arrow(empty), nbits=64, band_bits=12)
+
+    some = pa.table(
+        {
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        knn_brute_force(rd.from_arrow(some), np.zeros(2), k=1)
+    with pytest.raises(ValueError, match="zero norm"):
+        knn_ivf(rd.from_arrow(some), np.zeros(2), k=1)
+
+
+def test_cosine_lsh_pairs_are_value_exact_subset_of_exact_twin(ray_session):
+    """Harmonized threshold semantics: every LSH-found pair must appear in
+    the exact all-pairs output with the IDENTICAL 4dp cos value (both paths
+    threshold on unrounded cos and report half-away 4dp)."""
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import (
+        cosine_all_pairs_exact,
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    vecs = np.vstack([base, base + 0.01 * rng.standard_normal((30, 16))])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    lsh = cosine_near_dup_pairs(ds, threshold=0.9, num_partitions=4).to_pandas()
+    exact = cosine_all_pairs_exact(ds, threshold=0.9).to_pandas()
+    key = lambda df: set(zip(df["left_id"], df["right_id"], df["cos"]))
+    assert len(lsh) >= 30
+    assert key(lsh) <= key(exact)
+
+
+def test_kmeans_assign_int32_ids_unify(ray_session):
+    """An int32 id column must not produce mixed int32/int64 block schemas
+    (the empty-batch branch emits int64)."""
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int32()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in rng.standard_normal((40, 8))],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = kmeans_assign(rd.from_arrow(tbl), n_clusters=4, n_iters=2).to_pandas()
+    assert len(out) == 40
+    assert str(out["vec_id"].dtype) == "int64"
