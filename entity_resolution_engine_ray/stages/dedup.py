@@ -58,8 +58,13 @@ class _DedupFeatures:
             # near-dup contract: the sketch approximates shingle Jaccard,
             # the verify pass computes it exactly). char_ngram mode verifies
             # gram-set Jaccard. NB sort AFTER the int64 reinterpret.
-            token_ids_col.append(np.sort(np.unique(sh).view(np.int64)))
-            sig = minhash_signature(sh, *self.coeffs)
+            uniq = np.unique(sh)
+            token_ids_col.append(np.sort(uniq.view(np.int64)))
+            # unique grams only: MinHash is duplicate-invariant, and the
+            # (num_perm × n) permute temp scales with n — boilerplate-heavy
+            # char-ngram docs repeat windows heavily, so the raw window
+            # array can be orders of magnitude larger than its gram set
+            sig = minhash_signature(uniq, *self.coeffs)
             keys_col.append(lsh_band_keys(sig, self.bands))
         if len(self.cache) > 2_000_000:
             self.cache.clear()
@@ -164,6 +169,23 @@ _VERIFY_SCHEMA = pa.schema(
         ("is_marker", pa.bool_()),
     ]
 )
+
+
+def _verify_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-batch (dropped total, non-marker survivor count) over a verify
+    output — shared by the single-corpus and cross-corpus edge tails so the
+    marker/dropped accounting can never drift between them."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "dropped": pa.array([pc.sum(t["dropped"]).as_py() or 0], type=pa.int64()),
+            "n_real": pa.array(
+                [t.num_rows - (pc.sum(pc.cast(t["is_marker"], pa.int64())).as_py() or 0)],
+                type=pa.int64(),
+            ),
+        }
+    )
 
 
 def _marker_table(dropped: int) -> pa.Table:
@@ -295,9 +317,19 @@ def near_dup_edges(
     one slim dedup exchange."""
     import ray.data as rd
 
+    if bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of bands ({bands}) — "
+            "bands > num_perm degenerates every band key to a constant "
+            "(whole corpus in one bucket) and a remainder silently discards "
+            "permutations"
+        )
+    # materialize once: the count guard, the featurize pass (and, in
+    # near_dup_clusters, the ids_only attach) would otherwise each re-run
+    # an unmaterialized upstream pipeline
+    ds = ds.materialize()
     # zero-row inputs skip lazy transforms, leaving blocks with the SOURCE
     # schema — the exchange would then see no block_key column; short-circuit
-    # (source count is metadata-cheap for parquet/arrow inputs)
     if ds.count() == 0:
         empty = pa.table(
             {
@@ -362,20 +394,7 @@ def near_dup_edges(
     # ONE pass over raw computes both the dropped total (over ALL rows —
     # is_marker rows exist exactly so a partition with drops but no
     # surviving pair still reports them) and the survivor count
-    def _stats(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "dropped": pa.array([pc.sum(t["dropped"]).as_py() or 0], type=pa.int64()),
-                "n_real": pa.array(
-                    [t.num_rows - (pc.sum(pc.cast(t["is_marker"], pa.int64())).as_py() or 0)],
-                    type=pa.int64(),
-                ),
-            }
-        )
-
-    parts = raw.map_batches(_stats, batch_format="pyarrow").take_all()
+    parts = raw.map_batches(_verify_stats_batch, batch_format="pyarrow").take_all()
     dropped = sum(r["dropped"] for r in parts)
     n_real = sum(r["n_real"] for r in parts)
     edges = raw.filter(expr="is_marker == False")
@@ -493,6 +512,7 @@ def near_dup_clusters(
         connected_components_labelprop_ids,
     )
 
+    ds = ds.materialize()  # consumed by the guard, near_dup_edges AND ids_only
     if ds.count() == 0:
         return rd.from_arrow(
             pa.table(
@@ -600,6 +620,19 @@ def simhash_stage(ds, id_col="doc_id", text_col="text"):
 def exact_dedup(ds, id_col: str, content_col: str, num_partitions: int | None = None):
     """Exact dedup: hash-partition on a 64-bit content hash, keep min id per
     group (first-per-key). Returns (id, n_dupes)."""
+    import ray.data as rd
+
+    # zero-row inputs skip the lazy hash map, so the exchange would hand
+    # first_per_key a SOURCE-schema frame with no 'h' column
+    if ds.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_dupes": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = pa.array([stable_hash64(x or "") for x in t[content_col].to_pylist()], type=pa.int64())
@@ -680,8 +713,10 @@ def simhash_near_dup_pairs(
         starts = np.r_[0, change]
         ends = np.r_[change, len(pdf)]
         lefts, rights, hams = [], [], []
+        truncated = 0
         for s, e in zip(starts, ends):
             m = min(e - s, bucket_cap)
+            truncated += (e - s) - m
             if m < 2:
                 continue
             ii, jj = np.triu_indices(m, k=1)
@@ -692,6 +727,16 @@ def simhash_near_dup_pairs(
             lefts.append(sub_ids[ii[keep]])
             rights.append(sub_ids[jj[keep]])
             hams.append(h[keep].astype(np.int64))
+        if truncated:  # counted, never silent (same contract as _pairs_partition)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_dup_pairs: %d bucket members beyond bucket_cap %d "
+                "truncated in one partition (recall guarantee voided for them; "
+                "lift with the stages/pairs salting pattern)",
+                truncated,
+                bucket_cap,
+            )
         if not lefts:
             return empty_pairs.copy()
         return pd.DataFrame(
@@ -794,6 +839,7 @@ def cross_corpus_near_dup_pairs(
     mode: str = "token_shingle",
     max_block_size: int = 256,
     num_partitions: int | None = None,
+    featurize_batch_size: int = 512,
 ):
     """Incremental NEAR-dup screen: (new_id, old_id, jaccard) for every new
     doc whose k-shingle Jaccard against some ingested doc clears
@@ -807,6 +853,10 @@ def cross_corpus_near_dup_pairs(
     jaccard), dropped_pair_count)."""
     import ray.data as rd
 
+    if bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of bands ({bands})"
+        )
     kw = {
         "id_col": id_col,
         "text_col": text_col,
@@ -839,10 +889,10 @@ def cross_corpus_near_dup_pairs(
 
     feats = (
         new_ds.map_batches(_dedup_featurize_batch, fn_kwargs=kw, batch_format="pyarrow",
-                           batch_size=512).map_batches(tag(1), batch_format="pyarrow")
+                           batch_size=featurize_batch_size).map_batches(tag(1), batch_format="pyarrow")
         .union(
             old_ds.map_batches(_dedup_featurize_batch, fn_kwargs=kw, batch_format="pyarrow",
-                               batch_size=512).map_batches(tag(0), batch_format="pyarrow")
+                               batch_size=featurize_batch_size).map_batches(tag(0), batch_format="pyarrow")
         )
         .materialize()
     )
@@ -868,20 +918,7 @@ def cross_corpus_near_dup_pairs(
         arrow_fns=True,
     ).materialize()
 
-    def _stats(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "dropped": pa.array([pc.sum(t["dropped"]).as_py() or 0], type=pa.int64()),
-                "n_real": pa.array(
-                    [t.num_rows - (pc.sum(pc.cast(t["is_marker"], pa.int64())).as_py() or 0)],
-                    type=pa.int64(),
-                ),
-            }
-        )
-
-    parts = raw.map_batches(_stats, batch_format="pyarrow").take_all()
+    parts = raw.map_batches(_verify_stats_batch, batch_format="pyarrow").take_all()
     dropped = sum(r["dropped"] for r in parts)
     n_real = sum(r["n_real"] for r in parts)
     if n_real == 0:

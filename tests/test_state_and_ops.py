@@ -1174,3 +1174,37 @@ def test_kmeans_assign_int32_ids_unify(ray_session):
     out = kmeans_assign(rd.from_arrow(tbl), n_clusters=4, n_iters=2).to_pandas()
     assert len(out) == 40
     assert str(out["vec_id"].dtype) == "int64"
+
+
+def test_dedup_review_guards(ray_session):
+    """Review-pass pins: exact_dedup on a zero-row dataset returns a typed
+    empty result instead of a KeyError on the missing hash column; an
+    indivisible or oversized bands/num_perm configuration raises on both
+    the single-corpus and cross-corpus entry points instead of silently
+    degenerating every band key."""
+    import pytest
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.dedup import (
+        cross_corpus_near_dup_pairs,
+        exact_dedup,
+        near_dup_edges,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+    )
+    out = exact_dedup(empty, "doc_id", "text")
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == ["doc_id", "n_dupes"]
+
+    for bad in ({"num_perm": 32, "bands": 64}, {"num_perm": 63, "bands": 20}):
+        with pytest.raises(ValueError, match="multiple of bands"):
+            near_dup_edges(empty, **bad)
+        with pytest.raises(ValueError, match="multiple of bands"):
+            cross_corpus_near_dup_pairs(empty, empty, **bad)
