@@ -40,15 +40,43 @@ import ray
 import ray.data as rd
 
 _FNV = np.uint64(1099511628211)
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+_HASH_KEY = "0123456789abcdef"
+
+
+def _key_hash_column(col, n_rows: int) -> np.ndarray:
+    """Dtype-STABLE uint64 hash of one key column.
+
+    A block's null pattern must never change where a VALUE hashes:
+    ``to_numpy`` turns a nulled int/bool column into float64/object, and
+    ``pd.util.hash_array(5.0) != hash_array(5)`` — the same key would land
+    in different partitions depending on which block it shares with a null
+    (verified: groups silently split). Integer/boolean columns therefore
+    hash their int64 cast with nulls masked to a fixed constant; float,
+    temporal and object columns keep a stable numpy dtype under nulls
+    already (NaN/NaT/None hash deterministically)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+        vals = col.cast(pa.int64())
+        if vals.null_count:
+            mask = pc.is_null(vals).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(
+                vals.fill_null(0).to_numpy(zero_copy_only=False), hash_key=_HASH_KEY
+            )
+            h[mask] = _NULL_HASH
+            return h
+        return pd.util.hash_array(vals.to_numpy(zero_copy_only=False), hash_key=_HASH_KEY)
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False), hash_key=_HASH_KEY)
 
 
 def _partition_hash(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         h = np.zeros(tbl.num_rows, dtype=np.uint64)
         for c in key_cols:
-            h = h * _FNV + pd.util.hash_array(
-                tbl[c].to_numpy(zero_copy_only=False), hash_key="0123456789abcdef"
-            )
+            h = h * _FNV + _key_hash_column(tbl[c], tbl.num_rows)
         return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
@@ -63,7 +91,7 @@ def _arrow_refs(ds) -> list:
     batch_format="pyarrow" / read_parquet / from_arrow_refs), so the
     zero-copy path is guaranteed and the probe is pure waste: flatten the
     ref bundles directly."""
-    return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
+    return _arrow_refs_counted(ds)[0]
 
 
 def _arrow_refs_counted(ds) -> tuple[list, int | None]:
@@ -94,6 +122,20 @@ def _coalesce_refs(refs: list, max_groups: int) -> list[list]:
     g = min(n, max_groups)
     bounds = np.linspace(0, n, g + 1).astype(int)
     return [refs[bounds[i] : bounds[i + 1]] for i in range(g) if bounds[i] < bounds[i + 1]]
+
+
+def _empty_block_like(ds) -> pa.Table:
+    """Typed zero-row table matching ``ds``'s schema (a dataset with zero
+    block refs is already fully executed, so the schema fetch is free);
+    falls back to a column-less table when even the schema is unknown."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return base.empty_table()
+    except Exception:  # noqa: BLE001 - schema probe must never kill the exchange
+        pass
+    return pa.table({})
 
 
 def _ensure_table(block) -> pa.Table:
@@ -186,12 +228,22 @@ def hash_exchange_cogroup(
     row count (free — block metadata), CPU floor when metadata is absent."""
     l_refs, l_rows = _arrow_refs_counted(left_ds)
     r_refs, r_rows = _arrow_refs_counted(right_ds)
+    # a zero-block side must still reach fn as a TYPED empty frame — with
+    # no left sub-tables the reduce fallback would otherwise hand fn the
+    # first RIGHT sub-table as its left argument (and an empty right side
+    # would IndexError); synthesize one empty block from the side's schema
+    if not l_refs:
+        l_refs = [ray.put(_empty_block_like(left_ds))]
+        l_rows = 0
+    if not r_refs:
+        r_refs = [ray.put(_empty_block_like(right_ds))]
+        r_rows = 0
     if num_partitions is None:
         from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-        hint = None
-        if l_rows is not None or r_rows is not None:
-            hint = max(l_rows or 0, r_rows or 0)
+        # either side metadata-less → no hint (CPU floor): a known-small
+        # side must not collapse the width under an unknown-LARGE one
+        hint = None if (l_rows is None or r_rows is None) else max(l_rows, r_rows)
         num_partitions = auto_partitions(hint)
     max_groups = _default_split_tasks()
     l_splits = [
@@ -294,6 +346,10 @@ def hash_exchange_chained(
     ``arrow_fns``: both fns take and return ``pa.Table`` (no pandas
     round-trip — see ``_reduce_partition_arrow``).
     """
+    if p1 < 1 or p2 < 1:
+        raise ValueError(
+            f"hash_exchange_chained: partition counts must be >= 1 (got p1={p1}, p2={p2})"
+        )
     block_refs = _arrow_refs(ds)
     if not block_refs:
         return rd.from_items([]), 0

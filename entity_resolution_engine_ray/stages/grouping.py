@@ -51,16 +51,14 @@ def auto_partitions(
 
 def _add_partition_col(batch, key_cols: list[str], num_partitions: int):
     """Arrow-native: only the key columns are pulled to numpy; the partition
-    id is appended zero-copy (no pandas conversion of the full batch)."""
+    id is appended zero-copy (no pandas conversion of the full batch). The
+    hash IS ``exchange._partition_hash`` — one shared kernel, so the
+    impl='exchange' / impl='sort' equivalence can never drift."""
     import pyarrow as pa
 
-    with np.errstate(over="ignore"):  # wraparound is fine for a partitioner
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in key_cols:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                batch[c].to_numpy(zero_copy_only=False), hash_key="0123456789abcdef"
-            )
-        pg = (h % np.uint64(num_partitions)).astype(np.int32)
+    from entity_resolution_engine_ray.stages.exchange import _partition_hash
+
+    pg = _partition_hash(batch, key_cols, num_partitions).astype(np.int32)
     return batch.append_column("__pg", pa.array(pg, type=pa.int32()))
 
 
