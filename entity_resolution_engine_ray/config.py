@@ -121,3 +121,20 @@ class PagesERConfig:
     max_cc_iterations: int = 50
     score_batch_size: int = 4096
     score_concurrency: int | None = None  # None → let Ray autoscale the pool
+
+    def __post_init__(self):
+        # cap 0 would silently drop EVERY pair (and a cap-starved partition
+        # loses its dropped-count row); catch the misconfiguration at
+        # construction, not deep inside a Ray task
+        if self.pair_sample_cap < 1:
+            raise ValueError(
+                f"pair_sample_cap must be >= 1 (got {self.pair_sample_cap})"
+            )
+        if self.max_block_size < 2:
+            raise ValueError(
+                f"max_block_size must be >= 2 (got {self.max_block_size})"
+            )
+        if self.bands > self.num_perm or self.num_perm % self.bands != 0:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must be a multiple of bands ({self.bands})"
+            )

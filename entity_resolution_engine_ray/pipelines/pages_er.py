@@ -78,9 +78,14 @@ def run_pages_er(
             features = store.write(features, "features", phash)
 
     # ---- stage 3+4: candidate pairs + score + gate, fused into one
-    # fat-block shuffle (stages/score.fused_edges_stage — identical pair and
-    # score semantics to the slim pairgen + join + PairScorer chain, ~4×
-    # less shuffle traffic)
+    # fat-block shuffle (stages/score.fused_edges_stage, ~4× less shuffle
+    # traffic than the slim pairgen + join + PairScorer chain). Semantics
+    # match the slim chain on every pinned fixture, with two documented
+    # divergences at the margins: cap truncation orders members by url_HASH
+    # (the chain orders by url string), so an over-cap sub-block may keep a
+    # different first-`cap` pair set; and Jaccard runs over 32-bit hashed
+    # token ids (exact parity with the serial oracle, which shares the
+    # hash — but a token-string scorer would differ on hash collisions).
     if resume and store.is_done("edges", phash):
         edges = store.read("edges")
         dropped = store.manifest("edges").get("dropped_pairs", 0)
@@ -306,7 +311,7 @@ def run_pages_er_incremental(
 
         # ---- rescore ONLY touched blocks over the unioned corpus
         edges_new, dropped_new = fused_edges_stage(
-            features, cfg, key_filter=touched
+            features, cfg, num_partitions=num_partitions, key_filter=touched
         )
 
         # ---- edge union + exact dedup on the id pair
@@ -319,12 +324,18 @@ def run_pages_er_incremental(
             dedup_pairs,
             num_partitions or 16,
         )
+        # dropped-pair accounting accumulates ACROSS folds (keeping only
+        # the new batch's would silently degrade the count over a chain of
+        # folds). Upper bound: an over-cap block that is ALSO touched has
+        # its drops counted in both terms — exact subtraction would need
+        # per-block drop attribution, which the slim count doesn't carry.
+        dropped_prev = int(prev.manifest("edges").get("dropped_pairs", 0) or 0)
         store.write(
             edges,
             "edges",
             phash,
             extra={
-                "dropped_pairs": dropped_new,
+                "dropped_pairs": dropped_prev + dropped_new,
                 "incremental_from": prev_out_dir,
                 "touched_blocks": int(len(touched)),
             },

@@ -8,7 +8,7 @@ strings never enter the pair shuffle, the scored output, or the edge-dedup
 exchange — they rejoin from the features side table after clustering);
 each partition generates pairs (salted, capped, drop-counted), pre-dedups,
 and scores fully vectorized: SimHash via uint64 XOR + popcount, Jaccard
-via the grouped int64 ``searchsorted`` kernel (``_grouped_jaccard``),
+via the grouped int64 ``searchsorted`` kernel (``_grouped_jaccard_flat``),
 Jaro-Winkler via the length-bucketed batch kernel over unique title pairs.
 Legacy SLOW path: ``score_stage`` (pair list ⋈ features ×2 hash joins →
 ``PairScorer`` actor pool) kept only for composability with external
@@ -51,17 +51,27 @@ def triu_pairs(m: int) -> tuple[np.ndarray, np.ndarray]:
     return out
 
 
+def _jw_from_codes(
+    cl: np.ndarray, cr: np.ndarray, dict_l: np.ndarray, dict_r: np.ndarray
+) -> np.ndarray:
+    """Jaro-Winkler per pair, computed once per UNIQUE (left, right) code
+    pair — the ONE decode kernel shared by the fused path (dictionary-
+    encoded titles) and the legacy PairScorer (factorized titles), so the
+    zero-length-dictionary guard can never drift between them."""
+    nd = np.int64(max(len(dict_r), 1))
+    code = cl.astype(np.int64) * nd + cr
+    uniq, inv = np.unique(code, return_inverse=True)
+    return jaro_winkler_batch(dict_l[uniq // nd], dict_r[uniq % nd])[inv]
+
+
 def _jw_unique_pairs(titles_l: np.ndarray, titles_r: np.ndarray) -> np.ndarray:
-    """Jaro-Winkler per pair, computed once per UNIQUE (left, right) title
-    pair via factorize + the vectorized batch kernel."""
+    """Jaro-Winkler per pair over raw title arrays (factorize + shared
+    unique-pair decode)."""
     import pandas as pd
 
     ca, ua = pd.factorize(titles_l)
     cb, ub = pd.factorize(titles_r)
-    code = ca.astype(np.int64) * np.int64(len(ub)) + cb
-    uniq, inv = np.unique(code, return_inverse=True)
-    jw_u = jaro_winkler_batch(ua[uniq // len(ub)], ub[uniq % len(ub)])
-    return jw_u[inv]
+    return _jw_from_codes(ca, cb, np.asarray(ua), np.asarray(ub))
 
 
 class PairScorer:
@@ -162,47 +172,6 @@ def score_stage(pairs_ds, features_ds, cfg: PagesERConfig | None = None, num_par
     )
 
 
-def _grouped_jaccard(
-    arrs: np.ndarray, lens: np.ndarray, lidx: np.ndarray, ridx: np.ndarray
-) -> np.ndarray:
-    """Exact Jaccard over sorted-unique int64 token-id arrays for a pair
-    list, vectorized by LEFT doc: one ``searchsorted`` per (left doc,
-    concatenated partners) group instead of one Python set op per pair —
-    all hot work is sequential numpy over int arrays (no Python string/set
-    objects, which thrash worker heaps under full-node concurrency)."""
-    n = len(lidx)
-    if n == 0:
-        return np.empty(0, dtype=np.float64)
-    order = np.argsort(lidx, kind="stable")
-    lo, ro = lidx[order], ridx[order]
-    bounds = np.r_[0, np.flatnonzero(lo[1:] != lo[:-1]) + 1, n]
-    inter = np.zeros(n, dtype=np.int64)
-    for gi in range(len(bounds) - 1):
-        s, e = bounds[gi], bounds[gi + 1]
-        A = arrs[lo[s]]
-        if len(A) == 0:
-            continue
-        parts = [arrs[r] for r in ro[s:e]]
-        blens = np.fromiter((len(b) for b in parts), dtype=np.int64, count=len(parts))
-        nz = np.flatnonzero(blens)
-        if len(nz) == 0:
-            continue
-        cat = np.concatenate([parts[i] for i in nz])
-        pos = np.searchsorted(A, cat)
-        pos[pos >= len(A)] = len(A) - 1
-        hit = (A[pos] == cat).astype(np.int64)
-        # reduceat is undefined for zero-length segments — they were filtered
-        # out above and stay at inter == 0
-        cuts = np.r_[0, np.cumsum(blens[nz])[:-1]]
-        inter[s + nz] = np.add.reduceat(hit, cuts)
-    la, lb = lens[lo], lens[ro]
-    union = la + lb - inter
-    jac_o = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-    jac = np.empty(n, dtype=np.float64)
-    jac[order] = jac_o
-    return jac
-
-
 _EDGE_SCHEMA = pa.schema(
     [
         ("left_id", pa.int64()),
@@ -221,7 +190,7 @@ _EDGE_SCHEMA = pa.schema(
 def _grouped_jaccard_flat(
     tvals: np.ndarray, tstarts: np.ndarray, tlens: np.ndarray, lidx: np.ndarray, ridx: np.ndarray
 ) -> np.ndarray:
-    """``_grouped_jaccard`` over a FLAT token-id layout: doc i's sorted
+    """Grouped exact Jaccard over a FLAT token-id layout: doc i's sorted
     unique ids are ``tvals[tstarts[i] : tstarts[i]+tlens[i]]``. Consuming
     the Arrow ListArray's (values, offsets) buffers directly skips the
     to_pandas conversion that would allocate one numpy object per row.
@@ -335,6 +304,8 @@ def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
     lidx = np.concatenate(li)
     ridx = np.concatenate(ri)
     okey = np.concatenate(okeys)
+    if lidx.size == 0:  # cap=0 edge: appended slices can all be empty
+        return _EDGE_SCHEMA.empty_table()
     # partition-local pre-dedup (same pair emitted by several bands that
     # hashed into this partition): keep min block_key, skip re-scoring.
     # The global cross-partition dedup still runs downstream.
@@ -349,11 +320,7 @@ def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
         np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
     ) / 64.0
     jac = _grouped_jaccard_flat(tvals, tstarts, tlens, lidx, ridx)
-    nd = np.int64(max(len(tdict), 1))
-    code = tcodes[lidx] * nd + tcodes[ridx]
-    uniq, inv = np.unique(code, return_inverse=True)
-    jw_u = jaro_winkler_batch(tdict[uniq // nd], tdict[uniq % nd])
-    jw = jw_u[inv]
+    jw = _jw_from_codes(tcodes[lidx], tcodes[ridx], tdict, tdict)
 
     score = cfg.weight_jaccard * jac + cfg.weight_simhash * sim_sim + cfg.weight_title * jw
     gray_label = "gray_approve" if cfg.fallback_mode == "auto_approve" else "review"
@@ -502,23 +469,32 @@ def gate_metrics(edges_ds) -> dict:
     counts: dict[str, int] = {}
     for row in edges_ds.map_batches(partial, batch_format="pyarrow").take_all():
         counts[row["decision"]] = counts.get(row["decision"], 0) + row["n"]
-    approved = counts.get("auto_approve", 0) + counts.get("gray_approve", 0)
+    # post-validation edges carry llm_approve/llm_reject (stages/validate
+    # rewrites gray-zone 'review' rows) — they must count toward totals and
+    # the gray-zone figures, or every metric shrinks when validation is on
+    llm_match = counts.get("llm_approve", 0)
+    llm_no_match = counts.get("llm_reject", 0)
+    approved = counts.get("auto_approve", 0) + counts.get("gray_approve", 0) + llm_match
     review = counts.get("review", 0)
-    rejected = counts.get("reject", 0)
+    rejected = counts.get("reject", 0) + llm_no_match
     total = approved + review + rejected
+    llm_ran = (llm_match + llm_no_match) > 0
     return {
         "total_candidates": total,
         "auto_match_count": counts.get("auto_approve", 0),
-        "auto_reject_count": rejected,
-        "gray_zone_sent_count": counts.get("gray_approve", 0) + review,
-        "llm_match_count": 0,
-        "llm_no_match_count": 0,
+        "auto_reject_count": counts.get("reject", 0),
+        "gray_zone_sent_count": counts.get("gray_approve", 0)
+        + review
+        + llm_match
+        + llm_no_match,
+        "llm_match_count": llm_match,
+        "llm_no_match_count": llm_no_match,
         "llm_review_count": review,
-        "llm_call_count": 0,
+        "llm_call_count": llm_match + llm_no_match,
         "llm_error_count": 0,
         "llm_invalid_json_retry_count": 0,
         "llm_avg_latency_ms": None,
         "llm_fallback_mode": None,
-        "llm_disabled_reason": "llm_unavailable",
+        "llm_disabled_reason": None if llm_ran else "llm_unavailable",
         "approved_count": approved,
     }

@@ -108,3 +108,56 @@ def test_llm_validator_factory_distributed(ray_session):
     by_pair = {(r.left_id, r.right_id): r.decision for r in out.itertuples()}
     assert by_pair[(1, 11)] == "llm_approve"
     assert by_pair[(2, 12)] == "llm_reject"
+
+
+def test_gate_metrics_counts_llm_decisions(ray_session):
+    """Post-validation edges carry llm_approve/llm_reject — run metrics
+    must count them in totals, gray-zone, and the llm_* fields (they
+    previously vanished, shrinking every rate the quality gates check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.score import gate_metrics
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "decision": pa.array(
+                    ["auto_approve"] * 5
+                    + ["reject"] * 3
+                    + ["llm_approve"] * 2
+                    + ["llm_reject"] * 1
+                    + ["review"] * 1
+                )
+            }
+        )
+    )
+    m = gate_metrics(edges)
+    assert m["total_candidates"] == 12
+    assert m["auto_match_count"] == 5 and m["auto_reject_count"] == 3
+    assert m["llm_match_count"] == 2 and m["llm_no_match_count"] == 1
+    assert m["llm_call_count"] == 3 and m["llm_review_count"] == 1
+    assert m["gray_zone_sent_count"] == 4  # llm-decided + still-review
+    assert m["approved_count"] == 7  # auto + llm approvals
+    assert m["llm_disabled_reason"] is None
+
+    # pre-validation edges: unchanged semantics, llm fields zero
+    plain = rd.from_arrow(
+        pa.table({"decision": pa.array(["auto_approve", "reject", "review"])})
+    )
+    m2 = gate_metrics(plain)
+    assert m2["total_candidates"] == 3 and m2["llm_call_count"] == 0
+    assert m2["llm_disabled_reason"] == "llm_unavailable"
+
+
+def test_config_validation_rejects_degenerate_caps():
+    import pytest
+
+    from entity_resolution_engine_ray.config import PagesERConfig
+
+    with pytest.raises(ValueError, match="pair_sample_cap"):
+        PagesERConfig(pair_sample_cap=0)
+    with pytest.raises(ValueError, match="max_block_size"):
+        PagesERConfig(max_block_size=1)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        PagesERConfig(bands=64)
