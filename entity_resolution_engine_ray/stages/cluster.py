@@ -51,6 +51,34 @@ def _swap(batch: pa.Table) -> pa.Table:
     return pa.table({"src": batch["dst"], "dst": batch["src"]})
 
 
+class _IntUnionFind:
+    """Int-keyed path-halving union-find with min-root union — the ONE copy
+    of the kernel shared by the per-partition spanning forests and the
+    driver fold (its safety hinges on the subtle invariant that every
+    stored parent value is itself a key; keeping multiple copies in sync
+    invites drift)."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent.setdefault(p, p)
+            x = p
+            p = parent[x]
+        return x
+
+    def union(self, u: int, v: int) -> None:
+        ru, rv = self.find(u), self.find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            self.parent[hi] = lo
+
+
 @ray.remote
 def _lp_init(url_part: pa.Table) -> pa.Table:
     """(url, node) partition → initial labels: label(v) = v over the unique
@@ -91,21 +119,42 @@ def _cast_int_edges(t: pa.Table) -> pa.Table:
     )
 
 
+def _np_col(t: pa.Table, name: str) -> np.ndarray:
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 @ray.remote
 def _lp_propagate(edges_part: pa.Table, labels_part: pa.Table) -> pa.Table:
     """One stationary edge partition (by src) × its co-located labels →
-    per-dst min candidate labels."""
-    e = edges_part.to_pandas()
-    l = labels_part.to_pandas()
-    if e.empty or l.empty:
-        return pa.table(
-            {"dst": pa.array([], type=pa.int64()), "cand": pa.array([], type=pa.int64())}
-        )
-    m = e.merge(l, left_on="src", right_on="node", how="inner")
-    g = m.groupby("dst", as_index=False)["label"].min()
-    return pa.Table.from_pandas(
-        g.rename(columns={"label": "cand"}), preserve_index=False
-    ).replace_schema_metadata(None)
+    per-dst min candidate labels.
+
+    The edge partition is immutable and LARGE — a per-round ``to_pandas``
+    would memcpy the whole directed edge list every round. Instead the
+    src/dst int64 columns come out zero-copy and the label lookup is a
+    searchsorted against the (much smaller) sorted label table; only the
+    matched subset ever becomes a frame."""
+    if edges_part.num_rows == 0 or labels_part.num_rows == 0:
+        return _EMPTY_CAND
+    src = _np_col(edges_part, "src")
+    dst = _np_col(edges_part, "dst")
+    nodes = _np_col(labels_part, "node")
+    labs = _np_col(labels_part, "label")
+    o = np.argsort(nodes, kind="stable")
+    ns, ls = nodes[o], labs[o]
+    pos = np.searchsorted(ns, src)
+    pos[pos >= len(ns)] = len(ns) - 1
+    hit = ns[pos] == src
+    if not hit.any():
+        return _EMPTY_CAND
+    g = (
+        pd.DataFrame({"dst": dst[hit], "cand": ls[pos[hit]]})
+        .groupby("dst", as_index=False)["cand"]
+        .min()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 _EMPTY_CAND = pa.table(
@@ -213,12 +262,23 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
     parallelism). Cost: one speculative wave runs after the fixpoint
     round — harmless, because a fixpoint is stable under propagate / jump
     / hook, so the speculative wave's labels are identical."""
-    from entity_resolution_engine_ray.stages.exchange import _split_block
+    from entity_resolution_engine_ray.stages.exchange import (
+        _coalesce_refs,
+        _default_split_tasks,
+        _split_block,
+    )
+
+    def _split_grouped(refs, key):
+        # coalesce candidate refs into bounded split groups — one split task
+        # PER REF would create O(P²) object refs per round (each split has
+        # num_returns=P) and drown the scheduler at high parallelism
+        return [
+            _split_block.options(num_returns=P).remote([key], P, *group)
+            for group in _coalesce_refs(list(refs), _default_split_tasks())
+        ]
 
     def _refine_with(cand_refs, parts):
-        splits = [
-            _split_block.options(num_returns=P).remote(["dst"], P, c) for c in cand_refs
-        ]
+        splits = _split_grouped(cand_refs, "dst")
         new_parts, changed_refs, hook_refs = [], [], []
         for p in range(P):
             subs = [s[p] for s in splits] if P > 1 else list(splits)
@@ -239,9 +299,7 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
         ]
         # 2. pointer jumping on the round-start labels: label(label(v))
         req_refs = [_lp_jump_request.remote(l) for l in labels_parts]
-        req_splits = [
-            _split_block.options(num_returns=P).remote(["key"], P, r) for r in req_refs
-        ]
+        req_splits = _split_grouped(req_refs, "key")
         for p in range(P):
             subs = [s[p] for s in req_splits] if P > 1 else list(req_splits)
             cand_refs.append(_lp_jump_answer.remote(labels_parts[p], *subs))
@@ -286,9 +344,13 @@ def connected_components_labelprop_ids(
 
     from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-    P = num_partitions or auto_partitions()
     edges = edges_ds.map_batches(_cast_int_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    # width sized by the DIRECTED edge count (metadata-free after the
+    # materialize): the CPU floor alone over-splits tiny graphs into
+    # hundreds of per-round tasks and under-splits giant ones
+    P = num_partitions or auto_partitions(2 * n_edges)
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table(
                 {
@@ -330,16 +392,13 @@ def connected_components_labelprop(
 
     Only urls that appear in an edge are labeled (singletons are handled by
     the merge stage)."""
-    from entity_resolution_engine_ray.stages.exchange import (
-        _split_block,
-        exchange_partition_refs,
-    )
-
+    from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
     from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
-    P = num_partitions or auto_partitions()
     hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
-    if hashed.count() == 0:
+    n_edges = hashed.count()
+    P = num_partitions or auto_partitions(2 * n_edges)
+    if n_edges == 0:
         # zero-row inputs skip the lazy map, leaking the source schema into
         # the exchange — and an edge-less graph has no labels anyway
         return rd.from_arrow(
@@ -389,23 +448,12 @@ def _forest_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     partition's spanning forest as (node, root) pairs. The union of
     per-partition forests preserves global connectivity with ≤ Σ_p |V_p|
     edges — typically ≪ |E| for dense near-dup graphs."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        p = parent.setdefault(x, x)
-        while p != x:
-            parent[x] = p = parent.setdefault(p, p)
-            x = p
-            p = parent[x]
-        return x
-
+    uf = _IntUnionFind()
     for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo
+        uf.union(int(u), int(v))
+    parent = uf.parent
     nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
-    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
+    roots = np.fromiter((uf.find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
     keep = nodes != roots
     return pd.DataFrame({"src": nodes[keep], "dst": roots[keep]})
 
@@ -424,19 +472,11 @@ def cluster_label_map(edges_ds, num_partitions: int | None = None, contraction_r
 
     def to_int_edges(t: pa.Table) -> pa.Table:
         # prefer the precomputed id columns (fused edges carry them);
-        # fall back to hashing urls for arbitrary edge Datasets
+        # fall back to the SHARED url-hash kernel (_hash_urls_batch) so the
+        # contraction and labelprop paths can never hash urls differently
         if "left_id" in t.schema.names:
             return pa.table({"src": t["left_id"], "dst": t["right_id"]})
-        return pa.table(
-            {
-                "src": pa.array(
-                    [stable_hash64(u) for u in t["left_url"].to_pylist()], type=pa.int64()
-                ),
-                "dst": pa.array(
-                    [stable_hash64(u) for u in t["right_url"].to_pylist()], type=pa.int64()
-                ),
-            }
-        )
+        return _hash_urls_batch(t).select(["src", "dst"])
 
     hashed = edges_ds.map_batches(to_int_edges, batch_format="pyarrow").materialize()
     if hashed.count() == 0:
@@ -445,37 +485,24 @@ def cluster_label_map(edges_ds, num_partitions: int | None = None, contraction_r
     for _ in range(contraction_rounds):
         forest = partition_map_groups(forest, ["src", "dst"], _forest_partition, num_partitions)
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        p = parent.setdefault(x, x)
-        while p != x:
-            parent[x] = p = parent.setdefault(p, p)
-            x = p
-            p = parent[x]
-        return x
-
+    uf = _IntUnionFind()
     for batch in forest.iter_batches(batch_size=262144, batch_format="pyarrow"):
         for u, v in zip(batch["src"].to_numpy(), batch["dst"].to_numpy()):
-            ru, rv = find(int(u)), find(int(v))
-            if ru != rv:
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-    return {n: find(n) for n in list(parent)}
+            uf.union(int(u), int(v))
+    return {n: uf.find(n) for n in list(uf.parent)}
 
 
 def connected_components_local(edges_ds):
     """Driver-side union-find fallback for provably-small edge sets."""
     uf = UnionFind()
-    urls = set()
     for batch in edges_ds.select_columns(["left_url", "right_url"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         for l, r in zip(batch["left_url"].to_pylist(), batch["right_url"].to_pylist()):
             uf.union(l, r)
-            urls.add(l)
-            urls.add(r)
-    rows_url = sorted(urls)
+    # every touched url is a parent-map key (find() setdefaults it) — no
+    # separate url set; strings are the driver-memory bound here
+    rows_url = sorted(uf.parent)
     labels = [stable_hash64(uf.find(u)) for u in rows_url]
     # label = hash of component-min url — same label space as labelprop? No:
     # labelprop labels are min node hashes. Downstream only needs *grouping*,
@@ -498,7 +525,14 @@ def cluster_edges(
     max_iterations: int = 50,
     local_edge_threshold: int = 2_000_000,
 ):
+    if method not in ("auto", "local", "labelprop"):
+        raise ValueError(
+            f"cluster_edges: unknown method {method!r} (auto|local|labelprop)"
+        )
     if method == "auto":
+        # materialize before the gate count: a lazy upstream would execute
+        # once for count() and AGAIN inside the chosen clusterer
+        edges_ds = edges_ds.materialize()
         method = "local" if edges_ds.count() <= local_edge_threshold else "labelprop"
     if method == "local":
         return connected_components_local(edges_ds)
