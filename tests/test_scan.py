@@ -81,17 +81,44 @@ def test_scan_string_keys_and_floats(ray_session):
 
 
 def test_prefix_offsets_carry_walk():
-    """Pure driver walk: metas are (pos, first_key, first_sum, last_key,
-    last_sum, n). A hot key threading through whole blocks accumulates; a
-    fresh key resets the carry."""
+    """Pure driver walk: metas are (pos, first_key, last_key, last_key_sum).
+    A hot key threading through whole blocks accumulates; a fresh key
+    resets the carry."""
     metas = [
-        ((0,), ("a",), 3, ("a",), 3, 5),   # all 'a', sum 3
-        ((1,), ("a",), 4, ("a",), 4, 5),   # still all 'a'
-        ((2,), ("a",), 2, ("b",), 6, 5),   # 'a' ends here, 'b' starts
-        ((3,), ("b",), 1, ("c",), 9, 5),   # 'b' ends, 'c' starts
-        ((4,), ("d",), 8, ("d",), 8, 5),   # fresh key after gap
+        ((0,), ("a",), ("a",), 3),   # all 'a', sum 3
+        ((1,), ("a",), ("a",), 4),   # still all 'a'
+        ((2,), ("a",), ("b",), 6),   # 'a' ends here, 'b' starts
+        ((3,), ("b",), ("c",), 9),   # 'b' ends, 'c' starts
+        ((4,), ("d",), ("d",), 8),   # fresh key after gap
     ]
     assert _prefix_offsets(metas) == [0, 3, 7, 6, 0]
+
+
+def test_scan_null_keys_and_values(ray_session):
+    """SQL window-SUM semantics under nulls: NULL keys form ONE partition
+    (pandas' default groupby silently drops them) and NULL values are
+    ignored by SUM, so the running total at a null-value row equals the
+    previous row's total. Regression for the carry walk: a null boundary
+    key used to zero its own boundary sum (== against null is all-False)."""
+    rng = np.random.default_rng(23)
+    n = 8_000
+    k = rng.choice(["en", "de", None], n, p=[0.45, 0.45, 0.10])
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": k, "o": np.arange(n, dtype=np.int64), "v": v})
+    got = _run(pdf, 9)
+
+    s = pdf.sort_values(["k", "o"], kind="mergesort", na_position="last").reset_index(
+        drop=True
+    )
+    s["cum"] = s["v"].fillna(0).groupby(s["k"], dropna=False).cumsum()
+    want = s.sort_values(["k", "o"], kind="mergesort", na_position="last").reset_index(
+        drop=True
+    )[["k", "o", "v", "cum"]]
+    got = got.sort_values(["k", "o"], kind="mergesort", na_position="last").reset_index(
+        drop=True
+    )[["k", "o", "v", "cum"]]
+    pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=0)
 
 
 def test_scan_empty_input(ray_session):
