@@ -2597,6 +2597,59 @@ def q_user_cumulative_value(sf_dir: str):
     return partition_map_groups(ds, ["user_id"], running)
 
 
+def q_user_event_rank(sf_dir: str):
+    """SQL window ranks — RANK()/DENSE_RANK() OVER (PARTITION BY user_id
+    ORDER BY value DESC). Real ties exist (2-decimal values repeat within a
+    user), so min-rank gaps and dense ranks genuinely diverge. One hash
+    exchange, no sort (stages/windows.partitioned_rank)."""
+    from entity_resolution_engine_ray.stages.windows import partitioned_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    out = partitioned_rank(ds, "user_id", "value", ["event_id"], descending=True).to_pandas()
+    return out[["user_id", "event_id", "rnk", "drnk"]]
+
+
+def q_user_event_gaps(sf_dir: str):
+    """LAG window — microseconds since the same user's previous event
+    (LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)); each key's
+    first event is dropped (prev IS NULL). Integer-µs output keeps the
+    engine/oracle compare exact (stages/windows.partitioned_lag)."""
+    from entity_resolution_engine_ray.stages.windows import partitioned_lag
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = partitioned_lag(ds, "user_id", ["ts", "event_id"], "ts", out_col="prev_ts").to_pandas()
+    out = out[out["prev_ts"].notna()].copy()
+    gap = out["ts"].astype("datetime64[us]").astype(np.int64) - out["prev_ts"].astype(
+        "datetime64[us]"
+    ).astype(np.int64)
+    out["gap_us"] = gap.astype(np.int64)
+    return out[["event_id", "user_id", "gap_us"]]
+
+
+def q_user_value_moving_sum(sf_dir: str):
+    """Bounded-frame window — SUM(value) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). The value column
+    is converted to integer cents BEFORE the rolling pass so every frame sum
+    is exact at any partition count (the money-lane discipline);
+    stages/windows.rolling_frame_sum."""
+    from entity_resolution_engine_ray.stages.windows import rolling_frame_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"], "val_c": pa.array(cents)}
+        )
+
+    out = rolling_frame_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "val_c", frame_rows=4, out_col="mov_c",
+    ).to_pandas()
+    out["mov_sum"] = out["mov_c"].to_numpy(np.int64) / 100.0
+    return out[["event_id", "user_id", "mov_sum"]]
+
+
 def q_user_click_purchase_outer(sf_dir: str):
     """FULL OUTER join of two grouped aggregates: per-user counts of
     high-value (>95) clicks vs high-value purchases — the threshold makes
@@ -4750,6 +4803,9 @@ QUERIES = {
     "nation_revenue_share": q_nation_revenue_share,
     "daily_new_users": q_daily_new_users,
     "user_cumulative_value": q_user_cumulative_value,
+    "user_event_rank": q_user_event_rank,
+    "user_event_gaps": q_user_event_gaps,
+    "user_value_moving_sum": q_user_value_moving_sum,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
     "doc_overlap_chunks": q_doc_overlap_chunks,
@@ -5523,6 +5579,28 @@ ORACLE_SQL = {
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        FROM events
+    """,
+    "user_event_rank": """
+        SELECT user_id, event_id,
+               RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk
+        FROM events
+    """,
+    "user_event_gaps": """
+        SELECT event_id, user_id,
+               date_diff('microsecond', prev_ts, ts) AS gap_us
+        FROM (
+            SELECT event_id, user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ) WHERE prev_ts IS NOT NULL
+    """,
+    "user_value_moving_sum": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
         FROM events
     """,
     "user_click_purchase_outer": """

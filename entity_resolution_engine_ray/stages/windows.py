@@ -12,6 +12,16 @@ checkpoint layout makes that a partition-level re-run).
 - sliding_window:   overlapping buckets emitted every ``slide`` (each event
   lands in ``size/slide`` buckets)
 - session_window:   gap-based sessions per key
+
+SQL window functions (OVER (PARTITION BY key ORDER BY ...)) share the same
+physical shape — ordering is only ever needed WITHIN a key, so ONE hash
+exchange + an in-partition vectorized pass is the 100-TB plan (no global
+sort shuffle). Partitioning assumption: one key's rows fit a worker.
+- partitioned_rank:  RANK() / DENSE_RANK() per key (ties → min / dense)
+- partitioned_lag:   LAG(value, 1) per key in (order_cols) order
+- rolling_frame_sum: SUM() OVER (... ROWS BETWEEN n-1 PRECEDING AND
+  CURRENT ROW) per key — pass an integer-cents column for order-invariant
+  exact sums (see pipelines/queries.py money-lane discipline)
 """
 
 from __future__ import annotations
@@ -29,6 +39,99 @@ def _agg_spec(value_col: str) -> dict:
         "min_value": (value_col, "min"),
         "max_value": (value_col, "max"),
     }
+
+
+def partitioned_rank(
+    ds,
+    key_col: str,
+    order_col: str,
+    id_cols: list[str],
+    descending: bool = True,
+    num_partitions: int | None = None,
+):
+    """``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col
+    [DESC])`` — one hash exchange on the key, vectorized pandas ``rank``
+    (method='min' == SQL RANK gaps, 'dense' == DENSE_RANK) inside each
+    partition. No sort is needed at all: rank is a function of the value
+    multiset per key. Emits (key, *id_cols, rnk, drnk), one row per input
+    row. Reference analog: the argmax-per-left-key selection of
+    matchers/teams_matcher.py:47-49 is the k=1 special case."""
+    asc = not descending
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            cols = {key_col: pd.Series([], dtype=np.int64)}
+            for c in id_cols:
+                cols[c] = pd.Series([], dtype=np.int64)
+            cols["rnk"] = pd.Series([], dtype=np.int64)
+            cols["drnk"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        g = pdf.groupby(key_col)[order_col]
+        pdf = pdf.assign(
+            rnk=g.rank(method="min", ascending=asc).astype(np.int64),
+            drnk=g.rank(method="dense", ascending=asc).astype(np.int64),
+        )
+        return pdf[[key_col, *id_cols, "rnk", "drnk"]]
+
+    return partition_map_groups(ds, [key_col], fn, num_partitions)
+
+
+def partitioned_lag(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prev",
+    num_partitions: int | None = None,
+):
+    """``LAG(value, 1) OVER (PARTITION BY key ORDER BY order_cols)`` — hash
+    exchange on the key, ONE in-partition mergesort, grouped ``shift(1)``.
+    The first row of each key gets a null ``out_col`` (SQL semantics);
+    callers filter or fill. Emits every input column plus ``out_col``."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            out = pdf.copy()
+            out[out_col] = pd.Series([], dtype=object)
+            return out
+        pdf = pdf.sort_values([key_col, *order_cols], kind="mergesort")
+        pdf[out_col] = pdf.groupby(key_col)[value_col].shift(1)
+        return pdf
+
+    return partition_map_groups(ds, [key_col], fn, num_partitions)
+
+
+def rolling_frame_sum(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    frame_rows: int,
+    out_col: str = "mov_sum",
+    num_partitions: int | None = None,
+):
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    frame_rows-1 PRECEDING AND CURRENT ROW)`` — hash exchange + in-partition
+    sort + grouped ``rolling(frame_rows, min_periods=1).sum()``. Pass an
+    int64 (e.g. integer-cents) value column: the frame sum is then exact
+    and order-invariant at any partition count."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            out = pdf.copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values([key_col, *order_cols], kind="mergesort").reset_index(drop=True)
+        mov = (
+            pdf.groupby(key_col)[value_col]
+            .rolling(frame_rows, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+        )
+        pdf[out_col] = mov.astype(np.int64)
+        return pdf
+
+    return partition_map_groups(ds, [key_col], fn, num_partitions)
 
 
 def tumbling_window(ds, key_col: str, ts_col: str, value_col: str, size_s: int, num_partitions: int | None = None):

@@ -71,3 +71,73 @@ def test_session_window(ray_session):
     assert k1.iloc[1]["n_events"] == 1
     k2 = out[out["user_id"] == 2]
     assert len(k2) == 2  # 3h gap splits
+
+
+def test_partitioned_rank_and_ties(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import partitioned_rank
+
+    # user 1 has a tie at value=5.0 -> RANK gaps (1,1,3), DENSE_RANK (1,1,2)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "event_id": pa.array([10, 11, 12, 20], type=pa.int64()),
+            "value": pa.array([5.0, 5.0, 3.0, 7.0], type=pa.float64()),
+        }
+    )
+    for nparts in (1, 5):
+        out = (
+            partitioned_rank(rd.from_arrow(t), "user_id", "value", ["event_id"], num_partitions=nparts)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["rnk"].tolist() == [1, 1, 3, 1]
+        assert out["drnk"].tolist() == [1, 1, 2, 1]
+        assert out["rnk"].dtype == np.int64
+
+
+def test_partitioned_lag_first_row_null(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import partitioned_lag
+
+    out = partitioned_lag(
+        rd.from_arrow(_events()), "user_id", ["ts"], "value", out_col="prev_v"
+    ).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    k1 = out[out["user_id"] == 1]["prev_v"].tolist()
+    assert pd.isna(k1[0]) and k1[1:] == [1.0, 2.0]
+    k2 = out[out["user_id"] == 2]["prev_v"].tolist()
+    assert pd.isna(k2[0]) and k2[1] == 8.0
+
+
+def test_rolling_frame_sum_partition_invariant(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import rolling_frame_sum
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 9, n), type=pa.int64()),
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "val_c": pa.array(rng.integers(0, 10_000, n), type=pa.int64()),
+        }
+    )
+    # serial oracle: pandas rolling over the whole frame
+    pdf = t.to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    exp = (
+        pdf.groupby("user_id")["val_c"].rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    ).astype(np.int64)
+    pdf["exp"] = exp
+    for nparts in (1, 7):
+        out = rolling_frame_sum(
+            rd.from_arrow(t), "user_id", ["event_id"], "val_c", frame_rows=4,
+            out_col="mov_c", num_partitions=nparts,
+        ).to_pandas()
+        m = pdf.merge(out[["event_id", "mov_c"]], on="event_id")
+        assert (m["exp"] == m["mov_c"]).all()
