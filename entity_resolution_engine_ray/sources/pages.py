@@ -308,8 +308,21 @@ def read_pages(path: str, format: str = "parquet", columns: list[str] | None = N
         if columns:
             ds = ds.select_columns(columns)
         return ds
+    elif format == "orc":
+        # Ray Data has no read_orc; an ORC shard is the atomic unit (stripes
+        # have no cross-file index from read_binary_files), so stream whole
+        # shards to parse tasks like the WARC path. Column pruning IS pushed
+        # into the parse (pyarrow.orc reads only requested columns from each
+        # stripe) — cheaper than a post-parse select.
+        ds = rd.read_binary_files(path).map_batches(
+            _orc_batch_to_pages,
+            batch_format="pyarrow",
+            batch_size=4,
+            fn_kwargs={"columns": columns},
+        )
+        return ds
     else:
-        raise ValueError(f"unknown pages format {format!r} (parquet|jsonl|csv|warc)")
+        raise ValueError(f"unknown pages format {format!r} (parquet|jsonl|csv|warc|orc)")
     ds = ds.map_batches(_normalize_pages_batch, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)
@@ -471,6 +484,42 @@ def _warc_batch_to_pages(batch: pa.Table) -> pa.Table:
         }
     )
     return _normalize_pages_batch(t)
+
+
+def _orc_batch_to_pages(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Parse whole ``.orc`` shard payloads (``read_binary_files`` rows) into
+    pages rows. ORC stores timestamps as nanos — values written at
+    timestamp[us] cast back losslessly; the schema cast also restores column
+    order. ``columns`` prunes inside the stripe read."""
+    import io
+
+    import pyarrow.orc as orc
+
+    schema = PAGES_SCHEMA if columns is None else pa.schema(
+        [PAGES_SCHEMA.field(c) for c in columns]
+    )
+    tables = []
+    for payload in batch["bytes"].to_pylist():
+        t = orc.ORCFile(io.BytesIO(payload)).read(columns=list(schema.names))
+        tables.append(t.select(schema.names).cast(schema))
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+def write_pages_orc(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> str:
+    """Write a PAGES_SCHEMA table as sharded ``.orc`` files (pyarrow.orc) —
+    the columnar non-Parquet transport some crawl archives use. One file
+    per ``shard_rows`` slice so reads parallelize per shard."""
+    import pyarrow.orc as orc
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.remove(os.path.join(out_dir, old))
+    for shard, start in enumerate(range(0, pages.num_rows, shard_rows)):
+        chunk = pages.slice(start, shard_rows)
+        orc.write_table(chunk, os.path.join(out_dir, f"part-{shard:05d}.orc"))
+    return out_dir
 
 
 def write_pages_jsonl(pages: pa.Table, out_dir: str, shard_rows: int = 4096) -> str:

@@ -238,3 +238,26 @@ def test_warc_subsecond_timestamp_roundtrip(ray_session, tmp_path):
         pd.Timestamp("2025-01-01T00:00:00.123456"),
         pd.Timestamp("2025-01-01T00:00:07"),
     ]
+
+
+def test_read_pages_orc_roundtrip_and_prune(ray_session, tmp_path):
+    """ORC transport: every column round-trips byte-identically (ORC's
+    nanosecond timestamps cast back losslessly to timestamp[us]); column
+    pruning is pushed into the per-stripe read."""
+    from entity_resolution_engine_ray.sources.pages import write_pages_orc
+
+    pages, _truth = generate_pages(60, seed=11)
+    out = write_pages_orc(pages, str(tmp_path / "orc"), shard_rows=25)
+
+    ds = read_pages(out, format="orc")
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got.columns) == [f.name for f in PAGES_SCHEMA]
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert all(a == b for a, b in zip(got["html"], exp["html"]))
+    assert (got["warc_ts"].values == exp["warc_ts"].values).all()
+    assert got["text"].tolist() == exp["text"].tolist()
+
+    pruned = read_pages(out, format="orc", columns=["url", "lang"]).to_pandas()
+    assert list(pruned.columns) == ["url", "lang"]
+    assert len(pruned) == len(exp)
