@@ -2650,6 +2650,31 @@ def q_user_value_moving_sum(sf_dir: str):
     return out[["event_id", "user_id", "mov_sum"]]
 
 
+def q_customer_top3_orders(sf_dir: str):
+    """Per-key top-k with k>1 (ROW_NUMBER() <= 3 per customer by totalprice
+    DESC): the combiner pattern — each batch forwards at most 3 rows per
+    customer it saw BEFORE the hash exchange, so the shuffle ships O(3·keys)
+    instead of every order (stages/grouping.grouped_topk)."""
+    from entity_resolution_engine_ray.stages.grouping import grouped_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = grouped_topk(ds, "o_custkey", "o_totalprice", 3, ["o_orderkey"]).to_pandas()
+    return out[["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+
+def q_user_event_quartiles(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) — SQL
+    bucket-split semantics (first n%4 buckets one row larger), vectorized
+    in one hash exchange (stages/windows.partitioned_ntile)."""
+    from entity_resolution_engine_ray.stages.windows import partitioned_ntile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    out = partitioned_ntile(ds, "user_id", ["value", "event_id"], 4, out_col="q").to_pandas()
+    return out[["event_id", "user_id", "q"]]
+
+
 def q_user_click_purchase_outer(sf_dir: str):
     """FULL OUTER join of two grouped aggregates: per-user counts of
     high-value (>95) clicks vs high-value purchases — the threshold makes
@@ -4804,6 +4829,8 @@ QUERIES = {
     "daily_new_users": q_daily_new_users,
     "user_cumulative_value": q_user_cumulative_value,
     "user_event_rank": q_user_event_rank,
+    "customer_top3_orders": q_customer_top3_orders,
+    "user_event_quartiles": q_user_event_quartiles,
     "user_event_gaps": q_user_event_gaps,
     "user_value_moving_sum": q_user_value_moving_sum,
     "user_click_purchase_outer": q_user_click_purchase_outer,
@@ -5579,6 +5606,19 @@ ORACLE_SQL = {
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        FROM events
+    """,
+    "customer_top3_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "user_event_quartiles": """
+        SELECT event_id, user_id,
+               NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS q
         FROM events
     """,
     "user_event_rank": """

@@ -102,3 +102,54 @@ def partition_map_groups(
         batch_format="pyarrow",
     )
     return parted.groupby("__pg").map_groups(_wrapped, batch_format="pandas")
+
+
+def grouped_topk(
+    ds,
+    key_col: str,
+    order_col: str,
+    k: int,
+    tie_cols: list[str],
+    descending: bool = True,
+    num_partitions: int | None = None,
+):
+    """Per-key top-k (k ≥ 1) — the generalization of the reference's
+    argmax-per-left-key selection (SURVEY.md §2.3, k=1). Emits each key's k
+    best rows by ``order_col`` plus ``rn`` (1-based dense position,
+    deterministic via ``tie_cols``).
+
+    Scale shape: a per-BATCH partial top-k per key runs first (a combiner —
+    each batch forwards at most k rows per key it saw), so the hash exchange
+    ships O(k · keys-per-batch · batches), not the full input; the
+    per-partition finish re-sorts only survivors. At 100 TB this is the
+    difference between shuffling every row and shuffling ~k per key."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sort_cols = [key_col, order_col, *tie_cols]
+    ascending = [True, not descending] + [True] * len(tie_cols)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        return (
+            pdf.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            out = pdf.copy()
+            out["rn"] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = (
+            pdf.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        pdf["rn"] = pdf.groupby(key_col, sort=False).cumcount().astype(np.int64) + 1
+        return pdf
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partition_map_groups(partials, [key_col], finish, num_partitions)

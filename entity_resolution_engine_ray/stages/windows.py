@@ -101,6 +101,47 @@ def partitioned_lag(
     return partition_map_groups(ds, [key_col], fn, num_partitions)
 
 
+def partitioned_ntile(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+):
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)`` — SQL bucket
+    semantics: the first ``n_rows % n`` buckets hold ``ceil(n_rows/n)`` rows,
+    the rest ``floor``; with fewer rows than buckets each row gets its own
+    1-based bucket. Deterministic iff ``order_cols`` is a total order per
+    key (include a unique tie-break column). One hash exchange + one
+    in-partition sort, vectorized bucket arithmetic."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            out = pdf.copy()
+            out[out_col] = pd.Series([], dtype=np.int64)
+            return out
+        pdf = pdf.sort_values([key_col, *order_cols], kind="mergesort").reset_index(drop=True)
+        g = pdf.groupby(key_col, sort=False)
+        pos = g.cumcount().to_numpy(np.int64)
+        n = g[key_col].transform("size").to_numpy(np.int64)
+        big = n % n_buckets  # first `big` buckets get one extra row
+        size_small = n // n_buckets
+        size_big = size_small + 1
+        cut = big * size_big  # rows [0, cut) fall in the big buckets
+        in_big = pos < cut
+        # np.where evaluates both lanes: guard the small-bucket division for
+        # groups with n < n_buckets (size_small == 0, in_big always true)
+        safe_small = np.maximum(size_small, 1)
+        bucket = np.where(in_big, pos // size_big, big + (pos - cut) // safe_small) + 1
+        pdf[out_col] = bucket.astype(np.int64)
+        return pdf
+
+    return partition_map_groups(ds, [key_col], fn, num_partitions)
+
+
 def rolling_frame_sum(
     ds,
     key_col: str,

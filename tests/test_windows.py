@@ -141,3 +141,57 @@ def test_rolling_frame_sum_partition_invariant(ray_session):
         ).to_pandas()
         m = pdf.merge(out[["event_id", "mov_c"]], on="event_id")
         assert (m["exp"] == m["mov_c"]).all()
+
+
+def test_partitioned_ntile_small_groups_and_split(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.windows import partitioned_ntile
+
+    # key 1: 6 rows into 4 buckets -> sizes 2,2,1,1; key 2: 2 rows < 4 buckets
+    t = pa.table(
+        {
+            "k": pa.array([1] * 6 + [2] * 2, type=pa.int64()),
+            "i": pa.array(list(range(6)) + [0, 1], type=pa.int64()),
+        }
+    )
+    for nparts in (1, 3):
+        out = (
+            partitioned_ntile(rd.from_arrow(t), "k", ["i"], 4, out_col="q", num_partitions=nparts)
+            .to_pandas()
+            .sort_values(["k", "i"])
+            .reset_index(drop=True)
+        )
+        assert out[out["k"] == 1]["q"].tolist() == [1, 1, 2, 2, 3, 4]
+        assert out[out["k"] == 2]["q"].tolist() == [1, 2]
+        assert out["q"].dtype == np.int64
+
+
+def test_grouped_topk_combiner_matches_serial(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.grouping import grouped_topk
+
+    rng = np.random.default_rng(13)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 40, n).astype(np.float64) / 2),  # forces ties
+        }
+    )
+    pdf = t.to_pandas().sort_values(["k", "v", "id"], ascending=[True, False, True])
+    exp = pdf.groupby("k").head(3).reset_index(drop=True)
+    exp["rn"] = exp.groupby("k").cumcount() + 1
+    for nparts in (1, 5):
+        out = (
+            grouped_topk(rd.from_arrow(t), "k", "v", 3, ["id"], num_partitions=nparts)
+            .to_pandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+        assert out["id"].tolist() == exp["id"].tolist()
+        assert out["rn"].tolist() == exp["rn"].tolist()
