@@ -2675,6 +2675,51 @@ def q_user_event_quartiles(sf_dir: str):
     return out[["event_id", "user_id", "q"]]
 
 
+def q_lang_len_token_corr(sf_dir: str):
+    """Per-language Pearson correlation between document length (n_chars)
+    and whitespace-token count — the algebraic-moment aggregate family:
+    each batch emits EXACT INTEGER partials (n, Σx, Σy, Σxy, Σx², Σy²) per
+    lang, six int64 lanes shuffle through one tiny groupby, and the driver
+    finish mirrors the SQL moment formula float-op-for-float-op (Python
+    big-int products → IEEE double cast → sqrt → divide), so distributed ==
+    serial at ANY partition count by construction (same discipline as the
+    integer-cents money sums)."""
+    from entity_resolution_engine_ray.functions.textstats import token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.cast(token_count(t["text"]), pa.int64()).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        g = pdf.groupby("lang", as_index=False).sum()
+        for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]])
+    ).to_pandas()
+    # Python-int exact products (n·sxx can pass int64 at corpus scale), then
+    # the identical IEEE double ops the SQL oracle performs
+    import math
+
+    corrs = []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx, syy = (int(r[c]) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        corrs.append(num / den)
+    agg["corr_len_tokens"] = _rha(np.array(corrs), 4)
+    out = agg[["lang", "corr_len_tokens"]].sort_values("lang", kind="mergesort")
+    return out.reset_index(drop=True)
+
+
 def q_user_click_purchase_outer(sf_dir: str):
     """FULL OUTER join of two grouped aggregates: per-user counts of
     high-value (>95) clicks vs high-value purchases — the threshold makes
@@ -4829,6 +4874,7 @@ QUERIES = {
     "daily_new_users": q_daily_new_users,
     "user_cumulative_value": q_user_cumulative_value,
     "user_event_rank": q_user_event_rank,
+    "lang_len_token_corr": q_lang_len_token_corr,
     "customer_top3_orders": q_customer_top3_orders,
     "user_event_quartiles": q_user_event_quartiles,
     "user_event_gaps": q_user_event_gaps,
@@ -5607,6 +5653,26 @@ ORACLE_SQL = {
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
         FROM events
+    """,
+    "lang_len_token_corr": f"""
+        WITH t AS (
+            SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS y
+            FROM documents
+        ),
+        m AS (
+            SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x*y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x*x) AS HUGEINT) AS sxx,
+                   CAST(SUM(y*y) AS HUGEINT) AS syy
+            FROM t GROUP BY lang
+        )
+        SELECT lang,
+               ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                     (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                      sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_len_tokens
+        FROM m ORDER BY lang
     """,
     "customer_top3_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
