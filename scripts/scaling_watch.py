@@ -57,14 +57,18 @@ def probe() -> float | None:
 
 
 def fire(band: tuple[int, int] = (4, 16)) -> dict | None:
-    # Band (4,16) runs the 300k-page fixture (SCALE_SF_DIR): the round-4
+    # BOTH bands run the 300k-page fixture (SCALE_SF_DIR): the round-4
     # engine is ~2x faster, so at 100k pages fixed per-stage overheads
-    # (driver barriers, checkpoint writes) dominate the 16-CPU side and cap
-    # raw efficiency; a 3x larger input dilutes them while staying a
-    # ~10-minute attempt. Band (2,8) runs the 100k fixture — the host
-    # reliably delivers 8 real cores (its pure-CPU ceiling is highest in
-    # the 2->8 range: 0.84-0.94 across rounds), so alternating bands gives
-    # the raw>=0.8 criterion its best shot per quiet window.
+    # (driver barriers, checkpoint writes) dominate the high-CPU side and
+    # cap raw efficiency — measured directly on 2->8: raw 0.778 against a
+    # 0.999 pure-CPU ceiling at 100k (2026-08-19 fire), i.e. the gap IS
+    # the fixed overhead, exactly what moving 4->16 from 100k to 300k
+    # recovered (0.669 -> 0.719 in comparable windows). A 2-CPU 300k rep
+    # is ~6-8 min; a full interleaved attempt stays inside the 3600 s cap.
+    # The host reliably delivers 8 real cores (pure-CPU 2->8 ceiling
+    # 0.84-1.0 across rounds), so (2,8)@300k is the raw>=0.8 criterion's
+    # best shot per quiet window; alternating with (4,16) keeps the
+    #4x-claimed-CPU evidence coming too.
     lo, hi = band
     env = dict(
         os.environ,
@@ -72,11 +76,7 @@ def fire(band: tuple[int, int] = (4, 16)) -> dict | None:
         SCALE_HI=str(hi),
         SCALE_REPS="3",
         BENCH_LLM="0",
-        GRAFT_SF_DIR=(
-            os.environ.get("SCALE_SF_DIR", "/root/testdata/sf0.3")
-            if hi >= 16
-            else "/root/testdata/sf0.1"
-        ),
+        GRAFT_SF_DIR=os.environ.get("SCALE_SF_DIR", "/root/testdata/sf0.3"),
     )
     try:
         out = subprocess.run(
