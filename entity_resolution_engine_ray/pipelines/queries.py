@@ -4814,7 +4814,106 @@ def q_events_winsorized(sf_dir: str):
     return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
 
 
+def q_part_fuzzy_names(sf_dir: str):
+    """Edit-distance similarity self-join over the DISTINCT part-name
+    domain: dedup-first (one combiner-backed groupby shrinks n rows to the
+    value domain — the shape that keeps a 100-TB fuzzy join tractable),
+    then FastSS deletion-variant blocking + pair-vectorized Levenshtein
+    verify (stages/editsim) finds every name pair within distance 2.
+    Lossless blocking ⇒ the DuckDB ``levenshtein`` cross-join oracle must
+    match EXACTLY — no recall asterisk. Member counts ride along so the
+    output is a usable merge plan (which dirty spelling is dominant)."""
+    from entity_resolution_engine_ray.stages.editsim import fuzzy_self_join
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_name").aggregate([("p_partkey", "count")])
+        return g.select(["p_name", "p_partkey_count"]).rename_columns(["p_name", "n_parts"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        return pdf.groupby("p_name", as_index=False)["n_parts"].sum()
+
+    uniq = partition_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["p_name"], merge
+    )
+    pairs = fuzzy_self_join(
+        uniq, key_col="p_name", text_col="p_name", max_dist=2, carry_cols=("n_parts",)
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "name_a": pairs["name_a"],
+            "name_b": pairs["name_b"],
+            "dist": pairs["dist"].astype(np.int64),
+            "n_a": pairs["n_parts_a"].astype(np.int64),
+            "n_b": pairs["n_parts_b"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["name_a", "name_b"], kind="mergesort").reset_index(drop=True)
+
+
+def q_doc_redact_pii(sf_dir: str):
+    """PII redaction over the corpus (stages/redact): the fixture text is
+    clean, so a deterministic dirty suffix derived from ``doc_id`` (email +
+    IP + SSN + phone) is appended IDENTICALLY in both engines, then the
+    four RE2 patterns scrub it in declaration order. Arrow's
+    ``replace_substring_regex`` and DuckDB's ``regexp_replace(..., 'g')``
+    are both RE2 with leftmost non-overlapping global semantics, so the
+    redacted text and the per-doc span counts must match byte-for-byte —
+    the oracle chains the SAME pattern strings through CTEs, counting each
+    pattern on the previous pattern's output exactly like
+    ``functions.textstats.redact_pii`` does."""
+    from entity_resolution_engine_ray.stages.redact import redact_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def dirty(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        sid = pc.cast(did, pa.string())
+        oct3 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 256), 256)), pa.string())
+        two = pc.utf8_lpad(
+            pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 100), 100)), pa.string()),
+            2,
+            "0",
+        )
+        three = pc.utf8_lpad(
+            pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 1000), 1000)), pa.string()),
+            3,
+            "0",
+        )
+        text = pc.binary_join_element_wise(
+            t["text"],
+            " contact user",
+            sid,
+            "@mail.example from 10.0.",
+            oct3,
+            ".1 ssn ",
+            three,
+            "-",
+            two,
+            "-",
+            two,
+            two,
+            " call 555-01",
+            two,
+            "",  # binary_join_element_wise: LAST argument is the separator
+        )
+        return pa.table({"doc_id": did, "text": text})
+
+    out = redact_stage(ds.map_batches(dirty, batch_format="pyarrow")).to_pandas()
+    out["n_redacted"] = out["n_redacted"].astype(np.int64)
+    return (
+        out[["doc_id", "text", "n_redacted"]]
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
+    "part_fuzzy_names": q_part_fuzzy_names,
+    "doc_redact_pii": q_doc_redact_pii,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_quality": q_doc_quality,
@@ -6343,6 +6442,57 @@ ORACLE_SQL = {
         FROM events e JOIN cuts c USING (event_type)
         GROUP BY e.event_type, c.lo, c.hi
         ORDER BY e.event_type
+    """,
+    "part_fuzzy_names": """
+        WITH u AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               CAST(a.n_parts AS BIGINT) AS n_a, CAST(b.n_parts AS BIGINT) AS n_b
+        FROM u a JOIN u b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY 1, 2
+    """,
+    # Same four RE2 patterns as functions.textstats.PII_PATTERNS, chained in
+    # declaration order; each pattern's span count is measured on the
+    # PREVIOUS pattern's output, exactly like redact_pii.
+    "doc_redact_pii": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@mail.example from 10.0.' ||
+                   (doc_id % 256) || '.1 ssn ' ||
+                   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                   ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                   regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+            FROM d
+        ),
+        s2 AS (
+            SELECT doc_id, c1,
+                   len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS c2,
+                   regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, c1, c2,
+                   len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS c3,
+                   regexp_replace(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS t3
+            FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, c1, c2, c3,
+                   len(regexp_extract_all(t3, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS c4,
+                   regexp_replace(t3, '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS t4
+            FROM s3
+        )
+        SELECT doc_id, t4 AS text, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redacted
+        FROM s4 ORDER BY doc_id
     """,
     # lang_id, simhash_fingerprint, embedding_near_dup, er_pages_entities:
     # non-SQL-expressible (sketches / heuristics / ER) — rows-only checks
