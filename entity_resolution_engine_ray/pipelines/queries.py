@@ -4854,6 +4854,48 @@ def q_part_fuzzy_names(sf_dir: str):
     return out.sort_values(["name_a", "name_b"], kind="mergesort").reset_index(drop=True)
 
 
+def q_part_fuzzy_cross(sf_dir: str):
+    """Cross-corpus edit-distance join (stages/editsim.fuzzy_join): the
+    distinct name domains of two deterministic shards of ``part`` (even vs
+    odd ``p_partkey`` — a stand-in for alpha×beta sources / new-batch ×
+    settled-corpus) matched within distance 2, pairs generated ACROSS
+    sides only through one shared variant exchange. Includes dist-0 rows —
+    exact cross-source matches — unlike the self-join, which excludes
+    self-pairs by key order."""
+    from entity_resolution_engine_ray.stages.editsim import fuzzy_join
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    def shard(parity: int):
+        def pick(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.subtract(
+                    t["p_partkey"], pc.multiply(pc.divide(t["p_partkey"], 2), 2)
+                ),
+                parity,
+            )
+            g = t.filter(keep).group_by("p_name").aggregate([])
+            return g.select(["p_name"])
+
+        return pick
+
+    def uniq(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates("p_name", ignore_index=True)
+
+    sides = [
+        partition_map_groups(
+            ds.map_batches(shard(p), batch_format="pyarrow"), ["p_name"], uniq
+        )
+        for p in (0, 1)
+    ]
+    pairs = fuzzy_join(sides[0], sides[1], key_col="p_name", text_col="p_name", max_dist=2)
+    out = pairs.to_pandas()
+    out = pd.DataFrame(
+        {"name_a": out["name_a"], "name_b": out["name_b"], "dist": out["dist"].astype(np.int64)}
+    )
+    return out.sort_values(["name_a", "name_b"], kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_redact_pii(sf_dir: str):
     """PII redaction over the corpus (stages/redact): the fixture text is
     clean, so a deterministic dirty suffix derived from ``doc_id`` (email +
@@ -4913,6 +4955,7 @@ def q_doc_redact_pii(sf_dir: str):
 
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
+    "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -6449,6 +6492,15 @@ ORACLE_SQL = {
                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
                CAST(a.n_parts AS BIGINT) AS n_a, CAST(b.n_parts AS BIGINT) AS n_b
         FROM u a JOIN u b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY 1, 2
+    """,
+    "part_fuzzy_cross": """
+        WITH a AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 0),
+             b AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 1)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM a, b
         WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY 1, 2
     """,

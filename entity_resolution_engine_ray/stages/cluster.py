@@ -205,6 +205,26 @@ def _lp_refine(labels_part: pa.Table, *cand_subparts: pa.Table):
     return out, int(ch.sum()), hooks
 
 
+def _lp_partitions(n_directed_rows: int) -> int:
+    """Labelprop width. NOT ``auto_partitions(n_rows)`` with the generic
+    50k-row target: a labelprop ROUND has driver-side cost O(P × split
+    groups) object refs and ~3P tasks, paid EVERY round (~20 rounds on web
+    graphs) — sizing P like a one-shot row shuffle melted the scheduler at
+    1M pages (measured 2026-08-19: P≈3200 from the 50k-row formula pushed
+    the labels stage 73 s → 749 s at ~10 % CPU; the round-2/3 fixed width
+    64 at the same 160M directed edges ran it in 73 s). Target ~2M directed
+    edge rows (~32 MB of int64 pairs) per partition — per-round tasks stay
+    1–3 s of vectorized work — with the 1.5×CPU floor so small graphs still
+    fill the cluster, capped at 1024: beyond that the per-round ref fan-in
+    dominates and the next step is a hierarchical (two-level) candidate
+    exchange, not more partitions."""
+    from entity_resolution_engine_ray.stages.grouping import auto_partitions
+
+    return min(
+        auto_partitions(n_directed_rows, rows_per_partition=2_000_000), 1024
+    )
+
+
 @ray.remote
 def _lp_jump_request(labels_part: pa.Table) -> pa.Table:
     """Pointer-jump phase 1: emit (key=label(v), node=v) for every v whose
@@ -342,14 +362,11 @@ def connected_components_labelprop_ids(
     driver memory."""
     from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
 
-    from entity_resolution_engine_ray.stages.grouping import auto_partitions
-
     edges = edges_ds.map_batches(_cast_int_edges, batch_format="pyarrow").materialize()
     n_edges = edges.count()
-    # width sized by the DIRECTED edge count (metadata-free after the
-    # materialize): the CPU floor alone over-splits tiny graphs into
-    # hundreds of per-round tasks and under-splits giant ones
-    P = num_partitions or auto_partitions(2 * n_edges)
+    # width sized by the DIRECTED edge count but with the round-loop cost
+    # model (_lp_partitions), NOT the one-shot-shuffle formula
+    P = num_partitions or _lp_partitions(2 * n_edges)
     if n_edges == 0:
         return rd.from_arrow(
             pa.table(
@@ -393,11 +410,10 @@ def connected_components_labelprop(
     Only urls that appear in an edge are labeled (singletons are handled by
     the merge stage)."""
     from entity_resolution_engine_ray.stages.exchange import exchange_partition_refs
-    from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
     hashed = edges_ds.map_batches(_hash_urls_batch, batch_format="pyarrow").materialize()
     n_edges = hashed.count()
-    P = num_partitions or auto_partitions(2 * n_edges)
+    P = num_partitions or _lp_partitions(2 * n_edges)
     if n_edges == 0:
         # zero-row inputs skip the lazy map, leaking the source schema into
         # the exchange — and an edge-less graph has no labels anyway

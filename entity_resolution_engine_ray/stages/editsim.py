@@ -112,7 +112,11 @@ def _featurize_variants(
     DICTIONARY-UNIQUE string in the batch (fuzzy-join domains repeat
     heavily), then expands to rows by ``np.repeat`` — the same
     unique-values-only discipline as the dictionary-encoded titles in the
-    flagship scorer (stages/score)."""
+    flagship scorer (stages/score). Null strings are dropped up front —
+    SQL semantics (``levenshtein(NULL, x)`` is NULL, never ``<= t``), and a
+    null code would otherwise poison the int64 index cast."""
+    if tbl[text_col].null_count:
+        tbl = tbl.filter(pc.is_valid(tbl[text_col]))
     enc = pc.dictionary_encode(tbl[text_col].combine_chunks())
     uniq = enc.dictionary.to_pylist()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -223,5 +227,90 @@ def fuzzy_self_join(
             ["key_a", "key_b", "name_a", "name_b", "dist"]
             + [f"{c}_{s}" for c in carry for s in ("a", "b")]
         ]
+
+    return partition_map_groups(pairs, ["key_a", "key_b"], _verify, num_partitions=num_partitions)
+
+
+def fuzzy_join(
+    ds_a,
+    ds_b,
+    key_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    num_partitions: int | None = None,
+):
+    """Two-corpus edit-distance join: every (row of ``ds_a``, row of
+    ``ds_b``) pair whose ``text_col`` values are within Levenshtein distance
+    ``max_dist`` — the cross-SOURCE shape of the reference's matchers
+    (alpha names × beta names,
+    `/root/reference/entity_resolution_engine/matchers/teams_matcher.py`)
+    and of incremental dedup (new batch × settled corpus): the two sides
+    share one variant exchange but pairs are generated ACROSS sides only,
+    so neither corpus is ever re-joined against itself. Output:
+    ``(key_a, key_b, name_a, name_b, dist)`` where ``key_a`` comes from
+    ``ds_a`` and ``key_b`` from ``ds_b`` (keys unique per row within their
+    own side; dist-0 pairs are included — exact cross-source matches)."""
+
+    def _tag(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array([side] * t.num_rows, type=pa.int8()))
+
+        return add
+
+    both = ds_a.map_batches(_tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    feats = both.map_batches(
+        _featurize_variants,
+        fn_kwargs={
+            "key_col": key_col,
+            "text_col": text_col,
+            "max_dist": max_dist,
+            "carry_cols": ("__side",),
+        },
+        batch_format="pyarrow",
+    )
+
+    def _pairgen(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["key_a", "key_b", "name_a", "name_b"]
+        if pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        pdf = pdf.sort_values(["vkey", "__side", "__key"], kind="mergesort")
+        vk = pdf["vkey"].to_numpy()
+        side = pdf["__side"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], vk[1:] != vk[:-1])))
+        ends = np.concatenate((starts[1:], [len(vk)]))
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts, ends):
+            split = s + int(np.searchsorted(side[s:e], 1))
+            na, nb = split - s, e - split
+            if na == 0 or nb == 0:
+                continue
+            ia_parts.append(np.repeat(np.arange(s, split), nb))
+            ib_parts.append(np.tile(np.arange(split, e), na))
+        if not ia_parts:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        res = pd.DataFrame(
+            {
+                "key_a": pdf["__key"].to_numpy()[ia],
+                "key_b": pdf["__key"].to_numpy()[ib],
+                "name_a": pdf["__name"].to_numpy()[ia],
+                "name_b": pdf["__name"].to_numpy()[ib],
+            }
+        )
+        return res.drop_duplicates(["key_a", "key_b"], ignore_index=True)
+
+    pairs = partition_map_groups(feats, ["vkey"], _pairgen, num_partitions=num_partitions)
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key_a", "key_b", "name_a", "name_b", "dist"]
+        if pdf.empty:
+            return pdf.assign(dist=pd.Series(dtype=np.int64))[cols]
+        pdf = pdf.drop_duplicates(["key_a", "key_b"], ignore_index=True)
+        dist = levenshtein_pairs(pdf["name_a"].tolist(), pdf["name_b"].tolist())
+        pdf = pdf.assign(dist=dist)
+        return pdf[pdf["dist"] <= max_dist].reset_index(drop=True)[cols]
 
     return partition_map_groups(pairs, ["key_a", "key_b"], _verify, num_partitions=num_partitions)

@@ -86,3 +86,37 @@ def test_fuzzy_self_join_empty_and_carry(ray_session):
     assert (row.key_a, row.key_b, row.dist, row.w_a, row.w_b) == (1, 2, 1, 10, 20)
     far = rd.from_items([{"k": 1, "name": "abc"}, {"k": 2, "name": "xyzuvw"}])
     assert fuzzy_self_join(far, "k", "name", max_dist=2).to_pandas().empty
+
+
+def test_fuzzy_cross_join_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    a = ["small ring", "red widget", "hot gear", "only in a", "shared"]
+    b = ["smal ring", "red widgets", "hot gear", "only in b", "shared"]
+    ds_a = rd.from_items([{"k": i, "name": n} for i, n in enumerate(a)])
+    ds_b = rd.from_items([{"k": 100 + i, "name": n} for i, n in enumerate(b)])
+    from entity_resolution_engine_ray.stages.editsim import fuzzy_join
+
+    res = fuzzy_join(ds_a, ds_b, "k", "name", max_dist=2).to_pandas()
+    got = {(r.key_a, r.key_b, r.dist) for r in res.itertuples()}
+    exp = {
+        (i, 100 + j, _lev(a[i], b[j]))
+        for i in range(len(a))
+        for j in range(len(b))
+        if _lev(a[i], b[j]) <= 2
+    }
+    assert got == exp
+    # dist-0 cross matches included; no within-side pairs possible by key range
+    assert (0, 100 + 0, 1) in got and (4, 104, 0) in got
+    assert all(ka < 100 <= kb for ka, kb, _ in got)
+
+
+def test_fuzzy_self_join_null_strings_never_match(ray_session):
+    # SQL semantics: levenshtein(NULL, x) is NULL, never <= t
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"k": 1, "name": "abc"}, {"k": 2, "name": None}, {"k": 3, "name": "abd"}]
+    )
+    out = fuzzy_self_join(ds, "k", "name", max_dist=2).to_pandas()
+    assert sorted(zip(out.key_a, out.key_b)) == [(1, 3)]
