@@ -4896,6 +4896,113 @@ def q_part_fuzzy_cross(sf_dir: str):
     return out.sort_values(["name_a", "name_b"], kind="mergesort").reset_index(drop=True)
 
 
+def q_docs_cdc_merge(sf_dir: str):
+    """MERGE INTO / CDC apply (stages/cdc.cdc_merge): a deterministic
+    changeset derived from the base table — updates (doc_id%10==7 →
+    source='cdc'), deletes (%10==3), inserts (new key doc_id+1,000,000 for
+    %10==0), and one two-change precedence case (%100==47: seq-1 upsert
+    then seq-2 delete → net delete) — applied with the bloom-gated
+    zero-shuffle-for-misses path. The oracle mirrors the changeset CTE and
+    applies it with ROW_NUMBER precedence; every untouched row must come
+    back byte-identical."""
+    from entity_resolution_engine_ray.stages.cdc import cdc_merge
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m10 = did % 10
+        m100 = did % 100
+        parts = []
+        up = np.flatnonzero(m10 == 7)
+        if len(up):
+            sub = t.take(up)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "op": pa.array(["upsert"] * len(up)),
+                        "seq": pa.array(np.ones(len(up), dtype=np.int64)),
+                        "text": sub["text"],
+                        "lang": sub["lang"],
+                        "source": pa.array(["cdc"] * len(up)),
+                        "n_chars": sub["n_chars"],
+                    }
+                )
+            )
+        de = np.flatnonzero(m10 == 3)
+        if len(de):
+            sub = t.take(de)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "op": pa.array(["delete"] * len(de)),
+                        "seq": pa.array(np.ones(len(de), dtype=np.int64)),
+                        "text": pa.array([None] * len(de), type=pa.string()),
+                        "lang": pa.array([None] * len(de), type=pa.string()),
+                        "source": pa.array([None] * len(de), type=pa.string()),
+                        "n_chars": pa.array([None] * len(de), type=pa.int64()),
+                    }
+                )
+            )
+        late = np.flatnonzero(m100 == 47)
+        if len(late):
+            sub = t.take(late)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "op": pa.array(["delete"] * len(late)),
+                        "seq": pa.array(np.full(len(late), 2, dtype=np.int64)),
+                        "text": pa.array([None] * len(late), type=pa.string()),
+                        "lang": pa.array([None] * len(late), type=pa.string()),
+                        "source": pa.array([None] * len(late), type=pa.string()),
+                        "n_chars": pa.array([None] * len(late), type=pa.int64()),
+                    }
+                )
+            )
+        ins = np.flatnonzero(m10 == 0)
+        if len(ins):
+            sub = t.take(ins)
+            new_text = pc.binary_join_element_wise(
+                "new doc ", pc.cast(sub["doc_id"], pa.string()), ""
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(did[ins] + 1_000_000),
+                        "op": pa.array(["upsert"] * len(ins)),
+                        "seq": pa.array(np.ones(len(ins), dtype=np.int64)),
+                        "text": new_text,
+                        "lang": sub["lang"],
+                        "source": pa.array(["cdc_new"] * len(ins)),
+                        "n_chars": pc.cast(pc.utf8_length(new_text), pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "op": pa.array([], type=pa.string()),
+                    "seq": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                    "lang": pa.array([], type=pa.string()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    changes = base.map_batches(make_changes, batch_format="pyarrow")
+    merged = cdc_merge(base, changes, "doc_id", cols)
+    out = merged.to_pandas()
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)[cols]
+
+
 def q_doc_redact_pii(sf_dir: str):
     """PII redaction over the corpus (stages/redact): the fixture text is
     clean, so a deterministic dirty suffix derived from ``doc_id`` (email +
@@ -4957,6 +5064,7 @@ QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
+    "docs_cdc_merge": q_docs_cdc_merge,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_quality": q_doc_quality,
@@ -6503,6 +6611,34 @@ ORACLE_SQL = {
         FROM a, b
         WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY 1, 2
+    """,
+    "docs_cdc_merge": """
+        WITH changes AS (
+            SELECT doc_id, 'upsert' AS op, 1 AS seq,
+                   text, lang, 'cdc' AS source, n_chars
+            FROM documents WHERE doc_id % 10 = 7
+            UNION ALL
+            SELECT doc_id, 'delete', 1, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id, 'delete', 2, NULL, NULL, NULL, NULL
+            FROM documents WHERE doc_id % 100 = 47
+            UNION ALL
+            SELECT doc_id + 1000000, 'upsert', 1,
+                   'new doc ' || doc_id, lang, 'cdc_new',
+                   length('new doc ' || doc_id)
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        latest AS (
+            SELECT * FROM changes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d ANTI JOIN latest l ON d.doc_id = l.doc_id
+        UNION ALL
+        SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)
+        FROM latest WHERE op = 'upsert'
+        ORDER BY doc_id
     """,
     # Same four RE2 patterns as functions.textstats.PII_PATTERNS, chained in
     # declaration order; each pattern's span count is measured on the
