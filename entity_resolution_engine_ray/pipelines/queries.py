@@ -5060,8 +5060,84 @@ def q_doc_redact_pii(sf_dir: str):
     )
 
 
+def q_er_blocking_eval(sf_dir: str):
+    """Blocking-scheme quality evaluation (the record-linkage methodology
+    loop as an operator): precision/recall/F1 of two candidate-generation
+    schemes — a 24-char text-prefix key and a naive (lang, length-bucket)
+    key — against the VERIFIED near-dup truth pairs (exact 3-shingle
+    Jaccard >= 0.7, the same certified machinery as near_dup_minhash).
+
+    Everything stays distributed: truth pairs come from near_dup_edges'
+    one-exchange LSH+verify path, predicted pairs from one hash exchange
+    per scheme, and the TP/FP/FN intersection is one more exchange with
+    O(partitions) integer partials (stages/evaluate.py). Ratios are single
+    divisions of the same integers the oracle divides, so doubles are
+    bit-identical. Reference parity: generalizes the reference's serial
+    pair-level matcher assertions (its tests) to corpus-scale pair sets."""
+    from entity_resolution_engine_ray.stages.dedup import near_dup_edges
+    from entity_resolution_engine_ray.stages.evaluate import (
+        block_pairs,
+        blocking_eval_row,
+        evaluate_pair_sets,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    ).materialize()
+    truth, _dropped = near_dup_edges(ds.select_columns(["doc_id", "text"]))
+    truth = truth.select_columns(["left_id", "right_id"]).materialize()
+
+    def key_prefix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                # code-point slice == DuckDB substr(text, 1, 24)
+                "k": pc.utf8_slice_codeunits(t["text"], 0, 24),
+            }
+        )
+
+    def key_langlen(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.divide(t["n_chars"], pa.scalar(200, pa.int64())), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pc.binary_join_element_wise(t["lang"], bucket, "|"),
+            }
+        )
+
+    rows = []
+    for scheme, keyer in (("prefix24", key_prefix), ("lang_len200", key_langlen)):
+        pred = block_pairs(
+            ds.map_batches(keyer, batch_format="pyarrow"), "doc_id", "k"
+        )
+        rows.append(blocking_eval_row(scheme, evaluate_pair_sets(pred, truth)))
+    out = pd.DataFrame(rows)
+    for c in ("n_pred", "n_truth", "tp", "fp", "fn"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto skyline of parts (minimize p_retailprice AND p_size): exact
+    two-phase dominance filter — streaming per-block local skyline, then
+    one final pass over the (small) union of local survivors
+    (stages/skyline.py). Values pass through unfiltered columns untouched,
+    so doubles hash identically to the oracle's."""
+    from entity_resolution_engine_ray.stages.skyline import skyline_stage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    return skyline_stage(ds, "p_retailprice", "p_size")
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
+    "er_blocking_eval": q_er_blocking_eval,
+    "part_skyline": q_part_skyline,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -5227,6 +5303,76 @@ def _near_dup_closure(src: str) -> str:
 
 
 ORACLE_SQL = {
+    "er_blocking_eval": r"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT l, r
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.l
+            JOIN sizes sb ON sb.doc_id = inter.r
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        ),
+        nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        k1 AS (SELECT doc_id, substr(text, 1, 24) AS k FROM documents),
+        p1 AS (
+            SELECT a.doc_id AS l, b.doc_id AS r
+            FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id < b.doc_id
+        ),
+        k2 AS (
+            SELECT doc_id, lang || '|' || CAST(n_chars // 200 AS VARCHAR) AS k
+            FROM documents
+        ),
+        p2 AS (
+            SELECT a.doc_id AS l, b.doc_id AS r
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.doc_id < b.doc_id
+        ),
+        u AS (
+            SELECT 'prefix24' AS scheme,
+                   (SELECT COUNT(*) FROM p1) AS n_pred,
+                   (SELECT COUNT(*) FROM p1 JOIN truth USING (l, r)) AS tp
+            UNION ALL
+            SELECT 'lang_len200',
+                   (SELECT COUNT(*) FROM p2),
+                   (SELECT COUNT(*) FROM p2 JOIN truth USING (l, r))
+        )
+        SELECT scheme, n_pred, nt.n_truth, tp,
+               n_pred - tp AS fp,
+               nt.n_truth - tp AS fn,
+               CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                    ELSE 0.0 END AS "precision",
+               CASE WHEN nt.n_truth > 0 THEN CAST(tp AS DOUBLE) / nt.n_truth
+                    ELSE 0.0 END AS recall,
+               CASE WHEN n_pred + nt.n_truth > 0
+                    THEN 2.0 * tp / (n_pred + nt.n_truth)
+                    ELSE 0.0 END AS f1
+        FROM u, nt
+    """,
+    "part_skyline": """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+        )
+    """,
     "exact_dedup_docs": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text"
     ),

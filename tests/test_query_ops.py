@@ -115,6 +115,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "part_supplier_concentration",
         "doc_stats_cube",
         "events_winsorized",
+        "er_blocking_eval",
+        "part_skyline",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
