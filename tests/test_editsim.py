@@ -2,8 +2,6 @@
 serial DP oracle, the FastSS deletion-blocking completeness guarantee, and
 the distributed join vs brute force."""
 
-import numpy as np
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
