@@ -5120,6 +5120,35 @@ def q_er_blocking_eval(sf_dir: str):
     return out
 
 
+def q_doc_jaccard_join(sf_dir: str):
+    """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
+    lossless PPJoin-style prefix filtering — the no-recall-asterisk
+    counterpart of near_dup_minhash: candidates from the prefix-filtering
+    principle (complete by construction), exact-Jaccard verify, same salted
+    one-exchange machinery (stages/dedup.prefix_jaccard_self_join). The
+    oracle is the exhaustive cross-join; equality certifies the blocking is
+    lossless, not just well-calibrated. dropped is asserted zero — for an
+    exact operator a skew-cap drop is a wrong answer, not a recall trade."""
+    from entity_resolution_engine_ray.stages.dedup import prefix_jaccard_self_join
+
+    edges, dropped = prefix_jaccard_self_join(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.7,
+    )
+    if dropped:
+        raise RuntimeError(
+            f"prefix_jaccard_self_join dropped {dropped} pairs — raise "
+            "max_block_size; an exact join must not drop"
+        )
+    out = edges.to_pandas()
+    out["jaccard"] = round_half_away(out["jaccard"].to_numpy(), 4)
+    return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def q_part_skyline(sf_dir: str):
     """Pareto skyline of parts (minimize p_retailprice AND p_size): exact
     two-phase dominance filter — streaming per-block local skyline, then
@@ -5138,6 +5167,7 @@ QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
     "part_skyline": q_part_skyline,
+    "doc_jaccard_join": q_doc_jaccard_join,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -5362,6 +5392,32 @@ ORACLE_SQL = {
                     THEN 2.0 * tp / (n_pred + nt.n_truth)
                     ELSE 0.0 END AS f1
         FROM u, nt
+    """,
+    "doc_jaccard_join": r"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT l AS left_id, r AS right_id,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.l
+        JOIN sizes sb ON sb.doc_id = inter.r
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        ORDER BY left_id, right_id
     """,
     "part_skyline": """
         SELECT p_partkey, p_retailprice, p_size

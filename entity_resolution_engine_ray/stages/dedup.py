@@ -357,6 +357,25 @@ def near_dup_edges(
         batch_size=featurize_batch_size,
     ).materialize()
 
+    return _edges_from_feats(
+        feats,
+        threshold=threshold,
+        max_block_size=max_block_size,
+        num_partitions=num_partitions,
+        n_fat=feats.count() * bands,
+    )
+
+
+def _edges_from_feats(feats, *, threshold, max_block_size, num_partitions, n_fat):
+    """Shared candidate→verify→dedup tail over a materialized
+    (id, token_ids, band_keys) feature Dataset. Candidate semantics are
+    whatever produced ``band_keys`` — LSH bands (near_dup_edges) or the
+    lossless PPJoin prefix (prefix_jaccard_self_join); everything after the
+    key column is identical: ONE salted fat hash exchange with in-partition
+    pair-gen + exact-Jaccard verify, then one slim pair-dedup exchange.
+    ``n_fat`` is the exploded (id, key) row count for partition sizing."""
+    import ray.data as rd
+
     # hot-bucket salting (same scheme as the pages pipeline, same vectorized
     # kernel — stages/pairs._salt_batch with the doc id as the mixing hash):
     # buckets over the cap are split into deterministic id-hash sub-buckets
@@ -370,7 +389,7 @@ def near_dup_edges(
     )
     # metadata-only count on the materialized features — skips the counting
     # pass over the exploded rows inside hot_key_splits
-    hot = hot_key_splits(slim, max_block_size, n_rows_hint=feats.count() * bands)
+    hot = hot_key_splits(slim, max_block_size, n_rows_hint=n_fat)
 
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
@@ -378,7 +397,6 @@ def near_dup_edges(
     # partition counts scale with the data (metadata-only count on the
     # materialized features) AND the cluster (auto_partitions: 1.5x CPU
     # floor, 65,536 cap) unless the caller pins an explicit count
-    n_fat = feats.count() * bands
     fat_parts = (
         auto_partitions(n_fat)
         if num_partitions is None
@@ -421,6 +439,130 @@ def near_dup_edges(
         dedup_parts,
     )
     return edges, dropped
+
+
+def _prefix_keys_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Replace LSH ``band_keys`` with the PPJoin-style prefix of the sorted
+    unique shingle ids: for a set of size n and Jaccard threshold t, any
+    pair with J >= t shares >= ceil(t*n) elements (J = i/(nx+ny-i) >= t and
+    ny >= i give i >= t*nx), so by the prefix-filtering principle
+    (Chaudhuri/Ganti/Kaushik 2006; Bayardo AllPairs; Xiao PPJoin) the first
+    n - ceil(t*n) + 1 elements under ANY common total order must intersect
+    across the pair. The order here is the int64 shingle hash itself —
+    token_ids is already sorted — which avoids the global document-frequency
+    aggregate the classic rare-first ordering needs (df order is a
+    candidate-count heuristic, never a correctness requirement).
+
+    +2 margin on the prefix length: one element for float-ceil landing on
+    the wrong side of an integer boundary, one for the verify kernel's
+    double-rounded J >= t compare at the exact threshold — costs O(1)
+    extra candidates per doc, removes every borderline-ulp concern."""
+    tok = batch["token_ids"]
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    n = offs[1:] - offs[:-1]
+    alpha = np.ceil(threshold * n).astype(np.int64)
+    plen = np.minimum(n, n - alpha + 3)
+    plen[n == 0] = 0
+    starts = np.repeat(offs[:-1], plen)
+    within = np.arange(int(plen.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(plen) - plen, plen
+    )
+    vals = tok.values.take(pa.array(starts + within, type=pa.int64()))
+    new_offs = pa.array(np.r_[0, np.cumsum(plen)], type=pa.int32())
+    return pa.table(
+        {
+            "id": batch["id"],
+            "token_ids": tok,
+            "band_keys": pa.ListArray.from_arrays(new_offs, vals),
+        }
+    )
+
+
+def _key_count_batch(t: pa.Table) -> pa.Table:
+    keys = t["band_keys"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table({"n": pa.array([len(keys.values)], type=pa.int64())})
+
+
+def prefix_jaccard_self_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+    max_block_size: int = 4096,
+    num_partitions: int | None = None,
+    featurize_batch_size: int = 512,
+):
+    """EXACT set-similarity self-join: all pairs with k-shingle Jaccard >=
+    threshold, via lossless prefix filtering — no LSH, no recall asterisk.
+
+    The scale path LSH cannot offer: candidate generation is deterministic
+    and complete (prefix-filtering principle), so the result equals the
+    exhaustive O(n²) answer by construction, not by a calibrated-recall
+    argument. Shares near_dup_edges' entire exchange/verify/dedup tail
+    (_edges_from_feats); only the band_keys column differs. Cost profile:
+    ~(1-t)*|set| prefix keys per doc (vs a constant ``bands`` for LSH), so
+    prefix keys ship MORE fat rows at low thresholds — the operator is the
+    right tool for high thresholds / exactness contracts, LSH for recall-
+    tolerant bulk dedup.
+
+    Returns (edges Dataset (left_id, right_id, jaccard), dropped). dropped
+    counts pairs lost to the skew cap; exactness holds iff dropped == 0 —
+    the default cap is high because a drop here is a WRONG ANSWER, not a
+    recall trade (callers on adversarial data should check and raise it)."""
+    import ray.data as rd
+
+    ds = ds.materialize()
+    if ds.count() == 0:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], type=pa.int64()),
+                "right_id": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        return rd.from_arrow(empty), 0
+
+    feats = (
+        ds.map_batches(
+            _dedup_featurize_batch,
+            fn_kwargs={
+                "id_col": id_col,
+                "text_col": text_col,
+                # minhash signature is computed then discarded (band_keys are
+                # overwritten); 1 perm / 1 band keeps that throwaway work nil
+                "num_perm": 1,
+                "bands": 1,
+                "k": k,
+                "mode": "token_shingle",
+            },
+            batch_format="pyarrow",
+            batch_size=featurize_batch_size,
+        )
+        .map_batches(
+            _prefix_keys_batch,
+            fn_kwargs={"threshold": threshold},
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # exact exploded key count: one cheap offsets-only pass over the
+    # materialized features (prefix lengths vary per doc, unlike LSH's
+    # constant bands-per-doc)
+    n_fat = sum(
+        r["n"] for r in feats.map_batches(_key_count_batch, batch_format="pyarrow").take_all()
+    )
+    return _edges_from_feats(
+        feats,
+        threshold=threshold,
+        max_block_size=max_block_size,
+        num_partitions=num_partitions,
+        n_fat=max(n_fat, 1),
+    )
 
 
 def attach_cluster_labels(ids_ds, labels_ds, id_col: str, num_partitions: int | None = None):

@@ -117,6 +117,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "events_winsorized",
         "er_blocking_eval",
         "part_skyline",
+        "doc_jaccard_join",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
