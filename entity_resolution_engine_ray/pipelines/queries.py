@@ -5120,6 +5120,81 @@ def q_er_blocking_eval(sf_dir: str):
     return out
 
 
+def q_er_fs_weights(sf_dir: str):
+    """Fellegi–Sunter m/u parameter estimation over blocked candidate pairs
+    (the probabilistic-record-linkage core of Splink-style tooling): for
+    each agreement pattern over (prefix24-equal, source-equal), count
+    matching vs non-matching candidate pairs against the verified near-dup
+    truth, then m = P(pattern|match), u = P(pattern|non-match) and the
+    log2(m/u) match weight.
+
+    Distributed: candidates + their pattern come out of ONE blocking
+    exchange (block_pairs carries the attribute payload, no attribute
+    cogroups), labels out of ONE pair-key exchange with O(patterns)
+    partials (stages/evaluate.fs_pattern_counts). m/u are divisions of the
+    same integers the oracle divides; the log2 weight is rounded to 4dp on
+    both engines (numpy vs libm log2 can differ at most 1 ulp — far inside
+    the rounding tolerance except on exact .00005 boundaries, which integer
+    count ratios essentially never hit)."""
+    from entity_resolution_engine_ray.stages.dedup import near_dup_edges
+    from entity_resolution_engine_ray.stages.evaluate import (
+        block_pairs,
+        fs_pattern_counts,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars", "source"],
+    ).materialize()
+    truth, _dropped = near_dup_edges(ds.select_columns(["doc_id", "text"]))
+    truth = truth.select_columns(["left_id", "right_id"]).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.divide(t["n_chars"], pa.scalar(200, pa.int64())), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pc.binary_join_element_wise(t["lang"], bucket, "|"),
+                "pfx": pc.utf8_slice_codeunits(t["text"], 0, 24),
+                "source": t["source"],
+            }
+        )
+
+    cand = block_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        "k",
+        payload_cols=["pfx", "source"],
+    )
+
+    def pattern(t: pa.Table) -> pa.Table:
+        b_pfx = pc.cast(pc.equal(t["left_pfx"], t["right_pfx"]), pa.int64())
+        b_src = pc.cast(pc.equal(t["left_source"], t["right_source"]), pa.int64())
+        return pa.table(
+            {
+                "left_id": t["left_id"],
+                "right_id": t["right_id"],
+                "pattern": pc.add(pc.multiply(b_pfx, pa.scalar(2, pa.int64())), b_src),
+            }
+        )
+
+    counts = fs_pattern_counts(cand.map_batches(pattern, batch_format="pyarrow"), truth)
+    tm = int(counts["n_match"].sum())
+    tn = int(counts["n_nonmatch"].sum())
+    m = counts["n_match"].to_numpy() / tm
+    u = counts["n_nonmatch"].to_numpy() / tn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = round_half_away(np.log2(m / u), 4)
+    defined = (counts["n_match"].to_numpy() > 0) & (counts["n_nonmatch"].to_numpy() > 0)
+    out = counts.copy()
+    out["m"] = m
+    out["u"] = u
+    out["weight"] = np.where(defined, w, np.nan)
+    return out
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5168,6 +5243,7 @@ QUERIES = {
     "er_blocking_eval": q_er_blocking_eval,
     "part_skyline": q_part_skyline,
     "doc_jaccard_join": q_doc_jaccard_join,
+    "er_fs_weights": q_er_fs_weights,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -5392,6 +5468,68 @@ ORACLE_SQL = {
                     THEN 2.0 * tp / (n_pred + nt.n_truth)
                     ELSE 0.0 END AS f1
         FROM u, nt
+    """,
+    "er_fs_weights": r"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT l, r
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.l
+            JOIN sizes sb ON sb.doc_id = inter.r
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        ),
+        k2 AS (
+            SELECT doc_id, lang || '|' || CAST(n_chars // 200 AS VARCHAR) AS k,
+                   substr(text, 1, 24) AS pfx, source
+            FROM documents
+        ),
+        cand AS (
+            SELECT a.doc_id AS l, b.doc_id AS r,
+                   CAST(2 * CAST(a.pfx = b.pfx AS INTEGER)
+                        + CAST(a.source = b.source AS INTEGER) AS BIGINT) AS pattern
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.doc_id < b.doc_id
+        ),
+        lab AS (
+            SELECT cand.pattern,
+                   CASE WHEN t.l IS NOT NULL THEN 1 ELSE 0 END AS is_match
+            FROM cand LEFT JOIN truth t ON cand.l = t.l AND cand.r = t.r
+        ),
+        agg AS (
+            SELECT pattern,
+                   CAST(SUM(is_match) AS BIGINT) AS n_match,
+                   CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch
+            FROM lab GROUP BY pattern
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_match) AS BIGINT) AS tm,
+                   CAST(SUM(n_nonmatch) AS BIGINT) AS tn
+            FROM agg
+        )
+        SELECT pattern, n_match, n_nonmatch,
+               CAST(n_match AS DOUBLE) / tm AS m,
+               CAST(n_nonmatch AS DOUBLE) / tn AS u,
+               CASE WHEN n_match > 0 AND n_nonmatch > 0
+                    THEN ROUND(log2((CAST(n_match AS DOUBLE) / tm)
+                                    / (CAST(n_nonmatch AS DOUBLE) / tn)), 4)
+                    ELSE NULL END AS weight
+        FROM agg, tot
+        ORDER BY pattern
     """,
     "doc_jaccard_join": r"""
         WITH arrs AS (

@@ -87,6 +87,55 @@ def test_evaluate_pair_sets_counts(ray_session):
     assert row["f1"] == pytest.approx(2 * 2 / 7)
 
 
+def test_fs_pattern_counts_excludes_truth_only_pairs(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import fs_pattern_counts
+
+    cand = pd.DataFrame(
+        {
+            "left_id": [1, 2, 3, 4],
+            "right_id": [2, 3, 4, 5],
+            "pattern": [3, 3, 0, 1],
+        }
+    )
+    # (1,2) and (3,4) are matches; (8,9) was missed by blocking -> excluded
+    truth = pd.DataFrame({"left_id": [1, 3, 8], "right_id": [2, 4, 9]})
+    out = fs_pattern_counts(
+        rd.from_pandas(cand).repartition(3), rd.from_pandas(truth).repartition(2)
+    )
+    assert out.to_dict("list") == {
+        "pattern": [0, 1, 3],
+        "n_match": [1, 0, 1],
+        "n_nonmatch": [0, 1, 1],
+    }
+
+
+def test_block_pairs_payload_cols(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import block_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 2],
+            "k": ["a", "a", "a"],
+            "src": ["x", "y", "x"],
+        }
+    )
+    out = (
+        block_pairs(rd.from_pandas(df).repartition(2), "doc_id", "k",
+                    payload_cols=["src"])
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    assert out["left_id"].tolist() == [1, 1, 2]
+    assert out["right_id"].tolist() == [2, 3, 3]
+    assert out["left_src"].tolist() == ["y", "y", "x"]
+    assert out["right_src"].tolist() == ["x", "x", "x"]
+
+
 def test_block_pairs_emits_each_pair_once(ray_session):
     import ray.data as rd
 

@@ -118,6 +118,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "er_blocking_eval",
         "part_skyline",
         "doc_jaccard_join",
+        "er_fs_weights",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
