@@ -9,10 +9,14 @@ pair key, with per-partition bitmask-OR grouping and O(partitions) count
 partials returned — the driver only ever sees a handful of integers.
 
 Reference parity: the reference evaluates matcher quality serially in its
-test suite (pair-level assertions over small frames); this generalizes that
-check to corpus-scale pair sets. Blocking-quality evaluation follows the
-standard reduction-ratio / pairs-completeness framing of the record-linkage
-literature (e.g. Christen's survey of indexing techniques).
+test suite — pair-level assertions over small in-memory frames
+(/root/reference/tests/test_basic_mapping.py:59-66,
+test_matches_matcher.py); this generalizes that check to corpus-scale pair
+sets. Blocking-quality evaluation follows the standard reduction-ratio /
+pairs-completeness framing of the record-linkage literature (e.g.
+Christen's survey of indexing techniques); Fellegi–Sunter m/u estimation
+(fs_pattern_counts) follows the 1969 theory as operationalized by
+Splink-style tooling, conditioned on the blocked candidate set.
 
 Scale notes:
 - pair sets are exchanged ONCE, on (left, right); partials are 3 ints per
