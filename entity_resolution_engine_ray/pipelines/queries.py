@@ -5195,6 +5195,156 @@ def q_er_fs_weights(sf_dir: str):
     return out
 
 
+def q_er_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández–Stolfo merge/purge), the
+    third classic candidate-generation scheme next to standard blocking
+    (er_blocking_eval) and LSH (near_dup_minhash): sort by a 16-char text
+    prefix, emit every pair within a rank window of 10. Skew-immune by
+    construction — a window bucket holds ≤ 2w records regardless of key
+    distribution, which is the method's selling point over standard
+    blocking on hot keys (stages/evaluate.sorted_neighborhood_pairs: one
+    distributed sort + one slim int64 exchange)."""
+    from entity_resolution_engine_ray.stages.evaluate import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pc.utf8_slice_codeunits(t["text"], 0, 16),
+            }
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"), "doc_id", "k", window=10
+    ).to_pandas()
+    for c in ("left_id", "right_id", "gap"):
+        pairs[c] = pairs[c].astype(np.int64)
+    return pairs.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q_er_meta_blocking(sf_dir: str):
+    """Meta-blocking with weight-edge pruning (Papadakis et al.): three
+    cheap blocking schemes (the 8-char text chunks at offsets 0/8/16, each
+    key scheme-prefixed), blocks purged above 100 records, pair weight =
+    number of co-blocking schemes (CBS), and only pairs with weight
+    strictly above the global mean survive. The pruning turns N cheap
+    high-recall schemes into one precise candidate set WITHOUT scoring —
+    the standard pre-matcher step when no single key is trustworthy.
+    Distributed: two exchanges + an O(batch) integer stats pass
+    (stages/evaluate.meta_blocking_wep); the mean is the same int/int
+    division the oracle performs, so the strict comparison is
+    bit-identical."""
+    from entity_resolution_engine_ray.stages.evaluate import meta_blocking_wep
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        parts = []
+        for i, lo in enumerate((0, 8, 16)):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": did,
+                        "k": pc.binary_join_element_wise(
+                            pa.array([f"{i}|"] * len(did), pa.string()),
+                            pc.utf8_slice_codeunits(t["text"], lo, lo + 8),
+                            "",
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    survivors, _stats = meta_blocking_wep(
+        ds.map_batches(keyed, batch_format="pyarrow"), "doc_id", "k", max_block_size=100
+    )
+    out = survivors.to_pandas()
+    for c in ("left_id", "right_id", "weight"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q_er_fs_em(sf_dir: str):
+    """UNSUPERVISED Fellegi–Sunter estimation (Winkler's EM for the
+    record-linkage mixture — the Splink/fastLink core): same blocked
+    candidates as er_fs_weights but NO truth labels — m/u/λ come out of EM
+    over the O(2^k) aggregated pattern counts. THREE agreement features
+    (prefix24-equal, source-equal, exact-n_chars-equal), the classic
+    Fellegi–Sunter identifiability minimum (k=2 puts 5 parameters on 3
+    degrees of freedom). The distributed work is one blocking exchange +
+    per-batch pattern partials (stages/evaluate.candidate_pattern_counts);
+    EM itself never touches a pair, so corpus size only enters through the
+    counts. Rows-only (an iterative fixpoint has no SQL form); tests pin
+    planted-mixture recovery and partition invariance of the counts."""
+    from entity_resolution_engine_ray.stages.evaluate import (
+        block_pairs,
+        candidate_pattern_counts,
+        fs_em,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars", "source"],
+    ).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.divide(t["n_chars"], pa.scalar(200, pa.int64())), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pc.binary_join_element_wise(t["lang"], bucket, "|"),
+                "pfx": pc.utf8_slice_codeunits(t["text"], 0, 24),
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    cand = block_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        "k",
+        payload_cols=["pfx", "source", "n_chars"],
+    )
+
+    def pattern(t: pa.Table) -> pa.Table:
+        b_pfx = pc.cast(pc.equal(t["left_pfx"], t["right_pfx"]), pa.int64())
+        b_src = pc.cast(pc.equal(t["left_source"], t["right_source"]), pa.int64())
+        b_len = pc.cast(pc.equal(t["left_n_chars"], t["right_n_chars"]), pa.int64())
+        return pa.table(
+            {
+                "pattern": pc.add(
+                    pc.add(
+                        pc.multiply(b_pfx, pa.scalar(4, pa.int64())),
+                        pc.multiply(b_src, pa.scalar(2, pa.int64())),
+                    ),
+                    b_len,
+                )
+            }
+        )
+
+    counts = candidate_pattern_counts(cand.map_batches(pattern, batch_format="pyarrow"))
+    est = fs_em(counts, n_features=3)
+    w = round_half_away(np.log2(est["m"] / est["u"]), 4)
+    return pd.DataFrame(
+        {
+            "feature": ["n_chars", "source", "pfx24"],  # bit 0, bit 1, bit 2
+            "m": round_half_away(est["m"], 6),
+            "u": round_half_away(est["u"], 6),
+            "weight": w,
+            "lam": round_half_away(np.full(3, est["lam"]), 6),
+        }
+    )
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5244,6 +5394,9 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "doc_jaccard_join": q_doc_jaccard_join,
     "er_fs_weights": q_er_fs_weights,
+    "er_sorted_neighborhood": q_er_sorted_neighborhood,
+    "er_meta_blocking": q_er_meta_blocking,
+    "er_fs_em": q_er_fs_em,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -5530,6 +5683,43 @@ ORACLE_SQL = {
                     ELSE NULL END AS weight
         FROM agg, tot
         ORDER BY pattern
+    """,
+    "er_sorted_neighborhood": r"""
+        WITH r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY substr(text, 1, 16), doc_id) AS rn
+            FROM documents
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(b.rn - a.rn AS BIGINT) AS gap
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 9
+        ORDER BY left_id, right_id
+    """,
+    "er_meta_blocking": r"""
+        WITH k AS (
+            SELECT doc_id, '0|' || substr(text, 1, 8) AS k FROM documents
+            UNION ALL
+            SELECT doc_id, '1|' || substr(text, 9, 8) FROM documents
+            UNION ALL
+            SELECT doc_id, '2|' || substr(text, 17, 8) FROM documents
+        ),
+        sz AS (SELECT k, COUNT(*) AS c FROM k GROUP BY k),
+        good AS (
+            SELECT k.doc_id, k.k FROM k JOIN sz USING (k)
+            WHERE c BETWEEN 2 AND 100
+        ),
+        pw AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, CAST(COUNT(*) AS BIGINT) AS w
+            FROM good a JOIN good b ON a.k = b.k AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        m AS (
+            SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mw FROM pw
+        )
+        SELECT l AS left_id, r AS right_id, w AS weight
+        FROM pw, m
+        WHERE w > mw
+        ORDER BY left_id, right_id
     """,
     "doc_jaccard_join": r"""
         WITH arrs AS (

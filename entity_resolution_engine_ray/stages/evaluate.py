@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
 
@@ -48,15 +49,24 @@ def block_pairs(
     key_col: str,
     num_partitions: int | None = None,
     payload_cols: list[str] | None = None,
+    max_block_size: int | None = None,
 ):
     """All unordered intra-key id pairs (left < right), one hash exchange on
     ``key_col``. Each id carries exactly one key, so every pair is emitted
-    at most once — no dedup pass needed.
+    at most once — no dedup pass needed. (Meta-blocking callers feed one key
+    per SCHEME per id — then a pair is emitted once per co-blocking scheme,
+    which is exactly the co-occurrence count those callers aggregate.)
 
     ``payload_cols``: per-doc attribute columns to carry onto the pair rows
     as ``left_<c>`` / ``right_<c>`` — agreement-pattern features come out of
     the SAME exchange instead of two extra attribute cogroups (the docs are
-    already co-resident in the pair-generating partition)."""
+    already co-resident in the pair-generating partition).
+
+    ``max_block_size``: block PURGING (the meta-blocking pre-step): keys
+    with more than this many ids emit no pairs at all. Purging is part of
+    the measured scheme's semantics (the SQL oracle applies the same band),
+    not a silent cap — leave None for evaluation callers, where a hot key's
+    pair explosion is the signal being measured."""
     payload = list(payload_cols or [])
     empty_cols: dict = {"left_id": pd.Series([], dtype="int64"),
                         "right_id": pd.Series([], dtype="int64")}
@@ -72,7 +82,7 @@ def block_pairs(
         pdf = pdf.sort_values([key_col, id_col], kind="mergesort").reset_index(drop=True)
         for _, grp in pdf.groupby(key_col, sort=False):
             c = len(grp)
-            if c < 2:
+            if c < 2 or (max_block_size is not None and c > max_block_size):
                 continue
             iu = np.triu_indices(c, k=1)
             base = grp.index.to_numpy()
@@ -221,6 +231,268 @@ def fs_pattern_counts(cand_ds, truth_ds, num_partitions: int | None = None) -> p
         .sort_values("pattern", kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    id_col: str,
+    key_col: str,
+    window: int,
+    num_partitions: int | None = None,
+):
+    """Sorted-neighborhood blocking (Hernández–Stolfo merge/purge): sort all
+    records by (``key_col``, ``id_col``), slide a window of size ``window``
+    over the global order, and emit every unordered pair whose global-rank
+    gap is in [1, window-1]. Output: (left_id, right_id, gap) with left =
+    the LOWER-rank record — ROW_NUMBER self-join semantics, so the SQL
+    oracle mirrors it exactly.
+
+    Distribution: one distributed sort (ranks come from block METADATA only
+    — stages/scan.grouped_prefix_sum), then one slim (id:int64, rk:int64)
+    exchange. Each record replicates to its native rank-bucket ⌊(rk-1)/w⌋
+    and the previous one, so any pair with gap ≤ w-1 is co-resident in the
+    LEFT record's native bucket and generated exactly once (by the native-
+    left rule). No skew by construction: a bucket holds ≤ 2w rows whatever
+    the key distribution — the classic argument for sorted-neighborhood
+    over standard blocking on skewed keys. Output is O(N·w) rows.
+    """
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    if window < 2:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def slim(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": t[id_col].cast(pa.int64()),
+                "k": t[key_col],
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+                "g": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    ranked = grouped_prefix_sum(
+        ds.map_batches(slim, batch_format="pyarrow"), ["g"], ["k", "id"], "one", "rk"
+    )
+
+    w = int(window)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = t["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        native = (rk - 1) // w
+        bucket = np.concatenate([native, native - 1])
+        ids2 = np.concatenate([ids, ids])
+        rk2 = np.concatenate([rk, rk])
+        keep = bucket >= 0
+        return pa.table(
+            {"id": ids2[keep], "rk": rk2[keep], "bucket": bucket[keep]}
+        )
+
+    buckets = ranked.map_batches(to_buckets, batch_format="pyarrow")
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                    "gap": pd.Series([], dtype="int64"),
+                }
+            )
+        ls, rs, gs = [], [], []
+        for b, grp in pdf.groupby("bucket", sort=False):
+            grp = grp.sort_values("rk", kind="mergesort")
+            rk = grp["rk"].to_numpy(dtype=np.int64)
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            n = len(grp)
+            # ranks in a bucket are consecutive global ranks, so the row at
+            # position i+g is exactly the rank-(rk[i]+g) record
+            native = (rk - 1) // w == b
+            for g in range(1, w):
+                if n <= g:
+                    break
+                li = np.nonzero(native[: n - g])[0]
+                if len(li) == 0:
+                    continue
+                ls.append(ids[li])
+                rs.append(ids[li + g])
+                gs.append(np.full(len(li), g, dtype=np.int64))
+        if not ls:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                    "gap": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "left_id": np.concatenate(ls),
+                "right_id": np.concatenate(rs),
+                "gap": np.concatenate(gs),
+            }
+        )
+
+    return hash_exchange_map_groups(
+        buckets, ["bucket"], gen, num_partitions=num_partitions
+    )
+
+
+def meta_blocking_wep(
+    keyed_ds,
+    id_col: str,
+    key_col: str,
+    max_block_size: int = 100,
+    num_partitions: int | None = None,
+):
+    """Meta-blocking with Weight Edge Pruning (Papadakis et al.): records
+    carry one blocking key per SCHEME (several rows per id in ``keyed_ds``);
+    a candidate pair's weight is the number of schemes in which it
+    co-blocks (CBS — common blocks scheme); pairs with weight strictly
+    above the global mean weight survive. Oversized blocks are purged first
+    (``max_block_size`` — block purging, the standard meta-blocking
+    pre-step).
+
+    Distribution: one key exchange emits pair co-occurrences (block_pairs —
+    purge happens inside the same exchange since a key's ids are
+    co-resident), one pair-key exchange folds them to (pair, weight), the
+    mean is O(batch) integer partials, and the prune is a map-side filter
+    against the broadcast mean. The mean is the SAME integer division the
+    SQL oracle performs, so the strict-> comparison is bit-identical.
+
+    Returns (survivors Dataset(left_id, right_id, weight), stats dict with
+    n_pairs / total_weight / mean_weight)."""
+    occ = block_pairs(
+        keyed_ds, id_col, key_col,
+        num_partitions=num_partitions, max_block_size=max_block_size,
+    )
+
+    def weigh(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                    "weight": pd.Series([], dtype="int64"),
+                }
+            )
+        g = pdf.groupby(["left_id", "right_id"], sort=False).size().reset_index(name="weight")
+        g["weight"] = g["weight"].astype(np.int64)
+        return g
+
+    weights = hash_exchange_map_groups(
+        occ, ["left_id", "right_id"], weigh, num_partitions=num_partitions
+    ).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        wsum = int(pc.sum(t["weight"]).as_py() or 0)
+        return pa.table({"tw": pa.array([wsum], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    stats = weights.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_pairs = int(stats["n"].sum())
+    total_w = int(stats["tw"].sum())
+    mean_w = (total_w / n_pairs) if n_pairs else 0.0
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["weight"], pa.scalar(mean_w, pa.float64())))
+
+    return (
+        weights.map_batches(prune, batch_format="pyarrow"),
+        {"n_pairs": n_pairs, "total_weight": total_w, "mean_weight": mean_w},
+    )
+
+
+def candidate_pattern_counts(cand_ds, num_partitions: int | None = None) -> pd.DataFrame:
+    """Per agreement-pattern candidate counts WITHOUT labels (the input to
+    unsupervised EM): per-batch integer partials into one tiny pattern
+    groupby — no pair ever leaves its batch, output is O(patterns) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pat = t["pattern"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(pat, return_counts=True)
+        return pa.table(
+            {"pattern": pa.array(vals), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = cand_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"pattern": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+    return (
+        partials.groupby("pattern", as_index=False)["n"]
+        .sum()
+        .astype({"pattern": np.int64, "n": np.int64})
+        .sort_values("pattern", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def fs_em(
+    pattern_counts: pd.DataFrame,
+    n_features: int,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    iters: int = 200,
+    tol: float = 1e-12,
+) -> dict:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation by EM over the
+    agreement-pattern counts (the Splink/fastLink core: Winkler 1988's EM
+    for the record-linkage mixture under conditional independence). The
+    whole algorithm runs on the O(2^k) aggregated pattern-count table —
+    the distributed work is candidate_pattern_counts; EM itself never
+    touches a pair, so it is driver-side by design at any corpus size.
+
+    ``pattern_counts``: (pattern bitmask int64, n int64) — bit j set means
+    feature j agrees on the pair. Returns {"lam", "m", "u", "iters"} with
+    m/u arrays of length ``n_features``. Deterministic: fixed init, fixed
+    iteration order, float64 throughout."""
+    pats = pattern_counts["pattern"].to_numpy(dtype=np.int64)
+    ns = pattern_counts["n"].to_numpy(dtype=np.float64)
+    k = int(n_features)
+    bits = ((pats[:, None] >> np.arange(k)[None, :]) & 1).astype(np.float64)  # (P, k)
+    lam = float(lam0)
+    m = np.full(k, float(m0))
+    u = np.full(k, float(u0))
+    eps = 1e-12
+    total = ns.sum()
+    it = 0
+    for it in range(1, iters + 1):
+        # E: responsibility per pattern
+        pm = lam * np.prod(np.where(bits == 1.0, m[None, :], 1.0 - m[None, :]), axis=1)
+        pu = (1.0 - lam) * np.prod(
+            np.where(bits == 1.0, u[None, :], 1.0 - u[None, :]), axis=1
+        )
+        gamma = pm / np.maximum(pm + pu, eps)
+        # M: weighted proportions
+        wm = ns * gamma
+        wu = ns * (1.0 - gamma)
+        new_lam = wm.sum() / max(total, eps)
+        new_m = (bits * wm[:, None]).sum(axis=0) / max(wm.sum(), eps)
+        new_u = (bits * wu[:, None]).sum(axis=0) / max(wu.sum(), eps)
+        new_m = np.clip(new_m, eps, 1.0 - eps)
+        new_u = np.clip(new_u, eps, 1.0 - eps)
+        delta = max(
+            abs(new_lam - lam), float(np.abs(new_m - m).max()), float(np.abs(new_u - u).max())
+        )
+        lam, m, u = new_lam, new_m, new_u
+        if delta < tol:
+            break
+    return {"lam": float(lam), "m": m, "u": u, "iters": it}
 
 
 def blocking_eval_row(scheme: str, counts: dict) -> dict:

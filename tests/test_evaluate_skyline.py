@@ -154,3 +154,145 @@ def test_block_pairs_emits_each_pair_once(ray_session):
         {"left_id": [1, 1, 2, 3], "right_id": [3, 5, 9, 5]}
     ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_sorted_neighborhood_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(11)
+    n, w = 500, 7
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64) * 3 + 1,  # non-contiguous ids
+            "k": [f"key{v:03d}" for v in rng.integers(0, 80, n)],
+        }
+    )
+    got = (
+        sorted_neighborhood_pairs(
+            rd.from_pandas(df).repartition(9), "id", "k", window=w
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    # brute force: global (k, id) order, all pairs with rank gap < w
+    order = df.sort_values(["k", "id"], kind="mergesort")["id"].to_numpy()
+    exp_l, exp_r, exp_g = [], [], []
+    for g in range(1, w):
+        exp_l.append(order[:-g])
+        exp_r.append(order[g:])
+        exp_g.append(np.full(n - g, g, dtype=np.int64))
+    exp = (
+        pd.DataFrame(
+            {
+                "left_id": np.concatenate(exp_l),
+                "right_id": np.concatenate(exp_r),
+                "gap": np.concatenate(exp_g),
+            }
+        )
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sorted_neighborhood_window_edge_cases(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"id": np.arange(5, dtype=np.int64), "k": list("aaaaa")})
+    # window < 2 -> no pairs at all
+    assert (
+        sorted_neighborhood_pairs(rd.from_pandas(df), "id", "k", window=1).count() == 0
+    )
+    # window 2 over 5 rows -> exactly the 4 adjacent pairs
+    got = (
+        sorted_neighborhood_pairs(rd.from_pandas(df), "id", "k", window=2)
+        .to_pandas()
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+    assert got["left_id"].tolist() == [0, 1, 2, 3]
+    assert got["right_id"].tolist() == [1, 2, 3, 4]
+    assert got["gap"].tolist() == [1, 1, 1, 1]
+
+
+def test_meta_blocking_wep_weights_and_prune(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import meta_blocking_wep
+
+    # docs 1,2 co-block in schemes A and B (weight 2); 1,3 and 2,3 only in A
+    keyed = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 1, 2, 3],
+            "k": ["A|x", "A|x", "A|x", "B|y", "B|y", "B|z"],
+        }
+    )
+    survivors, stats = meta_blocking_wep(
+        rd.from_pandas(keyed).repartition(3), "id", "k", max_block_size=100
+    )
+    out = survivors.to_pandas().sort_values(["left_id", "right_id"])
+    # weights: (1,2)=2, (1,3)=1, (2,3)=1 -> mean 4/3; only (1,2) survives
+    assert stats == {"n_pairs": 3, "total_weight": 4, "mean_weight": 4 / 3}
+    assert out["left_id"].tolist() == [1]
+    assert out["right_id"].tolist() == [2]
+    assert out["weight"].tolist() == [2]
+
+
+def test_meta_blocking_purges_oversized_blocks(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import meta_blocking_wep
+
+    # scheme A: one giant block (purged at max 3); scheme B: a pair twice
+    rows = [{"id": i, "k": "A|big"} for i in range(10)]
+    rows += [{"id": 0, "k": "B|s"}, {"id": 1, "k": "B|s"},
+             {"id": 0, "k": "C|t"}, {"id": 1, "k": "C|t"}]
+    survivors, stats = meta_blocking_wep(
+        rd.from_pandas(pd.DataFrame(rows)), "id", "k", max_block_size=3
+    )
+    out = survivors.to_pandas()
+    # the giant A-block contributes nothing; (0,1) has weight 2 > mean 2? no:
+    # the only pair is (0,1) with weight 2, mean = 2, strict > fails -> empty
+    assert stats["n_pairs"] == 1 and stats["total_weight"] == 2
+    assert len(out) == 0
+
+
+def test_fs_em_recovers_planted_mixture(ray_session):
+    from entity_resolution_engine_ray.stages.evaluate import fs_em
+
+    # plant a 3-feature mixture (k >= 3 is the classic Fellegi-Sunter
+    # identifiability requirement: k=2 gives 5 params on 3 d.o.f.)
+    lam = 0.2
+    m = np.array([0.95, 0.9, 0.8])
+    u = np.array([0.05, 0.2, 0.3])
+    n_total = 1_000_000
+    rows = []
+    for p in range(8):
+        bits = np.array([(p >> j) & 1 for j in range(3)], dtype=np.float64)
+        pm = lam * np.prod(np.where(bits == 1, m, 1 - m))
+        pu = (1 - lam) * np.prod(np.where(bits == 1, u, 1 - u))
+        rows.append({"pattern": p, "n": int(round(n_total * (pm + pu)))})
+    est = fs_em(pd.DataFrame(rows), n_features=3)
+    assert abs(est["lam"] - lam) < 0.02
+    np.testing.assert_allclose(est["m"], m, atol=0.02)
+    np.testing.assert_allclose(est["u"], u, atol=0.02)
+    # discriminative features: m above u on all three
+    assert (est["m"] > est["u"]).all()
+
+
+def test_candidate_pattern_counts_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import candidate_pattern_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"pattern": rng.integers(0, 4, 10_000).astype(np.int64)})
+    a = candidate_pattern_counts(rd.from_pandas(df).repartition(1))
+    b = candidate_pattern_counts(rd.from_pandas(df).repartition(13))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n"].sum() == 10_000
