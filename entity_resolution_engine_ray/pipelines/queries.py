@@ -5345,6 +5345,153 @@ def q_er_fs_em(sf_dir: str):
     )
 
 
+def q_er_cluster_metrics(sf_dir: str):
+    """External cluster-evaluation metrics (the standard ER scoreboard:
+    pairwise precision/recall/F1 + Adjusted Rand Index) comparing two
+    predicted clusterings against a gold partition of the documents table.
+    Gold = 8-char text-prefix groups; scheme 'prefix16' = the finer 16-char
+    prefix clustering (over-splits: pairwise precision is exactly 1 by
+    nesting, recall < 1); scheme 'lang_len' = (lang, n_chars//200) buckets
+    (a deliberately orthogonal labeling — full contingency). Every metric
+    is a single float expression over six exact integers
+    (stages/evaluate.clustering_agreement_stats), so the SQL oracle
+    computing the same expressions matches bit-for-bit. One record-scale
+    exchange per scheme; cluster sizes come from the O(clusters) cell
+    table."""
+    from entity_resolution_engine_ray.stages.evaluate import clustering_agreement_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "n_chars"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.divide(t["n_chars"], pa.scalar(200, pa.int64())), pa.string()
+        )
+        return pa.table(
+            {
+                "tk": pc.utf8_slice_codeunits(t["text"], 0, 8),
+                "pk_prefix16": pc.utf8_slice_codeunits(t["text"], 0, 16),
+                "pk_lang_len": pc.binary_join_element_wise(t["lang"], bucket, "|"),
+            }
+        )
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    rows = []
+    for scheme, col in (("lang_len", "pk_lang_len"), ("prefix16", "pk_prefix16")):
+        s = clustering_agreement_stats(kd.select_columns([col, "tk"]), col, "tk")
+        sn, sa, sb, n = s["cell_pairs"], s["pred_pairs"], s["truth_pairs"], s["n"]
+        t_pairs = n * (n - 1) // 2
+        # identical expression trees to the SQL oracle: product rounded to
+        # double FIRST, then one divide (see VERDICT float-parity rule)
+        exp = float(sa * sb) / float(t_pairs) if t_pairs else 0.0
+        den = float(sa + sb) / 2.0 - exp
+        rows.append(
+            {
+                "scheme": scheme,
+                "n": n,
+                "pred_clusters": s["pred_clusters"],
+                "truth_clusters": s["truth_clusters"],
+                "pair_tp": sn,
+                "pair_fp": sa - sn,
+                "pair_fn": sb - sn,
+                "pair_precision": float(sn) / float(sa) if sa else None,
+                "pair_recall": float(sn) / float(sb) if sb else None,
+                "pair_f1": 2.0 * sn / (sa + sb) if (sa + sb) else None,
+                "ari": (float(sn) - exp) / den if den else None,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n", "pred_clusters", "truth_clusters", "pair_tp", "pair_fp", "pair_fn"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("scheme", kind="mergesort").reset_index(drop=True)
+
+
+def q_er_block_filtering(sf_dir: str):
+    """Block filtering (Papadakis et al.), the per-RECORD complement to
+    meta-blocking's per-PAIR pruning: each document keeps only its
+    ⌈0.6·|blocks|⌉ smallest blocks (most discriminative keys), and a
+    candidate pair survives only if both sides retained a shared block.
+    Same three 8-char-chunk schemes as er_meta_blocking, so the two prune
+    strategies are directly comparable on identical raw blocks. The keep
+    count is the exact integer ceiling (3·cnt+4)//5 — never a float
+    multiply — mirrored in the oracle's ROW_NUMBER window
+    (stages/evaluate.block_filtering_pairs: three slim exchanges)."""
+    from entity_resolution_engine_ray.stages.evaluate import block_filtering_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        parts = []
+        for i, lo in enumerate((0, 8, 16)):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": did,
+                        "k": pc.binary_join_element_wise(
+                            pa.array([f"{i}|"] * len(did), pa.string()),
+                            pc.utf8_slice_codeunits(t["text"], lo, lo + 8),
+                            "",
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    pairs = block_filtering_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        "k",
+        ratio_num=3,
+        ratio_den=5,
+    ).to_pandas()
+    for c in ("left_id", "right_id", "weight"):
+        pairs[c] = pairs[c].astype(np.int64)
+    return pairs.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q_er_phonetic_blocking(sf_dir: str):
+    """Phonetic (Soundex) blocking profile over part names — the classic
+    recall-oriented blocking key for dirty name columns (Christen's
+    indexing survey). Soundex code of the FIRST word of p_name; output one
+    row per code with member count and the implied intra-block pair count
+    C(n,2) — the cost/recall profile a blocking designer reads before
+    committing to the scheme. Rows-only (no SQL soundex in DuckDB); the
+    encoder itself is pinned against the published test vectors
+    (tests/test_functions.py) and the per-batch path is
+    dictionary-encode-first so only unique names are ever scanned
+    (functions/phonetic.soundex_batch)."""
+    from entity_resolution_engine_ray.functions.phonetic import soundex_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def code(t: pa.Table) -> pa.Table:
+        first = pc.replace_substring_regex(t["p_name"], r"\s.*$", "")
+        return pa.table({"code": soundex_batch(first)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, counts = np.unique(
+            t["code"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"code": pa.array(codes, pa.string()),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    parts = (
+        ds.map_batches(code, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("code", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    out["n_pairs"] = (out["n"] * (out["n"] - 1) // 2).astype(np.int64)
+    return out.sort_values("code", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5397,6 +5544,9 @@ QUERIES = {
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_meta_blocking": q_er_meta_blocking,
     "er_fs_em": q_er_fs_em,
+    "er_cluster_metrics": q_er_cluster_metrics,
+    "er_block_filtering": q_er_block_filtering,
+    "er_phonetic_blocking": q_er_phonetic_blocking,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -5720,6 +5870,93 @@ ORACLE_SQL = {
         FROM pw, m
         WHERE w > mw
         ORDER BY left_id, right_id
+    """,
+    "er_cluster_metrics": r"""
+        WITH d AS (
+            SELECT substr(text, 1, 8) AS tk,
+                   substr(text, 1, 16) AS pk_prefix16,
+                   lang || '|' || CAST(n_chars // 200 AS VARCHAR) AS pk_lang_len
+            FROM documents
+        ),
+        u AS (
+            SELECT 'prefix16' AS scheme, pk_prefix16 AS pk, tk FROM d
+            UNION ALL
+            SELECT 'lang_len', pk_lang_len, tk FROM d
+        ),
+        cells AS (
+            SELECT scheme, pk, tk, COUNT(*) AS c FROM u GROUP BY scheme, pk, tk
+        ),
+        agg AS (
+            SELECT scheme, SUM(c) AS n, SUM(c * (c - 1) // 2) AS sn
+            FROM cells GROUP BY scheme
+        ),
+        ps AS (
+            SELECT scheme, COUNT(*) AS kp, SUM(a * (a - 1) // 2) AS sa
+            FROM (SELECT scheme, pk, SUM(c) AS a FROM cells GROUP BY scheme, pk)
+            GROUP BY scheme
+        ),
+        ts AS (
+            SELECT scheme, COUNT(*) AS kt, SUM(b * (b - 1) // 2) AS sb
+            FROM (SELECT scheme, tk, SUM(c) AS b FROM cells GROUP BY scheme, tk)
+            GROUP BY scheme
+        ),
+        f AS (
+            SELECT agg.scheme AS scheme, n, kp, kt, sn, sa, sb,
+                   n * (n - 1) // 2 AS t_pairs
+            FROM agg JOIN ps USING (scheme) JOIN ts USING (scheme)
+        ),
+        g AS (
+            SELECT *,
+                   CASE WHEN t_pairs > 0
+                        THEN CAST(sa * sb AS DOUBLE) / CAST(t_pairs AS DOUBLE)
+                        ELSE 0.0 END AS exp_
+            FROM f
+        )
+        SELECT scheme,
+               CAST(n AS BIGINT) AS n,
+               CAST(kp AS BIGINT) AS pred_clusters,
+               CAST(kt AS BIGINT) AS truth_clusters,
+               CAST(sn AS BIGINT) AS pair_tp,
+               CAST(sa - sn AS BIGINT) AS pair_fp,
+               CAST(sb - sn AS BIGINT) AS pair_fn,
+               CASE WHEN sa > 0
+                    THEN CAST(sn AS DOUBLE) / CAST(sa AS DOUBLE) END AS pair_precision,
+               CASE WHEN sb > 0
+                    THEN CAST(sn AS DOUBLE) / CAST(sb AS DOUBLE) END AS pair_recall,
+               CASE WHEN sa + sb > 0
+                    THEN 2.0 * sn / CAST(sa + sb AS DOUBLE) END AS pair_f1,
+               CASE WHEN (CAST(sa + sb AS DOUBLE) / 2.0 - exp_) <> 0
+                    THEN (CAST(sn AS DOUBLE) - exp_)
+                         / (CAST(sa + sb AS DOUBLE) / 2.0 - exp_) END AS ari
+        FROM g
+        ORDER BY scheme
+    """,
+    "er_block_filtering": r"""
+        WITH k AS (
+            SELECT doc_id, '0|' || substr(text, 1, 8) AS k FROM documents
+            UNION ALL
+            SELECT doc_id, '1|' || substr(text, 9, 8) FROM documents
+            UNION ALL
+            SELECT doc_id, '2|' || substr(text, 17, 8) FROM documents
+        ),
+        sz AS (SELECT k, COUNT(*) AS c FROM k GROUP BY k),
+        ranked AS (
+            SELECT k.doc_id, k.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY k.doc_id ORDER BY sz.c, k.k) AS rn,
+                   COUNT(*) OVER (PARTITION BY k.doc_id) AS cnt
+            FROM k JOIN sz USING (k)
+        ),
+        kept AS (
+            SELECT doc_id, k FROM ranked WHERE rn <= (3 * cnt + 4) // 5
+        ),
+        pw AS (
+            SELECT a.doc_id AS l, b.doc_id AS r, CAST(COUNT(*) AS BIGINT) AS w
+            FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT l AS left_id, r AS right_id, w AS weight
+        FROM pw ORDER BY left_id, right_id
     """,
     "doc_jaccard_join": r"""
         WITH arrs AS (

@@ -415,6 +415,189 @@ def meta_blocking_wep(
     )
 
 
+def clustering_agreement_stats(
+    ds,
+    pred_col: str,
+    truth_col: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """External clustering-agreement statistics between two labelings of the
+    same records (predicted clusters vs gold clusters): the six integers
+    every pairwise metric and the Adjusted Rand Index are built from.
+
+        n              total records
+        pred_clusters  distinct predicted cluster keys
+        truth_clusters distinct truth cluster keys
+        cell_pairs     SN = Σ_ij C(n_ij, 2) over contingency cells
+                       (= pairwise TP: together in both labelings)
+        pred_pairs     SA = Σ_i C(a_i, 2) over predicted cluster sizes
+        truth_pairs    SB = Σ_j C(b_j, 2) over truth cluster sizes
+
+    Pairwise precision = SN/SA, recall = SN/SB, and
+    ARI = (SN − SA·SB/T) / ((SA+SB)/2 − SA·SB/T) with T = C(n, 2)
+    (Hubert–Arabie adjusted Rand) — all single float expressions over these
+    exact integers, so an SQL oracle computing the same expressions matches
+    bit-for-bit.
+
+    Distribution: ONE record-scale exchange on (pred, truth) folds records
+    into contingency cells; cluster sizes then come from two exchanges over
+    the CELL table (O(clusters) rows, not O(records)); everything else is
+    per-batch integer partials. Counts accumulate in Python ints on the
+    driver (a handful of partial rows), so no int64 overflow at any corpus
+    size that fits the int64 cell counts themselves."""
+
+    def cell_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "pk": pd.Series([], dtype="object"),
+                    "tk": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = (
+            pdf.groupby([pred_col, truth_col], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        g.columns = ["pk", "tk", "c"]
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    cells = hash_exchange_map_groups(
+        ds, [pred_col, truth_col], cell_count, num_partitions=num_partitions
+    ).materialize()
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(c.sum())], pa.int64()),
+                "sn": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+            }
+        )
+
+    cp = cells.map_batches(cell_partial, batch_format="pyarrow").to_pandas()
+    n = int(cp["n"].sum())
+    sn = int(cp["sn"].sum())
+
+    def size_fold(key: str):
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"pairs": pd.Series([], dtype="int64"),
+                     "k": pd.Series([], dtype="int64")}
+                )
+            sizes = pdf.groupby(key, sort=False)["c"].sum().to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "pairs": [int((sizes * (sizes - 1) // 2).sum())],
+                    "k": [len(sizes)],
+                }
+            )
+        return fold
+
+    # cluster sizes from the (small) cell table: a_i = Σ_j n_ij, b_j = Σ_i n_ij
+    pp = hash_exchange_map_groups(
+        cells, ["pk"], size_fold("pk"), num_partitions=num_partitions
+    ).to_pandas()
+    tp_ = hash_exchange_map_groups(
+        cells, ["tk"], size_fold("tk"), num_partitions=num_partitions
+    ).to_pandas()
+    return {
+        "n": n,
+        "pred_clusters": int(pp["k"].sum()) if len(pp) else 0,
+        "truth_clusters": int(tp_["k"].sum()) if len(tp_) else 0,
+        "cell_pairs": sn,
+        "pred_pairs": int(pp["pairs"].sum()) if len(pp) else 0,
+        "truth_pairs": int(tp_["pairs"].sum()) if len(tp_) else 0,
+    }
+
+
+def block_filtering_pairs(
+    keyed_ds,
+    id_col: str,
+    key_col: str,
+    ratio_num: int = 4,
+    ratio_den: int = 5,
+    num_partitions: int | None = None,
+):
+    """Block filtering (Papadakis et al.): each record keeps only its
+    ⌈r·|blocks(e)|⌉ SMALLEST blocks (smaller block ⇒ more discriminative
+    key), ties broken by key string; a candidate pair survives if it
+    co-occurs in at least one block BOTH records retained. Output:
+    (left_id, right_id, weight) with weight = number of co-retained blocks.
+
+    The ratio is the exact rational ``ratio_num/ratio_den`` and the keep
+    count is the INTEGER ceiling ``(ratio_num·cnt + ratio_den − 1) //
+    ratio_den`` — never a float multiply (0.8·5 in binary floats ceils to 5,
+    not 4; the SQL oracle uses the same integer form, so both engines keep
+    identical memberships).
+
+    Distribution: three record-scale exchanges — (1) on key to attach block
+    sizes to memberships, (2) on id to rank each record's blocks and keep
+    the head, (3) the retained memberships through ``block_pairs`` + a pair
+    fold. Skew note: step 3 only ever pairs within retained blocks, and
+    filtering preferentially DROPS the hot oversized blocks, so the pair
+    stage is strictly cheaper than pairing the raw blocking."""
+    if ratio_num <= 0 or ratio_den <= 0 or ratio_num > ratio_den:
+        raise ValueError("ratio must satisfy 0 < ratio_num/ratio_den <= 1")
+
+    def attach_size(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "k": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {"id": pdf[id_col].astype(np.int64), "k": pdf[key_col]}
+        )
+        out["c"] = pdf.groupby(key_col, sort=False)[id_col].transform("size").astype(np.int64)
+        return out
+
+    sized = hash_exchange_map_groups(
+        keyed_ds, [key_col], attach_size, num_partitions=num_partitions
+    )
+
+    def keep_head(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "k": pd.Series([], dtype="object")}
+            )
+        pdf = pdf.sort_values(["id", "c", "k"], kind="mergesort")
+        rank = pdf.groupby("id", sort=False).cumcount()
+        cnt = pdf.groupby("id", sort=False)["k"].transform("size").to_numpy(dtype=np.int64)
+        keep = (ratio_num * cnt + ratio_den - 1) // ratio_den
+        return pdf.loc[rank.to_numpy() < keep, ["id", "k"]]
+
+    retained = hash_exchange_map_groups(
+        sized, ["id"], keep_head, num_partitions=num_partitions
+    )
+
+    occ = block_pairs(retained, "id", "k", num_partitions=num_partitions)
+
+    def weigh(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                    "weight": pd.Series([], dtype="int64"),
+                }
+            )
+        g = pdf.groupby(["left_id", "right_id"], sort=False).size().reset_index(name="weight")
+        g["weight"] = g["weight"].astype(np.int64)
+        return g
+
+    return hash_exchange_map_groups(
+        occ, ["left_id", "right_id"], weigh, num_partitions=num_partitions
+    )
+
+
 def candidate_pattern_counts(cand_ds, num_partitions: int | None = None) -> pd.DataFrame:
     """Per agreement-pattern candidate counts WITHOUT labels (the input to
     unsupervised EM): per-batch integer partials into one tiny pattern

@@ -296,3 +296,101 @@ def test_candidate_pattern_counts_partition_invariant(ray_session):
     b = candidate_pattern_counts(rd.from_pandas(df).repartition(13))
     pd.testing.assert_frame_equal(a, b)
     assert a["n"].sum() == 10_000
+
+
+def test_clustering_agreement_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import clustering_agreement_stats
+
+    rng = np.random.default_rng(7)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "pk": [f"p{v}" for v in rng.integers(0, 40, n)],
+            "tk": [f"t{v}" for v in rng.integers(0, 25, n)],
+        }
+    )
+    s = clustering_agreement_stats(rd.from_pandas(df).repartition(7), "pk", "tk")
+
+    def c2(sizes):
+        return int(sum(int(x) * (int(x) - 1) // 2 for x in sizes))
+
+    cells = df.groupby(["pk", "tk"]).size()
+    a = df.groupby("pk").size()
+    b = df.groupby("tk").size()
+    assert s == {
+        "n": n,
+        "pred_clusters": len(a),
+        "truth_clusters": len(b),
+        "cell_pairs": c2(cells),
+        "pred_pairs": c2(a),
+        "truth_pairs": c2(b),
+    }
+    # identical labelings: perfect agreement -> tp == pred_pairs == truth_pairs
+    same = pd.DataFrame({"pk": df["pk"], "tk": df["pk"]})
+    s2 = clustering_agreement_stats(rd.from_pandas(same).repartition(3), "pk", "tk")
+    assert s2["cell_pairs"] == s2["pred_pairs"] == s2["truth_pairs"]
+
+
+def test_block_filtering_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import block_filtering_pairs
+
+    rng = np.random.default_rng(5)
+    n = 300
+    rows = []
+    for i in range(n):
+        # 3 scheme keys per record, some shared hot keys to exercise sizes
+        for s in range(3):
+            rows.append({"id": i, "k": f"{s}|{rng.integers(0, 12 if s else 4)}"})
+    df = pd.DataFrame(rows)
+    got = (
+        block_filtering_pairs(
+            rd.from_pandas(df).repartition(8), "id", "k", ratio_num=3, ratio_den=5
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    sizes = df.groupby("k").size()
+    df2 = df.assign(c=df["k"].map(sizes))
+    df2 = df2.sort_values(["id", "c", "k"], kind="mergesort")
+    rank = df2.groupby("id").cumcount()
+    cnt = df2.groupby("id")["k"].transform("size")
+    kept = df2[rank < (3 * cnt + 4) // 5]
+    from collections import Counter
+
+    w = Counter()
+    for _, grp in kept.groupby("k"):
+        ids = sorted(grp["id"].tolist())
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                w[(ids[x], ids[y])] += 1
+    exp = (
+        pd.DataFrame(
+            [(left, right, c) for (left, right), c in w.items()],
+            columns=["left_id", "right_id", "weight"],
+        )
+        .astype(np.int64)
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # every record keeps ceil(0.6*3)=2 of its 3 blocks
+    assert len(kept) == 2 * n
+
+
+def test_block_filtering_validates_ratio(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import block_filtering_pairs
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1], "k": ["a"]}))
+    with pytest.raises(ValueError):
+        block_filtering_pairs(ds, "id", "k", ratio_num=6, ratio_den=5)
+    with pytest.raises(ValueError):
+        block_filtering_pairs(ds, "id", "k", ratio_num=0, ratio_den=5)

@@ -274,3 +274,34 @@ def test_char_ngram_hashes_match_gram_strings():
             union = len(sa) + len(sb) - inter
             want = ngram_jaccard(a.lower(), b.lower(), 3)
             assert abs(inter / union - want) < 1e-12, (a, b)
+
+
+def test_soundex_published_vectors():
+    # the U.S. National Archives specification's worked examples
+    from entity_resolution_engine_ray.functions.phonetic import soundex
+
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"  # H transparent between S and C
+    assert soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"   # vowel separates C-Z from K
+    assert soundex("Pfister") == "P236"   # F follows same-code P, collapses
+    assert soundex("Honeyman") == "H555"
+    assert soundex("Washington") == "W252"
+    # padding, case, non-letters, degenerate inputs
+    assert soundex("Lee") == "L000"
+    assert soundex("o'Brien") == "O165"
+    assert soundex("") == ""
+    assert soundex(None) == ""
+    assert soundex("123") == ""
+
+
+def test_soundex_batch_matches_scalar_with_nulls():
+    import pyarrow as pa
+
+    from entity_resolution_engine_ray.functions.phonetic import soundex, soundex_batch
+
+    vals = ["Robert", None, "Tymczak", "Robert", "", "Pfister"] * 50
+    out = soundex_batch(pa.chunked_array([vals[:100], vals[100:]])).to_pylist()
+    exp = [soundex(v) if v is not None else "" for v in vals]
+    assert out == exp
