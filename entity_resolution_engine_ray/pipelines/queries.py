@@ -5492,6 +5492,81 @@ def q_er_phonetic_blocking(sf_dir: str):
     return out.sort_values("code", kind="mergesort").reset_index(drop=True)
 
 
+def q_er_one_to_one(sf_dir: str):
+    """One-to-one record linkage assignment (the 1:1 deliverable the
+    reference's per-left argmax matchers stop short of): split documents
+    into two sides by doc_id parity, block on the 8-char text prefix,
+    score cross-side candidates by common-prefix length, then enforce a
+    1:1 matching with the distributed greedy algorithm — rounds of
+    locally-dominant (mutual-best) acceptance that reproduce the serial
+    (score desc, left, right) greedy scan exactly (Preis's locally
+    heaviest edges; stages/matching.one_to_one_match). Rows-only: a
+    sequential greedy scan has no SQL form; the distributed==serial pin
+    lives in tests/test_matching.py."""
+    from entity_resolution_engine_ray.stages.evaluate import block_pairs
+    from entity_resolution_engine_ray.stages.matching import one_to_one_match
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pc.utf8_slice_codeunits(t["text"], 0, 8),
+                "pfx": pc.utf8_slice_codeunits(t["text"], 0, 40),
+            }
+        )
+
+    cand = block_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        "k",
+        payload_cols=["pfx"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        li = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # cross-side only: left side = even doc_id, right side = odd
+        keep = (li % 2) != (ri % 2)
+        li, ri = li[keep], ri[keep]
+        lp = np.asarray(t["left_pfx"].to_pylist(), dtype="U40")[keep]
+        rp = np.asarray(t["right_pfx"].to_pylist(), dtype="U40")[keep]
+        # orient: left column = the even-id side
+        swap = (li % 2) == 1
+        li2 = np.where(swap, ri, li)
+        ri2 = np.where(swap, li, ri)
+        n = len(li2)
+        if n == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        # common-prefix length over fixed-width codepoint lanes
+        a = lp.view(np.uint32).reshape(n, 40)
+        b = rp.view(np.uint32).reshape(n, 40)
+        cpl = (a == b).cumprod(axis=1).sum(axis=1)
+        return pa.table(
+            {
+                "left_id": pa.array(li2),
+                "right_id": pa.array(ri2),
+                "score": pa.array(cpl.astype(np.float64)),
+            }
+        )
+
+    out = one_to_one_match(
+        cand.map_batches(score, batch_format="pyarrow")
+    ).to_pandas()
+    out["left_id"] = out["left_id"].astype(np.int64)
+    out["right_id"] = out["right_id"].astype(np.int64)
+    return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5547,6 +5622,7 @@ QUERIES = {
     "er_cluster_metrics": q_er_cluster_metrics,
     "er_block_filtering": q_er_block_filtering,
     "er_phonetic_blocking": q_er_phonetic_blocking,
+    "er_one_to_one": q_er_one_to_one,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
