@@ -5567,6 +5567,330 @@ def q_er_one_to_one(sf_dir: str):
     )
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped cycle join: 1996 revenue from lineitems whose
+    CUSTOMER and SUPPLIER sit in the same nation — lineitem ⋈ orders ⋈
+    customer ⋈ supplier with the c_nationkey = s_nationkey cycle predicate,
+    grouped by nation. Three slim task-level cogroups with aggregation
+    pushed below each exchange (same plan shape as brand_nation_revenue /
+    Q9): orders are date-filtered BEFORE the first exchange, stage 1 folds
+    lineitem⋈orders to (custkey, suppkey) revenue partials, stage 2 swaps
+    custkey for the customer's nation, stage 3 keeps only suppliers of the
+    SAME nation. Only the tiny nation-name dimension is a driver lookup.
+    Cents lanes stay split whole/remainder across all exchanges."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        return pa.table(
+            {
+                "o_orderkey": pc.array_filter(t["o_orderkey"], pa.array(keep)),
+                "o_custkey": pc.array_filter(t["o_custkey"], pa.array(keep)),
+            }
+        )
+
+    orders96 = orders.map_batches(in_window, batch_format="pyarrow")
+
+    _E1 = pd.DataFrame(
+        {
+            "o_custkey": pd.Series([], dtype=np.int64),
+            "l_suppkey": pd.Series([], dtype=np.int64),
+            "rev_w": pd.Series([], dtype=np.int64),
+            "rev_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def stage1(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or o_pdf.empty:
+            return _E1.copy()
+        m = l_pdf.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return _E1.copy()
+        ext_c = np.round(m["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_h = np.round(m["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        m = m.assign(u=ext_c * (100 - disc_h))
+        g = m.groupby(["o_custkey", "l_suppkey"], as_index=False)["u"].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype(np.int64),
+                "l_suppkey": g["l_suppkey"].astype(np.int64),
+                "rev_w": (g["u"] // 10_000).astype(np.int64),
+                "rev_r": (g["u"] % 10_000).astype(np.int64),
+            }
+        )
+
+    cust_supp = hash_exchange_cogroup(
+        li, orders96, ["l_orderkey"], ["o_orderkey"], stage1, default_join_partitions()
+    )
+
+    _E2 = pd.DataFrame(
+        {
+            "c_nationkey": pd.Series([], dtype=np.int64),
+            "l_suppkey": pd.Series([], dtype=np.int64),
+            "rev_w": pd.Series([], dtype=np.int64),
+            "rev_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def stage2(cs_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cs_pdf.empty or c_pdf.empty:
+            return _E2.copy()
+        m = cs_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
+        if m.empty:
+            return _E2.copy()
+        g = m.groupby(["c_nationkey", "l_suppkey"], as_index=False).agg(
+            rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+        )
+        for c in ("c_nationkey", "l_suppkey", "rev_w", "rev_r"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    nat_supp = hash_exchange_cogroup(
+        cust_supp, customer, ["o_custkey"], ["c_custkey"], stage2,
+        default_join_partitions(),
+    )
+
+    _E3 = pd.DataFrame(
+        {
+            "nationkey": pd.Series([], dtype=np.int64),
+            "rev_w": pd.Series([], dtype=np.int64),
+            "rev_r": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def stage3(ns_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        if ns_pdf.empty or s_pdf.empty:
+            return _E3.copy()
+        m = ns_pdf.merge(s_pdf, left_on="l_suppkey", right_on="s_suppkey")
+        m = m[m["c_nationkey"] == m["s_nationkey"]]
+        if m.empty:
+            return _E3.copy()
+        g = m.groupby("c_nationkey", as_index=False).agg(
+            rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "nationkey": g["c_nationkey"].astype(np.int64),
+                "rev_w": g["rev_w"].astype(np.int64),
+                "rev_r": g["rev_r"].astype(np.int64),
+            }
+        )
+
+    partials = hash_exchange_cogroup(
+        nat_supp, supplier, ["l_suppkey"], ["s_suppkey"], stage3,
+        default_join_partitions(),
+    ).to_pandas()
+    if partials.empty:
+        partials = _E3.copy()
+    agg = partials.groupby("nationkey", as_index=False).agg(
+        rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+    )
+    rev_c = _cents_from_lanes(agg["rev_w"], agg["rev_r"])
+    out = pd.DataFrame(
+        {"n_name": agg["nationkey"].map(nation_map), "revenue": rev_c / 100.0}
+    )
+    return out.sort_values("revenue", ascending=False, kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shaped distribution: how many customers placed exactly k
+    orders, INCLUDING k = 0 (the left-join subtlety — zero-order customers
+    exist only on the customer side). Plan: per-batch partial order counts
+    per custkey → one custkey groupby → LEFT cogroup with the customer key
+    column (missing side = count 0) that folds straight to per-partition
+    (c_count, custdist) partials — the driver only ever sees the tiny
+    histogram."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {"o_custkey": pa.array(vals), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        orders.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    _E = pd.DataFrame(
+        {
+            "c_count": pd.Series([], dtype=np.int64),
+            "custdist": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def hist_partial(c_pdf: pd.DataFrame, n_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return _E.copy()
+        m = c_pdf.merge(
+            n_pdf, left_on="c_custkey", right_on="o_custkey", how="left"
+        )
+        cc = m["n"].fillna(0).astype(np.int64)
+        vals, cnt = np.unique(cc.to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {"c_count": vals.astype(np.int64), "custdist": cnt.astype(np.int64)}
+        )
+
+    partials = hash_exchange_cogroup(
+        customer, counts, ["c_custkey"], ["o_custkey"], hist_partial,
+        default_join_partitions(),
+    ).to_pandas()
+    if partials.empty:
+        partials = _E.copy()
+    out = partials.groupby("c_count", as_index=False)["custdist"].sum()
+    out["c_count"] = out["c_count"].astype(np.int64)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def q_rich_inactive_customers(sf_dir: str):
+    """TPC-H Q22-shaped anti-join with a scalar-subquery threshold: per
+    nation, the count and total balance of customers whose balance exceeds
+    the average POSITIVE balance and who placed no order since 2000-01-01
+    (every fixture customer has SOME order, so plain Q22 "never ordered"
+    is vacuous — "gone quiet" is the same anti-join shape with a date
+    predicate pushed into the read side). The threshold comparison runs in
+    EXACT integers on both engines (cents·N > S ⟺ balance > S/N — no
+    float average, no boundary drift, the third-scale-gate lesson), the
+    global (S, N) pair is two per-batch integer partials, and the
+    anti-join is one custkey cogroup against per-batch-deduped recent
+    order keys. Totals are exact cents."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).materialize()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    bp = customer.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s_total = int(bp["s"].sum())
+    n_total = int(bp["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = cents * n_total > s_total  # exact-int form of bal > S/N
+        return pa.table(
+            {
+                "c_custkey": pc.array_filter(t["c_custkey"], pa.array(keep)),
+                "c_nationkey": pc.array_filter(t["c_nationkey"], pa.array(keep)),
+                "bal_c": pa.array(cents[keep]),
+            }
+        )
+
+    rich_ds = customer.map_batches(rich, batch_format="pyarrow")
+
+    cutoff = np.datetime64("2000-01-01")
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(np.unique(ck[d >= cutoff]))})
+
+    okeys = orders.map_batches(order_keys, batch_format="pyarrow")
+
+    _E = pd.DataFrame(
+        {
+            "c_nationkey": pd.Series([], dtype=np.int64),
+            "numcust": pd.Series([], dtype=np.int64),
+            "bal_c": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def anti_fold(r_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if r_pdf.empty:
+            return _E.copy()
+        inactive = r_pdf[~r_pdf["c_custkey"].isin(set(o_pdf["o_custkey"].tolist()))]
+        if inactive.empty:
+            return _E.copy()
+        g = inactive.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), bal_c=("bal_c", "sum")
+        )
+        for c in ("c_nationkey", "numcust", "bal_c"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    partials = hash_exchange_cogroup(
+        rich_ds, okeys, ["c_custkey"], ["o_custkey"], anti_fold,
+        default_join_partitions(),
+    ).to_pandas()
+    if partials.empty:
+        partials = _E.copy()
+    agg = partials.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), bal_c=("bal_c", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "n_name": agg["c_nationkey"].map(nation_map),
+            "numcust": agg["numcust"].astype(np.int64),
+            "totacctbal": agg["bal_c"].to_numpy(dtype=np.int64) / 100.0,
+        }
+    )
+    return out.sort_values("n_name", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5623,6 +5947,9 @@ QUERIES = {
     "er_block_filtering": q_er_block_filtering,
     "er_phonetic_blocking": q_er_phonetic_blocking,
     "er_one_to_one": q_er_one_to_one,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "customer_order_distribution": q_customer_order_distribution,
+    "rich_inactive_customers": q_rich_inactive_customers,
     "part_fuzzy_cross": q_part_fuzzy_cross,
     "doc_redact_pii": q_doc_redact_pii,
     "docs_cdc_merge": q_docs_cdc_merge,
@@ -7355,6 +7682,59 @@ ORACLE_SQL = {
                CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
         ORDER BY a.p_brand, n.n_name
+    """,
+    "local_supplier_revenue": """
+        WITH j AS (
+            SELECT c.c_nationkey,
+                   CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS HUGEINT)) AS u
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND c.c_nationkey = s.s_nationkey
+        ),
+        a AS (SELECT c_nationkey, SUM(u) AS u FROM j GROUP BY c_nationkey)
+        SELECT n.n_name,
+               CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        FROM a JOIN nation n ON a.c_nationkey = n.n_nationkey
+        ORDER BY revenue DESC
+    """,
+    "customer_order_distribution": """
+        WITH pc AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "rich_inactive_customers": """
+        WITH t AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS HUGEINT)) AS s,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS HUGEINT) > 0
+        ),
+        rich AS (
+            SELECT c.c_custkey, c.c_nationkey,
+                   CAST(ROUND(c.c_acctbal * 100) AS HUGEINT) AS bal_c
+            FROM customer c, t
+            WHERE CAST(ROUND(c.c_acctbal * 100) AS HUGEINT) * t.n > t.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        )
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(r.bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        FROM rich r JOIN nation n ON r.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
     """,
     "small_qty_loss": """
         WITH t AS (
