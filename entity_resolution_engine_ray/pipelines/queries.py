@@ -5891,6 +5891,81 @@ def q_rich_inactive_customers(sf_dir: str):
     return out.sort_values("n_name", kind="mergesort").reset_index(drop=True)
 
 
+def q_zone_pruned_stats(sf_dir: str):
+    """Zone-map pruned scan (the Iceberg/Delta file-skipping idea at shard
+    granularity): documents land as length-bucketed shards whose manifests
+    carry per-shard [min, max] of n_chars; the length-band query then
+    opens ONLY the shards whose zone can intersect — on a 100 TB corpus
+    that is the difference between a full scan and a few directory reads.
+    Zone maps only PRUNE (sources/sink.read_sharded_parquet), so an exact
+    row filter follows; the aggregate matches the plain full-scan SQL
+    oracle, certifying the pruning lost nothing. The write is resumable
+    (per-shard manifests) and keyed by sf_dir, so repeat runs skip it."""
+    import hashlib
+
+    from entity_resolution_engine_ray.sources.sink import (
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.divide(t["n_chars"], pa.scalar(100, pa.int64()))
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/er_zone_shards_{tag}"
+    write_sharded_parquet(
+        ds.map_batches(bucketed, batch_format="pyarrow"),
+        out_dir,
+        "bucket",
+        params_hash=f"zonev1|{sf_dir}",
+        zone_cols=["n_chars"],
+    )
+
+    lo, hi = 200, 399
+    pruned = read_sharded_parquet(out_dir, zone_filter={"n_chars": (lo, hi)})
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_chars"], pa.scalar(lo, pa.int64())),
+            pc.less_equal(t["n_chars"], pa.scalar(hi, pa.int64())),
+        )
+        t = t.filter(keep)
+        pdf = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = pruned.map_batches(exact, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "sum_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = partials.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -5947,6 +6022,7 @@ QUERIES = {
     "er_block_filtering": q_er_block_filtering,
     "er_phonetic_blocking": q_er_phonetic_blocking,
     "er_one_to_one": q_er_one_to_one,
+    "zone_pruned_stats": q_zone_pruned_stats,
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_order_distribution": q_customer_order_distribution,
     "rich_inactive_customers": q_rich_inactive_customers,
@@ -7682,6 +7758,15 @@ ORACLE_SQL = {
                CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
         ORDER BY a.p_brand, n.n_name
+    """,
+    "zone_pruned_stats": r"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars BETWEEN 200 AND 399
+        GROUP BY lang
+        ORDER BY lang
     """,
     "local_supplier_revenue": """
         WITH j AS (

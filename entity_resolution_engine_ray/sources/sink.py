@@ -71,12 +71,27 @@ def finished_shards(out_dir: str, params_hash: str = "") -> set:
     return done
 
 
+def _zone_entry(col: pa.ChunkedArray | pa.Array):
+    """JSON-serializable [min, max] of a shard column (ints/floats/strings;
+    timestamps are stored as ISO strings so the manifest stays plain JSON)."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+
+    def enc(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    return [enc(lo), enc(hi)]
+
+
 def write_sharded_parquet(
     ds,
     out_dir: str,
     shard_col: str,
     params_hash: str = "",
     num_partitions: int | None = None,
+    zone_cols: list[str] | None = None,
 ) -> dict:
     """Write ``ds`` as one directory per distinct ``shard_col`` value,
     skipping shards already sealed by a matching manifest.
@@ -86,6 +101,13 @@ def write_sharded_parquet(
     resume; (2) a shard-keyed hash partition writes each shard's rows from
     exactly one task (same-shard rows always co-locate), tmp-dir + rename
     for atomicity. Returns {"written": [...], "skipped": [...]}.
+
+    ``zone_cols``: record per-shard [min, max] ZONE MAPS for these columns
+    in the manifest. A later ``read_sharded_parquet(zone_filter=...)``
+    skips every shard whose range cannot intersect the predicate WITHOUT
+    opening a single data file — the Iceberg/Delta file-skipping idea at
+    shard granularity, and the difference between "scan 100 TB to answer a
+    one-week query" and "open last week's shards".
     """
     import ray
 
@@ -95,6 +117,7 @@ def write_sharded_parquet(
     done = finished_shards(out_dir, params_hash)
     skipped = sorted(done)
     done_ref = ray.put(done)
+    zcols = list(zone_cols or [])
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -122,8 +145,11 @@ def write_sharded_parquet(
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(tmp)
             pq.write_table(sub, os.path.join(tmp, "part-0.parquet"))
+            manifest = {"rows": sub.num_rows, "params_hash": params_hash}
+            if zcols:
+                manifest["zones"] = {c: _zone_entry(sub[c]) for c in zcols}
             with open(os.path.join(tmp, _MANIFEST), "w") as f:
-                json.dump({"rows": sub.num_rows, "params_hash": params_hash}, f)
+                json.dump(manifest, f)
             os.rename(tmp, sdir)
             out.append(value)
         return out
@@ -133,16 +159,61 @@ def write_sharded_parquet(
     return {"written": written, "skipped": skipped}
 
 
-def read_sharded_parquet(out_dir: str):
-    """Read every sealed shard back as one Dataset (unsealed tmp dirs and
-    manifest-less shards are ignored — they belong to an interrupted run)."""
-    import ray.data as rd
+def _zone_intersects(zones: dict, zone_filter: dict) -> bool:
+    """True iff the shard's [min, max] ranges can intersect every predicate
+    interval. A column missing from the manifest NEVER prunes (safe: zone
+    maps are an optimization, absence must not drop data)."""
+    for col, (lo, hi) in zone_filter.items():
+        z = zones.get(col)
+        if z is None:
+            continue
+        zmin, zmax = z
+        if lo is not None and zmax is not None and zmax < lo:
+            return False
+        if hi is not None and zmin is not None and zmin > hi:
+            return False
+    return True
 
-    paths = []
+
+def pruned_shard_paths(out_dir: str, zone_filter: dict | None = None) -> tuple:
+    """(paths_to_read, shards_skipped_by_zone). Only manifests are opened —
+    pruning a shard never touches its data files."""
+    paths: list = []
+    skipped: list = []
     for name in sorted(os.listdir(out_dir)):
         sdir = os.path.join(out_dir, name)
-        if name.startswith("shard=") and os.path.isfile(os.path.join(sdir, _MANIFEST)):
-            paths.extend(
-                os.path.join(sdir, f) for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")
-            )
+        mpath = os.path.join(sdir, _MANIFEST)
+        if not (name.startswith("shard=") and os.path.isfile(mpath)):
+            continue
+        if zone_filter:
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if not _zone_intersects(manifest.get("zones", {}), zone_filter):
+                skipped.append(name)
+                continue
+        paths.extend(
+            os.path.join(sdir, f) for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")
+        )
+    return paths, skipped
+
+
+def read_sharded_parquet(out_dir: str, zone_filter: dict | None = None):
+    """Read sealed shards back as one Dataset (unsealed tmp dirs and
+    manifest-less shards are ignored — they belong to an interrupted run).
+
+    ``zone_filter``: {col: (lo, hi)} inclusive intervals (None = unbounded
+    side). Shards whose manifest zone map cannot intersect are skipped
+    WITHOUT opening any data file; rows inside surviving shards are NOT
+    filtered here — compose with a normal ``map_batches``/``filter`` for
+    exact semantics (zone maps only prune, like Parquet row-group stats
+    one level up)."""
+    import ray.data as rd
+
+    paths, _ = pruned_shard_paths(out_dir, zone_filter)
+    if not paths:
+        # everything pruned: keep the schema (from any sealed shard), 0 rows
+        all_paths, _ = pruned_shard_paths(out_dir, None)
+        if not all_paths:
+            raise FileNotFoundError(f"no sealed shards under {out_dir}")
+        return rd.read_parquet(all_paths).limit(0)
     return rd.read_parquet(paths)

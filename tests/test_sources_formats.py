@@ -5,6 +5,7 @@ extractions commonly ship as JSONL — ``read_pages`` must normalize either
 transport to one schema so every downstream stage sees the same shape."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -261,3 +262,50 @@ def test_read_pages_orc_roundtrip_and_prune(ray_session, tmp_path):
     pruned = read_pages(out, format="orc", columns=["url", "lang"]).to_pandas()
     assert list(pruned.columns) == ["url", "lang"]
     assert len(pruned) == len(exp)
+
+
+def test_zone_map_pruning_skips_shards_without_opening_data(ray_session, tmp_path):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.sources.sink import (
+        pruned_shard_paths,
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "shard": ["a"] * 4 + ["b"] * 4 + ["c"] * 4,
+            "v": [10, 11, 12, 13, 50, 51, 52, 53, 90, 91, 92, 93],
+            "s": list("abcdefghijkl"),
+        }
+    )
+    out = str(tmp_path / "zoned")
+    write_sharded_parquet(
+        rd.from_pandas(pdf), out, "shard", params_hash="h", zone_cols=["v", "s"]
+    )
+
+    # [45, 60] can only live in shard b
+    paths, skipped = pruned_shard_paths(out, {"v": (45, 60)})
+    assert skipped == ["shard=a", "shard=c"]
+    assert all("shard=b" in p for p in paths)
+    got = read_sharded_parquet(out, {"v": (45, 60)}).to_pandas()
+    assert sorted(got["v"].tolist()) == [50, 51, 52, 53]
+
+    # half-open intervals + string zones
+    assert pruned_shard_paths(out, {"v": (None, 20)})[1] == ["shard=b", "shard=c"]
+    assert pruned_shard_paths(out, {"v": (80, None)})[1] == ["shard=a", "shard=b"]
+    assert pruned_shard_paths(out, {"s": ("e", "f")})[1] == ["shard=a", "shard=c"]
+
+    # a column with no zone map never prunes (safety)
+    paths_all, skipped_none = pruned_shard_paths(out, {"nope": (0, 1)})
+    assert skipped_none == [] and len(paths_all) == 3
+
+    # everything pruned -> schema preserved, zero rows
+    empty = read_sharded_parquet(out, {"v": (1000, 2000)})
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"shard", "v", "s"}
+
+    # zone maps only PRUNE: surviving shards still carry out-of-range rows
+    loose = read_sharded_parquet(out, {"v": (50, 51)}).to_pandas()
+    assert sorted(loose["v"].tolist()) == [50, 51, 52, 53]
