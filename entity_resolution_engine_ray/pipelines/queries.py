@@ -2720,6 +2720,61 @@ def q_lang_len_token_corr(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_lang_len_ols(sf_dir: str):
+    """Per-language ordinary-least-squares fit of token count against
+    document length (slope / intercept / R²) — the regression member of
+    the algebraic-moment aggregate family next to lang_len_token_corr:
+    identical exact-integer moment partials (n, Σx, Σy, Σxy, Σx², Σy² —
+    six int64 lanes through one tiny groupby), then every statistic is a
+    single float expression over exact big-int terms mirrored
+    op-for-op in the SQL oracle (num/den division for slope, the
+    (Σy − slope·Σx)/n form for intercept, num²/(denx·deny) for R²), so
+    distributed == serial at any partition count by construction."""
+    from entity_resolution_engine_ray.functions.textstats import token_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.cast(token_count(t["text"]), pa.int64()).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        g = pdf.groupby("lang", as_index=False).sum()
+        for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]])
+    ).to_pandas()
+
+    slopes, intercepts, r2s = [], [], []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx, syy = (
+            int(r[c]) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+        num = n * sxy - sx * sy          # exact Python ints
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = float(num) / float(denx)
+        slopes.append(slope)
+        intercepts.append((float(sy) - slope * float(sx)) / float(n))
+        r2s.append(float(num * num) / float(denx * deny))
+    agg["slope"] = _rha(np.array(slopes), 6)
+    agg["intercept"] = _rha(np.array(intercepts), 6)
+    agg["r2"] = _rha(np.array(r2s), 6)
+    out = agg[["lang", "slope", "intercept", "r2"]].sort_values(
+        "lang", kind="mergesort"
+    )
+    return out.reset_index(drop=True)
+
+
 def q_user_click_purchase_outer(sf_dir: str):
     """FULL OUTER join of two grouped aggregates: per-user counts of
     high-value (>95) clicks vs high-value purchases — the threshold makes
@@ -6089,6 +6144,7 @@ QUERIES = {
     "user_cumulative_value": q_user_cumulative_value,
     "user_event_rank": q_user_event_rank,
     "lang_len_token_corr": q_lang_len_token_corr,
+    "lang_len_ols": q_lang_len_ols,
     "customer_top3_orders": q_customer_top3_orders,
     "user_event_quartiles": q_user_event_quartiles,
     "user_event_gaps": q_user_event_gaps,
@@ -7169,6 +7225,34 @@ ORACLE_SQL = {
                      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
                       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_len_tokens
         FROM m ORDER BY lang
+    """,
+    "lang_len_ols": f"""
+        WITH t AS (
+            SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                   CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS y
+            FROM documents
+        ),
+        m AS (
+            SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x*y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x*x) AS HUGEINT) AS sxx,
+                   CAST(SUM(y*y) AS HUGEINT) AS syy
+            FROM t GROUP BY lang
+        ),
+        s AS (
+            SELECT lang, n, sx, sy, sxx, syy, sxy,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+            FROM m
+        )
+        SELECT lang,
+               ROUND(slope, 6) AS slope,
+               ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               ROUND(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                     / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 6) AS r2
+        FROM s ORDER BY lang
     """,
     "customer_top3_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
