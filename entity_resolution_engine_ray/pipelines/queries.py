@@ -6021,6 +6021,84 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_bucketed_join_segments(sf_dir: str):
+    """Bucketed-storage join (the Hive/Spark bucketed-table pattern):
+    customer and orders land ONCE as hash-bucketed tables (16 buckets on
+    custkey, sealed resumable shards), then the join runs with ZERO
+    exchange — one task per bucket reads bucket i of both sides straight
+    from storage (sources/bucketed.bucketed_cogroup; the write IS the
+    exchange, paid once and amortized over every future join of the
+    table). Per-market-segment order count + exact-cents total price,
+    certified against the plain-join SQL oracle."""
+    import hashlib
+
+    from entity_resolution_engine_ray.sources.bucketed import (
+        bucketed_cogroup,
+        write_bucketed_parquet,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cdir = f"/tmp/er_bucketed_cust_{tag}"
+    odir = f"/tmp/er_bucketed_ord_{tag}"
+    write_bucketed_parquet(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ),
+        cdir,
+        "c_custkey",
+        16,
+        params_hash=f"bucketv1|{sf_dir}",
+    )
+    write_bucketed_parquet(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ),
+        odir,
+        "o_custkey",
+        16,
+        params_hash=f"bucketv1|{sf_dir}",
+    )
+
+    _E = pd.DataFrame(
+        {
+            "c_mktsegment": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "price_c": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def seg_fold(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty or o_pdf.empty:
+            return _E.copy()
+        m = c_pdf.merge(o_pdf, left_on="c_custkey", right_on="o_custkey")
+        if m.empty:
+            return _E.copy()
+        m["price_c"] = np.round(
+            m["o_totalprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        g = m.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_custkey", "size"), price_c=("price_c", "sum")
+        )
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["price_c"] = g["price_c"].astype(np.int64)
+        return g
+
+    partials = bucketed_cogroup(cdir, odir, seg_fold).to_pandas()
+    if partials.empty:
+        partials = _E.copy()
+    agg = partials.groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("n_orders", "sum"), price_c=("price_c", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": agg["c_mktsegment"],
+            "n_orders": agg["n_orders"].astype(np.int64),
+            "total_price": agg["price_c"].to_numpy(dtype=np.int64) / 100.0,
+        }
+    )
+    return out.sort_values("c_mktsegment", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_jaccard_join(sf_dir: str):
     """EXACT k-shingle Jaccard set-similarity self-join (threshold 0.7) via
     lossless PPJoin-style prefix filtering — the no-recall-asterisk
@@ -6078,6 +6156,7 @@ QUERIES = {
     "er_phonetic_blocking": q_er_phonetic_blocking,
     "er_one_to_one": q_er_one_to_one,
     "zone_pruned_stats": q_zone_pruned_stats,
+    "bucketed_join_segments": q_bucketed_join_segments,
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_order_distribution": q_customer_order_distribution,
     "rich_inactive_customers": q_rich_inactive_customers,
@@ -7842,6 +7921,15 @@ ORACLE_SQL = {
                CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
         ORDER BY a.p_brand, n.n_name
+    """,
+    "bucketed_join_segments": r"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
+                   / 100.0 AS total_price
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
     """,
     "zone_pruned_stats": r"""
         SELECT lang,
