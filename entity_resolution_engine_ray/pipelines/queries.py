@@ -6021,6 +6021,70 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_part_bfs_hops(sf_dir: str):
+    """Distributed BFS hop distances (≤3) from the minimum part key over
+    the part-adjacency graph (parts on CONSECUTIVE lineitem lines of the
+    same order, undirected) — the iterative-frontier graph pattern next to
+    PageRank's fixed-iteration one: edges are hash-partitioned ONCE and
+    stay stationary; each round broadcasts only the frontier/visited id
+    arrays and collects per-partition unvisited neighbors
+    (stages/pagerank.bfs_hops). Layered BFS = minimal hop by construction,
+    so the recursive-CTE MIN(d) oracle matches exactly (all 2000 parts
+    reached within 3 hops at sf0.01)."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
+    from entity_resolution_engine_ray.stages.pagerank import bfs_hops
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    ).materialize()
+
+    def min_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"m": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64())}
+        )
+
+    src = int(li.map_batches(min_part, batch_format="pyarrow").to_pandas()["m"].min())
+
+    def consecutive(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"s": pd.Series([], dtype="int64"), "t": pd.Series([], dtype="int64")}
+            )
+        # adjacency = the oracle's JOIN predicate exactly (ln_b = ln_a + 1
+        # within the order) via a partition-local self-merge — the fixture
+        # has duplicate (orderkey, linenumber) rows, so a sorted-adjacent
+        # scan would MISS the cross-product pairs the join produces
+        left = pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "ln_next": pdf["l_linenumber"].to_numpy(dtype=np.int64) + 1,
+                "pa": pdf["l_partkey"].to_numpy(dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"].to_numpy(dtype=np.int64),
+                "ln_next": pdf["l_linenumber"].to_numpy(dtype=np.int64),
+                "pb": pdf["l_partkey"].to_numpy(dtype=np.int64),
+            }
+        )
+        m = left.merge(right, on=["l_orderkey", "ln_next"])
+        m = m[m["pa"] != m["pb"]]
+        a = m["pa"].to_numpy(dtype=np.int64)
+        b = m["pb"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "s": np.concatenate([a, b]),
+                "t": np.concatenate([b, a]),
+            }
+        )
+
+    edges = hash_exchange_map_groups(li, ["l_orderkey"], consecutive)
+    out = bfs_hops(edges, src, max_hops=3)
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
 def q_bucketed_join_segments(sf_dir: str):
     """Bucketed-storage join (the Hive/Spark bucketed-table pattern):
     customer and orders land ONCE as hash-bucketed tables (16 buckets on
@@ -6157,6 +6221,7 @@ QUERIES = {
     "er_one_to_one": q_er_one_to_one,
     "zone_pruned_stats": q_zone_pruned_stats,
     "bucketed_join_segments": q_bucketed_join_segments,
+    "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
     "customer_order_distribution": q_customer_order_distribution,
     "rich_inactive_customers": q_rich_inactive_customers,
@@ -7921,6 +7986,29 @@ ORACLE_SQL = {
                CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
         ORDER BY a.p_brand, n.n_name
+    """,
+    "part_bfs_hops": r"""
+        WITH RECURSIVE e0 AS (
+            SELECT a.l_partkey AS s, b.l_partkey AS t
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND b.l_linenumber = a.l_linenumber + 1
+             AND a.l_partkey <> b.l_partkey
+        ),
+        e AS (
+            SELECT DISTINCT s, t
+            FROM (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0)
+        ),
+        src AS (SELECT MIN(l_partkey) AS v FROM lineitem),
+        walk(node, d) AS (
+            SELECT v, 0 FROM src
+            UNION
+            SELECT e.t, walk.d + 1
+            FROM walk JOIN e ON e.s = walk.node
+            WHERE walk.d < 3
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node ORDER BY node
     """,
     "bucketed_join_segments": r"""
         SELECT c.c_mktsegment,

@@ -138,3 +138,62 @@ def pagerank(
 
     out = pd.concat([t.to_pandas() for t in ray.get(rank_parts)], ignore_index=True)
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+@ray.remote
+def _bfs_expand(edge_part: pa.Table, frontier, visited) -> np.ndarray:
+    """Unvisited neighbors of the frontier within one stationary edge
+    partition: searchsorted membership test against the (sorted) broadcast
+    frontier, then a sorted-visited exclusion — all numpy, no Python rows."""
+    if edge_part.num_rows == 0 or len(frontier) == 0:
+        return np.empty(0, dtype=np.int64)
+    s = edge_part["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = edge_part["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.searchsorted(frontier, s)
+    idx[idx >= len(frontier)] = len(frontier) - 1
+    hits = frontier[idx] == s
+    cand = np.unique(t[hits])
+    vi = np.searchsorted(visited, cand)
+    vi[vi >= len(visited)] = len(visited) - 1
+    return cand[visited[vi] != cand] if len(visited) else cand
+
+
+def bfs_hops(edges_ds, source: int, max_hops: int, num_partitions: int | None = None) -> pd.DataFrame:
+    """Breadth-first hop distances from ``source`` over a DIRECTED edge
+    Dataset (s:int64, t:int64) — feed both directions for an undirected
+    graph. Returns a pandas frame (node, hops) for every node reachable in
+    ≤ ``max_hops`` hops (the source at 0). Layered BFS visits each node at
+    its minimal hop count by construction, so the result equals the
+    recursive-CTE MIN(d) oracle exactly.
+
+    Scale shape: edges are hash-partitioned by src ONCE and stay
+    STATIONARY (exchange_partition_refs — the pagerank/labelprop pattern);
+    each round broadcasts only the current frontier + visited id arrays
+    (``ray.put`` once per round, read by every partition task) and gets
+    back per-partition unvisited-neighbor arrays. Frontier/visited are
+    O(nodes) — the same order as this operator's OUTPUT, so node-scale
+    driver state is inherent to the contract; the EDGE set (the web-scale
+    side) never moves after the initial partition."""
+    edges_refs = exchange_partition_refs(edges_ds, ["s"], num_partitions)
+
+    visited = np.array([np.int64(source)], dtype=np.int64)
+    frontier = visited
+    nodes = [np.int64(source)]
+    hops = [np.int64(0)]
+    for d in range(1, int(max_hops) + 1):
+        f_ref = ray.put(np.sort(frontier))
+        v_ref = ray.put(np.sort(visited))
+        parts = ray.get([_bfs_expand.remote(r, f_ref, v_ref) for r in edges_refs])
+        new = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if len(new) == 0:
+            break
+        nodes.append(new)
+        hops.append(np.full(len(new), d, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+    return pd.DataFrame(
+        {
+            "node": np.concatenate([np.atleast_1d(n) for n in nodes]).astype(np.int64),
+            "hops": np.concatenate([np.atleast_1d(h) for h in hops]).astype(np.int64),
+        }
+    )

@@ -107,3 +107,63 @@ def test_supplier_triangles_sparse_graph(ray_session, tmp_path):
     # triangle(1,2,3) + C(4,3)=4 in the clique = 5
     assert int(got["n_triangles"][0]) == 5
     assert int(got["n_triangles"][0]) == int(want["n_triangles"][0])
+
+
+def test_bfs_hops_matches_serial_bfs(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.pagerank import bfs_hops
+
+    rng = np.random.default_rng(13)
+    n, m = 400, 900
+    s = rng.integers(0, n, m).astype(np.int64)
+    t = rng.integers(0, n, m).astype(np.int64)
+    keep = s != t
+    s, t = s[keep], t[keep]
+    edges = pd.DataFrame(
+        {"s": np.concatenate([s, t]), "t": np.concatenate([t, s])}
+    )
+    got = (
+        bfs_hops(rd.from_pandas(edges).repartition(7), source=0, max_hops=4)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # serial layered BFS
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for a, b in zip(edges["s"], edges["t"]):
+        adj[int(a)].append(int(b))
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    exp = (
+        pd.DataFrame(
+            {"node": list(dist.keys()), "hops": list(dist.values())}
+        )
+        .astype(np.int64)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bfs_hops_isolated_source_and_cap(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.pagerank import bfs_hops
+
+    # a path 1-2-3-4; source 99 is not in the edge set at all
+    edges = pd.DataFrame({"s": [1, 2, 2, 3, 3, 4], "t": [2, 1, 3, 2, 4, 3]})
+    out = bfs_hops(rd.from_pandas(edges), source=99, max_hops=3)
+    assert out["node"].tolist() == [99] and out["hops"].tolist() == [0]
+    # hop cap truncates the path
+    capped = bfs_hops(rd.from_pandas(edges), source=1, max_hops=2)
+    assert sorted(capped["node"].tolist()) == [1, 2, 3]
