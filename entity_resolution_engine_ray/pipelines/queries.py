@@ -2650,6 +2650,45 @@ def q_user_value_moving_sum(sf_dir: str):
     return out[["event_id", "user_id", "mov_sum"]]
 
 
+def q_events_scd2(sf_dir: str):
+    """SCD type-2 dimension build from a change stream: per user, collapse
+    consecutive same-type events into validity intervals
+    (event_type, valid_from, valid_to) — run-collapse via LAG-compare, then
+    LEAD for the interval end (open interval = NULL on the current state).
+    The standard warehouse deliverable for "history of each key's state";
+    one hash exchange on user_id, everything else vectorized shifts inside
+    the partition (the same window-family machinery as user_event_gaps)."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def scd2(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype="datetime64[us]"),
+                    "valid_to": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = pdf.groupby("user_id", sort=False)["event_type"].shift(1)
+        change = prev.isna() | (pdf["event_type"] != prev)
+        c = pdf.loc[change, ["user_id", "event_type", "ts"]].copy()
+        c["valid_to"] = c.groupby("user_id", sort=False)["ts"].shift(-1)
+        c = c.rename(columns={"ts": "valid_from"})
+        c["user_id"] = c["user_id"].astype(np.int64)
+        return c[["user_id", "event_type", "valid_from", "valid_to"]]
+
+    out = hash_exchange_map_groups(ds, ["user_id"], scd2).to_pandas()
+    return out.sort_values(
+        ["user_id", "valid_from", "event_type"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_customer_top3_orders(sf_dir: str):
     """Per-key top-k with k>1 (ROW_NUMBER() <= 3 per customer by totalprice
     DESC): the combiner pattern — each batch forwards at most 3 rows per
@@ -6292,6 +6331,7 @@ QUERIES = {
     "customer_top3_orders": q_customer_top3_orders,
     "user_event_quartiles": q_user_event_quartiles,
     "user_event_gaps": q_user_event_gaps,
+    "events_scd2": q_events_scd2,
     "user_value_moving_sum": q_user_value_moving_sum,
     "user_click_purchase_outer": q_user_click_purchase_outer,
     "doc_sample_per_lang": q_doc_sample_per_lang,
@@ -7416,6 +7456,22 @@ ORACLE_SQL = {
                RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
                DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk
         FROM events
+    """,
+    "events_scd2": """
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, event_type, ts, event_id FROM o
+            WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM c ORDER BY user_id, valid_from, event_type
     """,
     "user_event_gaps": """
         SELECT event_id, user_id,
