@@ -185,3 +185,46 @@ def test_chained_validates_partition_counts(ray_session):
     ident = lambda pdf: pdf
     with pytest.raises(ValueError, match="partition counts"):
         hash_exchange_chained(ds, ["k"], ident, 0, ["k"], ident, 4)
+
+
+def test_exchange_survives_worker_death(ray_session, tmp_path):
+    """Ray retries a task whose WORKER dies (os._exit — not an app
+    exception); the exchange must deliver the complete, correct result
+    after the retry. This is the fault-tolerance story for a 100 TB run:
+    any partition task can be re-executed from its input refs."""
+    import os
+
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
+
+    sentinel = str(tmp_path / "died_once")
+
+    df = pd.DataFrame(
+        {"k": np.arange(200, dtype=np.int64) % 10, "v": np.ones(200, dtype=np.int64)}
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # first-ever partition task on this fixture dies mid-flight; the
+        # sentinel file survives the worker, so the retry (and every other
+        # task) proceeds
+        if not os.path.exists(sentinel):
+            with open(sentinel, "w") as f:
+                f.write("x")
+            os._exit(1)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+            )
+        g = pdf.groupby("k", as_index=False)["v"].sum().rename(columns={"v": "n"})
+        return g.astype({"k": np.int64, "n": np.int64})
+
+    out = (
+        hash_exchange_map_groups(rd.from_pandas(df).repartition(4), ["k"], fold)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == list(range(10))
+    assert out["n"].tolist() == [20] * 10
+    assert os.path.exists(sentinel)
