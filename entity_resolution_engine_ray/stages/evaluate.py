@@ -402,8 +402,10 @@ def meta_blocking_wep(
                          "n": pa.array([t.num_rows], pa.int64())})
 
     stats = weights.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n_pairs = int(stats["n"].sum())
-    total_w = int(stats["tw"].sum())
+    # a 0-row Dataset SKIPS lazy map_batches, so the partial columns may be
+    # absent entirely (the source schema leaks through) — treat as zero
+    n_pairs = int(stats["n"].sum()) if "n" in stats else 0
+    total_w = int(stats["tw"].sum()) if "tw" in stats else 0
     mean_w = (total_w / n_pairs) if n_pairs else 0.0
 
     def prune(t: pa.Table) -> pa.Table:
@@ -478,8 +480,9 @@ def clustering_agreement_stats(
         )
 
     cp = cells.map_batches(cell_partial, batch_format="pyarrow").to_pandas()
-    n = int(cp["n"].sum())
-    sn = int(cp["sn"].sum())
+    # 0-row Datasets skip lazy map_batches → partial columns may be absent
+    n = int(cp["n"].sum()) if "n" in cp else 0
+    sn = int(cp["sn"].sum()) if "sn" in cp else 0
 
     def size_fold(key: str):
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -394,3 +394,30 @@ def test_block_filtering_validates_ratio(ray_session):
         block_filtering_pairs(ds, "id", "k", ratio_num=6, ratio_den=5)
     with pytest.raises(ValueError):
         block_filtering_pairs(ds, "id", "k", ratio_num=0, ratio_den=5)
+
+
+def test_meta_blocking_and_cluster_stats_empty_inputs(ray_session):
+    # 0-row Datasets skip lazy map_batches (the partial columns never
+    # materialize) — both operators must degrade to zeros, not KeyError
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import (
+        clustering_agreement_stats,
+        meta_blocking_wep,
+    )
+
+    empty_kv = rd.from_pandas(
+        pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                      "k": pd.Series([], dtype=object)})
+    )
+    survivors, stats = meta_blocking_wep(empty_kv, "id", "k")
+    assert stats == {"n_pairs": 0, "total_weight": 0, "mean_weight": 0.0}
+    assert survivors.count() == 0
+
+    empty_pt = rd.from_pandas(
+        pd.DataFrame({"pk": pd.Series([], dtype=object),
+                      "tk": pd.Series([], dtype=object)})
+    )
+    s = clustering_agreement_stats(empty_pt, "pk", "tk")
+    assert s == {"n": 0, "pred_clusters": 0, "truth_clusters": 0,
+                 "cell_pairs": 0, "pred_pairs": 0, "truth_pairs": 0}
