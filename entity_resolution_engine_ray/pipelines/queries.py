@@ -5310,9 +5310,13 @@ def q_er_sorted_neighborhood(sf_dir: str):
             }
         )
 
-    pairs = sorted_neighborhood_pairs(
-        ds.map_batches(keyed, batch_format="pyarrow"), "doc_id", "k", window=10
-    ).to_pandas()
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    pairs = typed_to_pandas(
+        sorted_neighborhood_pairs(
+            ds.map_batches(keyed, batch_format="pyarrow"), "doc_id", "k", window=10
+        )
+    )
     for c in ("left_id", "right_id", "gap"):
         pairs[c] = pairs[c].astype(np.int64)
     return pairs.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
@@ -5354,10 +5358,12 @@ def q_er_meta_blocking(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
     survivors, _stats = meta_blocking_wep(
         ds.map_batches(keyed, batch_format="pyarrow"), "doc_id", "k", max_block_size=100
     )
-    out = survivors.to_pandas()
+    out = typed_to_pandas(survivors)
     for c in ("left_id", "right_id", "weight"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
@@ -5533,13 +5539,17 @@ def q_er_block_filtering(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
-    pairs = block_filtering_pairs(
-        ds.map_batches(keyed, batch_format="pyarrow"),
-        "doc_id",
-        "k",
-        ratio_num=3,
-        ratio_den=5,
-    ).to_pandas()
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    pairs = typed_to_pandas(
+        block_filtering_pairs(
+            ds.map_batches(keyed, batch_format="pyarrow"),
+            "doc_id",
+            "k",
+            ratio_num=3,
+            ratio_den=5,
+        )
+    )
     for c in ("left_id", "right_id", "weight"):
         pairs[c] = pairs[c].astype(np.int64)
     return pairs.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(
@@ -5651,9 +5661,9 @@ def q_er_one_to_one(sf_dir: str):
             }
         )
 
-    out = one_to_one_match(
-        cand.map_batches(score, batch_format="pyarrow")
-    ).to_pandas()
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    out = typed_to_pandas(one_to_one_match(cand.map_batches(score, batch_format="pyarrow")))
     out["left_id"] = out["left_id"].astype(np.int64)
     out["right_id"] = out["right_id"].astype(np.int64)
     return out.sort_values(["left_id", "right_id"], kind="mergesort").reset_index(

@@ -272,6 +272,20 @@ def hash_exchange_cogroup(
     return rd.from_arrow_refs(keep)
 
 
+def typed_to_pandas(ds) -> pd.DataFrame:
+    """Schema-preserving driver collect. ``Dataset.to_pandas()`` on a
+    fully-EMPTY dataset returns a column-less frame even when every block
+    is a typed 0-row table (Ray 2.49 — verified with both Arrow and pandas
+    blocks), so downstream ``df[col]`` access KeyErrors on legitimately
+    empty results. Concatenating the materialized block tables directly
+    keeps the schema; for non-empty datasets this is equivalent to (and no
+    slower than) ``to_pandas``."""
+    tbls = [_ensure_table(t) for t in ray.get(_arrow_refs(ds))]
+    if not tbls:
+        return pd.DataFrame()
+    return pa.concat_tables(tbls, promote_options="default").to_pandas()
+
+
 @ray.remote
 def _concat_parts(*subtables: pa.Table) -> pa.Table:
     parts = [t for t in subtables if t.num_rows > 0]

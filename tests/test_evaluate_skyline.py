@@ -421,3 +421,101 @@ def test_meta_blocking_and_cluster_stats_empty_inputs(ray_session):
     s = clustering_agreement_stats(empty_pt, "pk", "tk")
     assert s == {"n": 0, "pred_clusters": 0, "truth_clusters": 0,
                  "cell_pairs": 0, "pred_pairs": 0, "truth_pairs": 0}
+
+
+def test_sorted_neighborhood_property(ray_session):
+    # hypothesis-style sweep without per-example Ray datasets being too
+    # slow: a handful of adversarial shapes x windows, each vs brute force
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import sorted_neighborhood_pairs
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    rng = np.random.default_rng(21)
+    shapes = [
+        ("all_same_key", ["k"] * 60),
+        ("all_distinct", [f"k{i:02d}" for i in range(60)]),
+        ("two_hot", ["a"] * 30 + ["b"] * 30),
+        ("random", [f"k{v}" for v in rng.integers(0, 7, 60)]),
+        ("single", ["x"]),
+    ]
+    for w in (2, 3, 8, 61):
+        for name, keys in shapes:
+            n = len(keys)
+            ids = (np.arange(n, dtype=np.int64) * 7 + 3) % (5 * n)  # shuffled-ish
+            df = pd.DataFrame({"id": ids, "k": keys})
+            got = (
+                typed_to_pandas(
+                    sorted_neighborhood_pairs(
+                        rd.from_pandas(df).repartition(4), "id", "k", window=w
+                    )
+                )
+                .sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)
+            )
+            order = df.sort_values(["k", "id"], kind="mergesort")["id"].to_numpy()
+            el, er, eg = [], [], []
+            for g in range(1, w):
+                if g >= n:
+                    break
+                el.append(order[:-g]); er.append(order[g:])
+                eg.append(np.full(n - g, g, dtype=np.int64))
+            if el:
+                exp = pd.DataFrame(
+                    {"left_id": np.concatenate(el), "right_id": np.concatenate(er),
+                     "gap": np.concatenate(eg)}
+                ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+            else:
+                exp = pd.DataFrame(
+                    {"left_id": pd.Series([], dtype="int64"),
+                     "right_id": pd.Series([], dtype="int64"),
+                     "gap": pd.Series([], dtype="int64")}
+                )
+            pd.testing.assert_frame_equal(got, exp, obj=f"{name} w={w}")
+
+
+def test_block_filtering_ratio_sweep(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.evaluate import block_filtering_pairs
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(120):
+        for s in range(4):
+            rows.append({"id": i, "k": f"{s}|{rng.integers(0, 3 + 4 * s)}"})
+    df = pd.DataFrame(rows)
+    for num, den in ((1, 4), (1, 2), (3, 4), (1, 1)):
+        got = (
+            block_filtering_pairs(
+                rd.from_pandas(df).repartition(6), "id", "k",
+                ratio_num=num, ratio_den=den,
+            )
+            .to_pandas()
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        sizes = df.groupby("k").size()
+        d2 = df.assign(c=df["k"].map(sizes)).sort_values(["id", "c", "k"], kind="mergesort")
+        rank = d2.groupby("id").cumcount()
+        cnt = d2.groupby("id")["k"].transform("size")
+        kept = d2[rank < (num * cnt + den - 1) // den]
+        from collections import Counter
+
+        w = Counter()
+        for _, grp in kept.groupby("k"):
+            ids = sorted(grp["id"].tolist())
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    w[(ids[x], ids[y])] += 1
+        exp = (
+            pd.DataFrame(
+                [(a, b, c) for (a, b), c in w.items()],
+                columns=["left_id", "right_id", "weight"],
+            ).astype(np.int64).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+            if w else
+            pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                          "right_id": pd.Series([], dtype="int64"),
+                          "weight": pd.Series([], dtype="int64")})
+        )
+        pd.testing.assert_frame_equal(got, exp, obj=f"ratio {num}/{den}")
