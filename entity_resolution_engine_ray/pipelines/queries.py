@@ -6255,6 +6255,142 @@ def q_part_skyline(sf_dir: str):
     return skyline_stage(ds, "p_retailprice", "p_size")
 
 
+def q_user_event_3grams(sf_dir: str):
+    """Behavioral trigram mining — the sequence-mining primitive behind
+    funnel discovery and session-pattern features: the 20 most common
+    consecutive ``(t1, t2, t3)`` event-type triples within a user's
+    timeline (ordered by ts, event_id). ONE user_id hash shuffle; inside
+    each partition the timeline sort and the shifted triple pairing are
+    vectorized (the event_transitions LEAD pattern extended to depth 2).
+    Partials are bounded by |types|³ × partitions, so the finish-sum and
+    global top-20 are a driver-side pandas groupby over a tiny frame.
+    Ties at the top-20 boundary are broken by the total order
+    (n desc, t1, t2, t3) — deterministic and mirrored in the oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "t1": pd.Series([], dtype=str),
+                "t2": pd.Series([], dtype=str),
+                "t3": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(pdf) < 3:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        same = (us[2:] == us[:-2]) & (us[1:-1] == us[:-2])
+        if not same.any():
+            return empty
+        g = (
+            pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]})
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = partition_map_groups(ds, ["user_id"], tri).to_pandas()
+    if partials.empty:
+        return partials
+    out = partials.groupby(["t1", "t2", "t3"], sort=False)["n"].sum().reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values(
+        ["n", "t1", "t2", "t3"], ascending=[False, True, True, True], kind="mergesort"
+    )
+    return out.head(20).reset_index(drop=True)
+
+
+def q_doc_filter_funnel(sf_dir: str):
+    """Filter-cascade attrition report — the first diagnostic a training-
+    data curator runs on a new quality pipeline: how many documents survive
+    each successive filter (min tokens → mean token length → distinct-token
+    ratio → language whitelist) and how many each stage drops. ONE
+    streaming pass, NO shuffle: every batch computes its cumulative
+    per-stage survivor counts (5 ints) and the driver sums the bounded
+    partials — at 100 TB this is a single map_batches scan. All predicates
+    are integer cross-multiplications (nc*10 >= 52*nt rather than
+    nc/nt >= 5.2), so distributed == serial at any scale with no float
+    drift. The per-row distinct-token count is fully vectorized:
+    ascii whitespace split → dictionary-encode the flat token array →
+    lexsort (row, code) → count adjacent transitions (assumes tokens are
+    maximal ASCII-nonspace runs, which the TOKEN_PATTERN oracle certifies
+    on this input)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    stage_names = [
+        "all",
+        "min_tokens_25",
+        "mean_token_len_5.2",
+        "distinct_ratio_0.4",
+        "lang_whitelist",
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nc = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(zero_copy_only=False)
+        # per-row distinct token count, vectorized end to end
+        lst = pc.ascii_split_whitespace(t["text"])
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        flat = lst.flatten()
+        counts = np.diff(offs)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        codes = pc.indices_nonzero(pc.not_equal(flat, ""))  # indices of real tokens
+        keep = codes.to_numpy(zero_copy_only=False)
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        tok_code = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_k, code_k = rows[keep], tok_code[keep]
+        order = np.lexsort((code_k, rows_k))
+        rk, ck = rows_k[order], code_k[order]
+        new = np.ones(len(rk), dtype=np.int64)
+        if len(rk) > 1:
+            new[1:] = ((rk[1:] != rk[:-1]) | (ck[1:] != ck[:-1])).astype(np.int64)
+        nd = np.zeros(len(t), dtype=np.int64)
+        if len(rk):
+            np.add.at(nd, rk, new)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        m1 = nt >= 25
+        m2 = m1 & (nc * 10 >= 52 * nt)
+        m3 = m2 & (nd * 5 >= 2 * nt)
+        m4 = m3 & np.isin(lang, ("en", "de", "fr"))
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(5, dtype=np.int64)),
+                "n_pass": pa.array(
+                    [len(t), int(m1.sum()), int(m2.sum()), int(m3.sum()), int(m4.sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        sums = np.zeros(5, dtype=np.int64)
+    else:
+        sums = (
+            p.groupby("stage_idx", sort=True)["n_pass"].sum().reindex(range(5), fill_value=0)
+        ).to_numpy(np.int64)
+    dropped = np.concatenate([[0], sums[:-1] - sums[1:]]).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "stage_idx": np.arange(5, dtype=np.int64),
+            "stage": stage_names,
+            "n_pass": sums,
+            "n_dropped": dropped,
+        }
+    )
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -6387,6 +6523,8 @@ QUERIES = {
     "part_supplier_concentration": q_part_supplier_concentration,
     "doc_stats_cube": q_doc_stats_cube,
     "events_winsorized": q_events_winsorized,
+    "user_event_3grams": q_user_event_3grams,
+    "doc_filter_funnel": q_doc_filter_funnel,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -7917,6 +8055,58 @@ ORACLE_SQL = {
                      / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type), 4) AS p
         FROM c
         ORDER BY prev_type, next_type
+    """,
+    # top-20 boundary ties broken by the total order (n DESC, t1, t2, t3)
+    # on both sides
+    "user_event_3grams": """
+        WITH o AS (
+            SELECT event_type AS t1,
+                   LEAD(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS t2,
+                   LEAD(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS t3
+            FROM events
+        )
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY n DESC, t1, t2, t3
+        LIMIT 20
+    """,
+    # predicates are integer cross-multiplications on BOTH sides so there
+    # is no float threshold to drift; list_distinct over the same token
+    # regex mirrors the engine's dictionary-encode distinct count
+    "doc_filter_funnel": f"""
+        WITH f AS (
+            SELECT lang, length(text) AS nc,
+                   len(regexp_extract_all(text, '{_TOK}')) AS nt,
+                   len(list_distinct(regexp_extract_all(text, '{_TOK}'))) AS nd
+            FROM documents
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN nt >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN nt >= 25 AND nc * 10 >= 52 * nt
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN nt >= 25 AND nc * 10 >= 52 * nt
+                                  AND nd * 5 >= 2 * nt
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                   CAST(SUM(CASE WHEN nt >= 25 AND nc * 10 >= 52 * nt
+                                  AND nd * 5 >= 2 * nt
+                                  AND lang IN ('en', 'de', 'fr')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            FROM f
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage, n0 AS n_pass,
+                   CAST(0 AS BIGINT) AS n_dropped FROM c
+            UNION ALL SELECT 1, 'min_tokens_25', n1, n0 - n1 FROM c
+            UNION ALL SELECT 2, 'mean_token_len_5.2', n2, n1 - n2 FROM c
+            UNION ALL SELECT 3, 'distinct_ratio_0.4', n3, n2 - n3 FROM c
+            UNION ALL SELECT 4, 'lang_whitelist', n4, n3 - n4 FROM c
+        ) ORDER BY stage_idx
     """,
     # per-column profile of orders: COUNT(DISTINCT) is NULL-excluding on
     # both sides; min/max only for numeric columns (NULL otherwise)

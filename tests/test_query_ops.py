@@ -119,6 +119,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "part_skyline",
         "doc_jaccard_join",
         "er_fs_weights",
+        "user_event_3grams",
+        "doc_filter_funnel",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
