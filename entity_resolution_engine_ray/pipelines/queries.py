@@ -6255,6 +6255,72 @@ def q_part_skyline(sf_dir: str):
     return skyline_stage(ds, "p_retailprice", "p_size")
 
 
+def q_ab_test_welch(sf_dir: str):
+    """A/B-experiment readout with Welch's unequal-variance t-test — the
+    hypothesis-testing primitive behind every data-driven rollout: users
+    are split into two arms by a deterministic hash (_knuth32 % 2, so the
+    assignment is reproducible on any cluster with no stored mapping) and
+    the purchase-value metric is compared. ONE streaming pass, NO shuffle:
+    each batch emits exact integer-cents moment partials (n, Σc, Σc²) per
+    arm — order-invariant ints, so distributed == serial at any partition
+    count — and the driver sums the bounded partials in Python big-int
+    (Σc² would saturate int64 only ~10⁵× past this fixture). Mean, sample
+    variance, t and the Welch–Satterthwaite df are then evaluated as the
+    SAME float64 expression the SQL oracle writes: identical operands in
+    identical order → identical IEEE results."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        arm = _knuth32(t["user_id"].to_numpy(zero_copy_only=False)) % 2
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            ca = c[arm == a]
+            rows.append((a, len(ca), int(ca.sum()), int((ca * ca).sum())))
+        return pa.table(
+            {
+                "arm": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                "s": pa.array([r[2] for r in rows], type=pa.int64()),
+                "ssq": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    stat = {}
+    for a in (0, 1):
+        pa_rows = p[p["arm"] == a]
+        # Python big-int finish: exact at any scale
+        n = int(pa_rows["n"].sum())
+        s = sum(int(v) for v in pa_rows["s"])
+        ssq = sum(int(v) for v in pa_rows["ssq"])
+        mean = s / (n * 100.0)
+        var = float(n * ssq - s * s) / (n * (n - 1.0)) / 10000.0
+        stat[a] = (n, mean, var)
+    (n_a, mean_a, var_a), (n_b, mean_b, var_b) = stat[0], stat[1]
+    se_a, se_b = var_a / n_a, var_b / n_b
+    t_stat = (mean_a - mean_b) / np.sqrt(se_a + se_b)
+    df = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (n_a - 1.0) + se_b * se_b / (n_b - 1.0)
+    )
+    r4 = lambda v: float(_rha(v, 4))  # noqa: E731
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype=np.int64),
+            "n_b": pd.Series([n_b], dtype=np.int64),
+            "mean_a": [r4(mean_a)],
+            "mean_b": [r4(mean_b)],
+            "var_a": [r4(var_a)],
+            "var_b": [r4(var_b)],
+            "t_stat": [r4(t_stat)],
+            "df": [r4(df)],
+        }
+    )
+
+
 def q_user_event_3grams(sf_dir: str):
     """Behavioral trigram mining — the sequence-mining primitive behind
     funnel discovery and session-pattern features: the 20 most common
@@ -6523,6 +6589,7 @@ QUERIES = {
     "part_supplier_concentration": q_part_supplier_concentration,
     "doc_stats_cube": q_doc_stats_cube,
     "events_winsorized": q_events_winsorized,
+    "ab_test_welch": q_ab_test_welch,
     "user_event_3grams": q_user_event_3grams,
     "doc_filter_funnel": q_doc_filter_funnel,
     "er_pages_entities": q_er_pages_entities,
@@ -8055,6 +8122,48 @@ ORACLE_SQL = {
                      / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type), 4) AS p
         FROM c
         ORDER BY prev_type, next_type
+    """,
+    # exact integer-cents moments (HUGEINT) feed the SAME double expression
+    # the engine evaluates — identical operands/order → identical IEEE bits
+    "ab_test_welch": f"""
+        WITH p AS (
+            SELECT CAST({_knuth32_sql('user_id')} % 2 AS BIGINT) AS arm,
+                   CAST(ROUND(value * 100) AS HUGEINT) AS c
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS s,
+                   SUM(c * c) AS ssq
+            FROM p GROUP BY arm
+        ),
+        ab AS (
+            SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+                   MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+                   MAX(CASE WHEN arm = 0 THEN s END) AS sa,
+                   MAX(CASE WHEN arm = 1 THEN s END) AS sb,
+                   MAX(CASE WHEN arm = 0 THEN ssq END) AS qa,
+                   MAX(CASE WHEN arm = 1 THEN ssq END) AS qb
+            FROM m
+        ),
+        v AS (
+            SELECT na, nb,
+                   CAST(sa AS DOUBLE) / (na * 100.0) AS mean_a,
+                   CAST(sb AS DOUBLE) / (nb * 100.0) AS mean_b,
+                   CAST(na * qa - sa * sa AS DOUBLE) / (na * (na - 1.0)) / 10000.0 AS var_a,
+                   CAST(nb * qb - sb * sb AS DOUBLE) / (nb * (nb - 1.0)) / 10000.0 AS var_b
+            FROM ab
+        ),
+        w AS (
+            SELECT *, var_a / na AS se_a, var_b / nb AS se_b FROM v
+        )
+        SELECT na AS n_a, nb AS n_b,
+               ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
+               ROUND(var_a, 4) AS var_a, ROUND(var_b, 4) AS var_b,
+               ROUND((mean_a - mean_b) / SQRT(se_a + se_b), 4) AS t_stat,
+               ROUND((se_a + se_b) * (se_a + se_b)
+                     / (se_a * se_a / (na - 1.0) + se_b * se_b / (nb - 1.0)),
+                     4) AS df
+        FROM w
     """,
     # top-20 boundary ties broken by the total order (n DESC, t1, t2, t3)
     # on both sides

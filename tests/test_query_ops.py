@@ -121,6 +121,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "er_fs_weights",
         "user_event_3grams",
         "doc_filter_funnel",
+        "ab_test_welch",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
