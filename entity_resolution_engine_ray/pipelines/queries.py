@@ -6255,6 +6255,88 @@ def q_part_skyline(sf_dir: str):
     return skyline_stage(ds, "p_retailprice", "p_size")
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary) — the
+    classic marketing-analytics composition: per-customer order aggregates,
+    then THREE independent exact global rankings quantized to quintile
+    scores 1–5 (5 = best). Aggregation is two-level (per-batch partial
+    groupby → one custkey-partitioned finish), and each ranking reuses the
+    doc_quality_decile machinery: distributed sort by (metric, custkey) +
+    O(blocks) metadata prefix-offset walk — rows never leave their block
+    and ties split deterministically like ROW_NUMBER. Monetary sums are
+    exact integer cents, so rank order is drift-free at any partition
+    count. Scores quantize with pure-integer math (1 + (rank-1)*5 // n)."""
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"c_custkey": ck, "last_us": d, "cents": cents})
+            .groupby("c_custkey", as_index=False)
+            .agg(last_us=("last_us", "max"), n_orders=("last_us", "size"), cents=("cents", "sum"))
+        )
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("c_custkey", as_index=False).agg(
+            last_us=("last_us", "max"), n_orders=("n_orders", "sum"), cents=("cents", "sum")
+        )
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        g["g"] = np.int64(0)
+        g["one"] = np.int64(1)
+        return g
+
+    agg = partition_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow"), ["c_custkey"], finish
+    )
+    ranked = grouped_prefix_sum(agg, ["g"], ["last_us", "c_custkey"], "one", "rr")
+    ranked = grouped_prefix_sum(ranked, ["g"], ["n_orders", "c_custkey"], "one", "fr")
+    ranked = grouped_prefix_sum(ranked, ["g"], ["cents", "c_custkey"], "one", "mr")
+    n_total = ranked.count()
+    if n_total == 0:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype=np.int64)
+                for c in ("c_custkey", "r_score", "f_score", "m_score", "rfm")
+            }
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        def quint(col: str) -> np.ndarray:
+            rk = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return 1 + (rk - 1) * 5 // n_total
+
+        r, f, m = quint("rr"), quint("fr"), quint("mr")
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "r_score": pa.array(r),
+                "f_score": pa.array(f),
+                "m_score": pa.array(m),
+                "rfm": pa.array(r * 100 + f * 10 + m),
+            }
+        )
+
+    out = ranked.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey", kind="mergesort").reset_index(drop=True)
+
+
 def q_ab_test_welch(sf_dir: str):
     """A/B-experiment readout with Welch's unequal-variance t-test — the
     hypothesis-testing primitive behind every data-driven rollout: users
@@ -6590,6 +6672,7 @@ QUERIES = {
     "doc_stats_cube": q_doc_stats_cube,
     "events_winsorized": q_events_winsorized,
     "ab_test_welch": q_ab_test_welch,
+    "customer_rfm": q_customer_rfm,
     "user_event_3grams": q_user_event_3grams,
     "doc_filter_funnel": q_doc_filter_funnel,
     "er_pages_entities": q_er_pages_entities,
@@ -8122,6 +8205,34 @@ ORACLE_SQL = {
                      / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type), 4) AS p
         FROM c
         ORDER BY prev_type, next_type
+    """,
+    # ROW_NUMBER tiebreak by custkey mirrors the engine's (metric, custkey)
+    # sort; quintiles quantize with the same pure-integer expression
+    "customer_rfm": """
+        WITH a AS (
+            SELECT o_custkey AS c_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT c_custkey,
+                   ROW_NUMBER() OVER (ORDER BY last_order, c_custkey) AS rr,
+                   ROW_NUMBER() OVER (ORDER BY n_orders, c_custkey) AS fr,
+                   ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS mr,
+                   COUNT(*) OVER () AS n
+            FROM a
+        )
+        SELECT c_custkey,
+               CAST(1 + (rr - 1) * 5 // n AS BIGINT) AS r_score,
+               CAST(1 + (fr - 1) * 5 // n AS BIGINT) AS f_score,
+               CAST(1 + (mr - 1) * 5 // n AS BIGINT) AS m_score,
+               CAST((1 + (rr - 1) * 5 // n) * 100
+                    + (1 + (fr - 1) * 5 // n) * 10
+                    + (1 + (mr - 1) * 5 // n) AS BIGINT) AS rfm
+        FROM r
+        ORDER BY c_custkey
     """,
     # exact integer-cents moments (HUGEINT) feed the SAME double expression
     # the engine evaluates — identical operands/order → identical IEEE bits

@@ -122,6 +122,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "user_event_3grams",
         "doc_filter_funnel",
         "ab_test_welch",
+        "customer_rfm",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
