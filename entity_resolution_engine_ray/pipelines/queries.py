@@ -6255,6 +6255,136 @@ def q_part_skyline(sf_dir: str):
     return skyline_stage(ds, "p_retailprice", "p_size")
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7-shaped trade-flow matrix: 1996 revenue between every
+    DIFFERENT (supplier nation → customer nation) pair — the cross-border
+    complement of local_supplier_revenue's same-nation cycle join, same
+    three-slim-cogroup plan with aggregation pushed below each exchange:
+    orders date-filter before the first exchange, lineitem⋈orders folds to
+    (custkey, suppkey) revenue lanes, customer swap-in attaches the buyer
+    nation, supplier swap-in attaches the seller nation and keeps only
+    cross pairs. Partials are bounded by |nations|² per partition; cents
+    lanes stay split whole/remainder (exact at any partition count)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def in_window(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            (t["o_orderdate"].to_numpy(zero_copy_only=False) >= lo)
+            & (t["o_orderdate"].to_numpy(zero_copy_only=False) < hi)
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.array_filter(t["o_orderkey"], keep),
+                "o_custkey": pc.array_filter(t["o_custkey"], keep),
+            }
+        )
+
+    def _empty(cols: list[str]) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    def stage1(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_custkey", "l_suppkey", "rev_w", "rev_r"]
+        if l_pdf.empty or o_pdf.empty:
+            return _empty(cols)
+        m = l_pdf.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return _empty(cols)
+        ext_c = np.round(m["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_h = np.round(m["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = m.assign(u=ext_c * (100 - disc_h)).groupby(
+            ["o_custkey", "l_suppkey"], as_index=False
+        )["u"].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype(np.int64),
+                "l_suppkey": g["l_suppkey"].astype(np.int64),
+                "rev_w": (g["u"] // 10_000).astype(np.int64),
+                "rev_r": (g["u"] % 10_000).astype(np.int64),
+            }
+        )
+
+    def stage2(cs_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["c_nationkey", "l_suppkey", "rev_w", "rev_r"]
+        if cs_pdf.empty or c_pdf.empty:
+            return _empty(cols)
+        m = cs_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")
+        if m.empty:
+            return _empty(cols)
+        g = m.groupby(["c_nationkey", "l_suppkey"], as_index=False).agg(
+            rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+        )
+        return g.astype({c: np.int64 for c in cols})
+
+    def stage3(ns_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["s_nationkey", "c_nationkey", "rev_w", "rev_r"]
+        if ns_pdf.empty or s_pdf.empty:
+            return _empty(cols)
+        m = ns_pdf.merge(s_pdf, left_on="l_suppkey", right_on="s_suppkey")
+        m = m[m["c_nationkey"] != m["s_nationkey"]]
+        if m.empty:
+            return _empty(cols)
+        g = m.groupby(["s_nationkey", "c_nationkey"], as_index=False).agg(
+            rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+        )
+        return g[cols].astype({c: np.int64 for c in cols})
+
+    cust_supp = hash_exchange_cogroup(
+        li,
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        ["l_orderkey"], ["o_orderkey"], stage1, default_join_partitions(),
+    )
+    nat_supp = hash_exchange_cogroup(
+        cust_supp, customer, ["o_custkey"], ["c_custkey"], stage2,
+        default_join_partitions(),
+    )
+    partials = hash_exchange_cogroup(
+        nat_supp, supplier, ["l_suppkey"], ["s_suppkey"], stage3,
+        default_join_partitions(),
+    ).to_pandas()
+    if partials.empty:
+        partials = _empty(["s_nationkey", "c_nationkey", "rev_w", "rev_r"])
+    agg = partials.groupby(["s_nationkey", "c_nationkey"], as_index=False).agg(
+        rev_w=("rev_w", "sum"), rev_r=("rev_r", "sum")
+    )
+    rev_c = _cents_from_lanes(agg["rev_w"], agg["rev_r"])
+    out = pd.DataFrame(
+        {
+            "supp_nation": agg["s_nationkey"].map(nation_map),
+            "cust_nation": agg["c_nationkey"].map(nation_map),
+            "revenue": rev_c / 100.0,
+        }
+    )
+    return out.sort_values(["supp_nation", "cust_nation"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def q_customer_rfm(sf_dir: str):
     """RFM customer segmentation (recency / frequency / monetary) — the
     classic marketing-analytics composition: per-customer order aggregates,
@@ -6673,6 +6803,7 @@ QUERIES = {
     "events_winsorized": q_events_winsorized,
     "ab_test_welch": q_ab_test_welch,
     "customer_rfm": q_customer_rfm,
+    "nation_trade_volume": q_nation_trade_volume,
     "user_event_3grams": q_user_event_3grams,
     "doc_filter_funnel": q_doc_filter_funnel,
     "er_pages_entities": q_er_pages_entities,
@@ -8522,6 +8653,30 @@ ORACLE_SQL = {
                CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         FROM a JOIN nation n ON a.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC
+    """,
+    "nation_trade_volume": """
+        WITH j AS (
+            SELECT s.s_nationkey, c.c_nationkey,
+                   CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS HUGEINT)) AS u
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND c.c_nationkey <> s.s_nationkey
+        ),
+        a AS (
+            SELECT s_nationkey, c_nationkey, SUM(u) AS u
+            FROM j GROUP BY s_nationkey, c_nationkey
+        )
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST((a.u + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        FROM a
+        JOIN nation ns ON a.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON a.c_nationkey = nc.n_nationkey
+        ORDER BY supp_nation, cust_nation
     """,
     "customer_order_distribution": """
         WITH pc AS (

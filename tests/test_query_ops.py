@@ -123,6 +123,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_filter_funnel",
         "ab_test_welch",
         "customer_rfm",
+        "nation_trade_volume",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
