@@ -6669,6 +6669,63 @@ def q_doc_filter_funnel(sf_dir: str):
     )
 
 
+def q_events_hourly_gapfill(sf_dir: str):
+    """Time-grid resample with gap filling (the time-series densify every
+    metrics store needs): per user, ONE row for EVERY hour between the
+    user's first and last event — hours with no events included — carrying
+    the exact-integer-cents cumulative value as of that hour's end. One
+    user_id hash exchange; inside each partition the dense grid is built
+    fully vectorized (per-user spans via repeat + exclusive-prefix-sum
+    offsets, hourly sums scattered by position, grouped cumsum with a
+    base-subtract reset — no Python loop over users or hours). 100-TB
+    shape: output is O(active user-hours) and ordering is only needed
+    WITHIN a key, so no global sort; partitioning assumption: one user's
+    hour span fits a worker (true for per-user event streams)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def gapfill(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "hour_bucket": pd.Series([], dtype=np.int64),
+                    "cum_value": pd.Series([], dtype=np.float64),
+                }
+            )
+        hb = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        cents = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = (
+            pd.DataFrame({"u": pdf["user_id"].to_numpy(np.int64), "hb": hb, "c": cents})
+            .groupby(["u", "hb"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        bounds = g.groupby("u", sort=True)["hb"].agg(["min", "max"])
+        users = bounds.index.to_numpy(np.int64)
+        h0 = bounds["min"].to_numpy(np.int64)
+        spans = bounds["max"].to_numpy(np.int64) - h0 + 1
+        starts = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        total = int(spans.sum())
+        grid_u = np.repeat(users, spans)
+        grid_h = np.repeat(h0, spans) + (np.arange(total) - np.repeat(starts, spans))
+        vals = np.zeros(total, dtype=np.int64)
+        uidx = np.searchsorted(users, g["u"].to_numpy(np.int64))
+        pos = starts[uidx] + (g["hb"].to_numpy(np.int64) - h0[uidx])
+        vals[pos] = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(vals)
+        base = np.concatenate([[0], cum])[starts]
+        cum -= np.repeat(base, spans)
+        return pd.DataFrame(
+            {
+                "user_id": grid_u,
+                "hour_bucket": grid_h,
+                "cum_value": cum.astype(np.float64) / 100.0,
+            }
+        )
+
+    return partition_map_groups(ds, ["user_id"], gapfill)
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -6806,6 +6863,7 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "user_event_3grams": q_user_event_3grams,
     "doc_filter_funnel": q_doc_filter_funnel,
+    "events_hourly_gapfill": q_events_hourly_gapfill,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8458,6 +8516,36 @@ ORACLE_SQL = {
             UNION ALL SELECT 3, 'distinct_ratio_0.4', n3, n2 - n3 FROM c
             UNION ALL SELECT 4, 'lang_whitelist', n4, n3 - n4 FROM c
         ) ORDER BY stage_idx
+    """,
+    # dense hourly grid per user via generate_series; the running SUM is
+    # HUGEINT cents cast to DOUBLE once at the end — identical float tree
+    # to the engine's int64 grouped cumsum / 100.0
+    "events_hourly_gapfill": """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+                   CAST(ROUND(value * 100) AS HUGEINT) AS cents
+            FROM events
+        ),
+        hourly AS (
+            SELECT user_id, hb, SUM(cents) AS c FROM ev GROUP BY user_id, hb
+        ),
+        b AS (
+            SELECT user_id, MIN(hb) AS h0, MAX(hb) AS h1
+            FROM hourly GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, UNNEST(generate_series(h0, h1)) AS hb FROM b
+        ),
+        j AS (
+            SELECT g.user_id, g.hb, COALESCE(h.c, 0) AS c
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hb = h.hb
+        )
+        SELECT user_id, hb AS hour_bucket,
+               CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
+                   / 100.0 AS cum_value
+        FROM j ORDER BY user_id, hb
     """,
     # per-column profile of orders: COUNT(DISTINCT) is NULL-excluding on
     # both sides; min/max only for numeric columns (NULL otherwise)

@@ -124,6 +124,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "ab_test_welch",
         "customer_rfm",
         "nation_trade_volume",
+        "events_hourly_gapfill",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
