@@ -6726,6 +6726,78 @@ def q_events_hourly_gapfill(sf_dir: str):
     return partition_map_groups(ds, ["user_id"], gapfill)
 
 
+def q_zorder_pruned_scan(sf_dir: str):
+    """Z-order (Morton) multi-column layout — the OPTIMIZE ZORDER BY idea:
+    documents land z-ordered by (doc_id, n_chars) through
+    sources/zorder.write_zordered_parquet (equi-depth buckets from the
+    mergeable histogram sketch, bits interleaved into the shard id), so the
+    per-shard zone maps stay tight on BOTH columns and a range predicate on
+    EITHER prunes shards without opening a data file — a single-column sort
+    can only do that for one column. Zones only prune; the exact row filter
+    follows, and the per-lang aggregate matches the full-scan SQL oracle,
+    certifying the layout lost nothing. Resumable: sealed shards keyed by
+    sf_dir are skipped on repeat runs."""
+    import hashlib
+
+    from entity_resolution_engine_ray.sources.sink import read_sharded_parquet
+    from entity_resolution_engine_ray.sources.zorder import write_zordered_parquet
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/er_zorder_shards_{tag}"
+    write_zordered_parquet(
+        ds, out_dir, ["doc_id", "n_chars"], bits=3, params_hash=f"zorderv1|{sf_dir}"
+    )
+
+    id_lo, id_hi, nc_lo, nc_hi = 10, 199, 150, 350
+    pruned = read_sharded_parquet(
+        out_dir, zone_filter={"doc_id": (id_lo, id_hi), "n_chars": (nc_lo, nc_hi)}
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["doc_id"], pa.scalar(id_lo, pa.int64())),
+                pc.less_equal(t["doc_id"], pa.scalar(id_hi, pa.int64())),
+            ),
+            pc.and_(
+                pc.greater_equal(t["n_chars"], pa.scalar(nc_lo, pa.int64())),
+                pc.less_equal(t["n_chars"], pa.scalar(nc_hi, pa.int64())),
+            ),
+        )
+        t = t.filter(keep)
+        pdf = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pruned.map_batches(exact, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=str),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "sum_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -6864,6 +6936,7 @@ QUERIES = {
     "user_event_3grams": q_user_event_3grams,
     "doc_filter_funnel": q_doc_filter_funnel,
     "events_hourly_gapfill": q_events_hourly_gapfill,
+    "zorder_pruned_scan": q_zorder_pruned_scan,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8546,6 +8619,17 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # full-scan oracle over the same 2-D predicate — equality certifies the
+    # z-order layout + 2-column zone pruning lost no rows
+    "zorder_pruned_scan": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id BETWEEN 10 AND 199 AND n_chars BETWEEN 150 AND 350
+        GROUP BY lang
+        ORDER BY lang
     """,
     # per-column profile of orders: COUNT(DISTINCT) is NULL-excluding on
     # both sides; min/max only for numeric columns (NULL otherwise)

@@ -125,6 +125,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "customer_rfm",
         "nation_trade_volume",
         "events_hourly_gapfill",
+        "zorder_pruned_scan",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
