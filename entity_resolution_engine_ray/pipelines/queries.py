@@ -6798,6 +6798,111 @@ def q_zorder_pruned_scan(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (data selection via importance
+    resampling, hashed bag-of-words form): score every document by
+    log p_target(doc) − log p_raw(doc) under Laplace-smoothed unigram
+    models over 256 md5-hashed token buckets, target = the English slice
+    of the corpus, raw = the whole corpus. The classic pretraining-data
+    selection signal: resampling by these weights shifts the raw crawl
+    toward the target distribution.
+
+    100-TB shape: pass 1 emits O(256) integer bucket partials per batch
+    (one tiny groupby — token text never shuffles); the 256-float
+    log-ratio table broadcasts via ray.put; pass 2 scores every doc
+    embarrassingly parallel (md5 once per UNIQUE token per batch via
+    np.unique, per-doc weighted bincount). Weight rounded 4dp — the sum
+    order differs between engines, same regime as user_event_entropy."""
+    import hashlib
+
+    import ray
+
+    B = 256
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def _buckets_of(uniq: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B for t in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+
+    def _tok(t: pa.Table):
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        lists = pc.split_pattern(col, " ")
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(str)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        return flat[keep], row_idx[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tok(t)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], type=pa.int64()),
+                    "n_raw": pa.array([], type=pa.int64()),
+                    "n_tgt": pa.array([], type=pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        b = _buckets_of(uniq)[inv]
+        is_en = (np.asarray(t["lang"].to_pylist()) == "en")[row_idx]
+        return pa.table(
+            {
+                "b": pa.array(np.arange(B, dtype=np.int64)),
+                "n_raw": pa.array(np.bincount(b, minlength=B).astype(np.int64)),
+                "n_tgt": pa.array(np.bincount(b[is_en], minlength=B).astype(np.int64)),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n_raw", alias_name="n_raw"), Sum("n_tgt", alias_name="n_tgt"))
+        .to_pandas()
+    )
+    n_raw = np.zeros(B, dtype=np.int64)
+    n_tgt = np.zeros(B, dtype=np.int64)
+    n_raw[cnt["b"].to_numpy(np.int64)] = cnt["n_raw"].to_numpy(np.int64)
+    n_tgt[cnt["b"].to_numpy(np.int64)] = cnt["n_tgt"].to_numpy(np.int64)
+    traw, ttgt = float(n_raw.sum()), float(n_tgt.sum())
+    # the oracle's exact float tree: ln((tgt+1)/(ttgt+B)) − ln((raw+1)/(traw+B))
+    lr = np.log((n_tgt + 1.0) / (ttgt + float(B))) - np.log(
+        (n_raw + 1.0) / (traw + float(B))
+    )
+    lr_ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tok(t)
+        n = len(t)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dsir_w": pa.array([], type=pa.float64()),
+                }
+            )
+        lr_ = ray.get(lr_ref)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        w = lr_[_buckets_of(uniq)[inv]]
+        sums = np.bincount(row_idx, weights=w, minlength=n)
+        has_tok = np.bincount(row_idx, minlength=n) > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has_tok]),
+                "dsir_w": pa.array(np.round(sums[has_tok], 4)),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -6937,6 +7042,7 @@ QUERIES = {
     "doc_filter_funnel": q_doc_filter_funnel,
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "zorder_pruned_scan": q_zorder_pruned_scan,
+    "doc_dsir_weights": q_doc_dsir_weights,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8619,6 +8725,37 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # same Laplace-smoothed hashed-unigram log-ratio, token buckets from the
+    # identical md5 hex-parse; ROUND 4 absorbs the engine/oracle sum-order
+    # difference (the user_event_entropy regime)
+    "doc_dsir_weights": """
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+            FROM documents
+        ),
+        tb AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b,
+                   lang
+            FROM tok
+        ),
+        cnt AS (
+            SELECT b, COUNT(*) AS n_raw,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+            FROM tb GROUP BY b
+        ),
+        tot AS (SELECT SUM(n_raw) AS traw, SUM(n_tgt) AS ttgt FROM cnt),
+        lr AS (
+            SELECT b,
+                   ln((n_tgt + 1.0) / (ttgt + 256.0))
+                 - ln((n_raw + 1.0) / (traw + 256.0)) AS w
+            FROM cnt, tot
+        )
+        SELECT doc_id, ROUND(SUM(w), 4) AS dsir_w
+        FROM tb JOIN lr USING (b)
+        GROUP BY doc_id ORDER BY doc_id
     """,
     # full-scan oracle over the same 2-D predicate — equality certifies the
     # z-order layout + 2-column zone pruning lost no rows

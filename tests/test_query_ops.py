@@ -126,6 +126,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "nation_trade_volume",
         "events_hourly_gapfill",
         "zorder_pruned_scan",
+        "doc_dsir_weights",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
