@@ -6903,6 +6903,74 @@ def q_doc_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day active users (the WAU curve) — a windowed COUNT
+    DISTINCT, which no window function computes directly. The exact
+    distributed plan: slim (user, day) dedup rides one user_id hash
+    exchange; inside each partition every user's active days collapse to
+    MERGED COVERAGE INTERVALS (day d covers [d, d+6]; a new interval only
+    when the gap ≥ 7), so each user ships O(activity runs) ±1 delta rows,
+    never per-day rows; a tiny day-keyed groupby sums deltas and a driver
+    cumsum over the bounded [min_day, max_day] grid yields the curve.
+    100-TB shape: nothing is ever per-(user × day × window) — the oracle's
+    grid JOIN blowup is exactly what this plan avoids."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "d": pd.Series([], dtype=np.int64),
+                    "delta": pd.Series([], dtype=np.int64),
+                }
+            )
+        day = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        u = pdf["user_id"].to_numpy(np.int64)
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        uu, dd = pairs[:, 0], pairs[:, 1]
+        # new interval at a user boundary or a gap >= 7 days
+        new_run = np.ones(len(uu), dtype=bool)
+        new_run[1:] = (uu[1:] != uu[:-1]) | (dd[1:] - dd[:-1] >= 7)
+        starts = dd[new_run]
+        # run end = last active day of the run, +6 coverage, +1 for the -1 delta
+        run_id = np.cumsum(new_run) - 1
+        last = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last, run_id, dd)
+        ends = last + 7
+        return pd.DataFrame(
+            {
+                "d": np.concatenate([starts, ends]),
+                "delta": np.concatenate(
+                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+                ),
+            }
+        )
+
+    agg = (
+        partition_map_groups(ds, ["user_id"], deltas)
+        .groupby("d")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+    )
+    # grid bounds come from the events themselves (min/max active day)
+    stats = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).aggregate(
+        Min("ts", alias_name="lo"), Max("ts", alias_name="hi")
+    )
+    d0 = int(pd.Timestamp(stats["lo"]).value // 1000 // 86_400_000_000)
+    d1 = int(pd.Timestamp(stats["hi"]).value // 1000 // 86_400_000_000)
+    dense = np.zeros(d1 - d0 + 2, dtype=np.int64)
+    dv = agg["d"].to_numpy(np.int64)
+    keep = dv <= d1  # deltas past the grid never affect reported days
+    np.add.at(dense, np.clip(dv[keep] - d0, 0, None), agg["delta"].to_numpy(np.int64)[keep])
+    active = np.cumsum(dense)[: d1 - d0 + 1]
+    return pd.DataFrame(
+        {
+            "day_bucket": np.arange(d0, d1 + 1, dtype=np.int64),
+            "active_users": active.astype(np.int64),
+        }
+    )
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -7043,6 +7111,7 @@ QUERIES = {
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "doc_dsir_weights": q_doc_dsir_weights,
+    "rolling_active_users": q_rolling_active_users,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8725,6 +8794,21 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # windowed COUNT DISTINCT via the grid JOIN the engine's interval plan
+    # avoids; LEFT JOIN keeps zero-activity days (engine's dense cumsum grid)
+    "rolling_active_users": """
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+            FROM events
+        ),
+        b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM a),
+        grid AS (SELECT UNNEST(generate_series(d0, d1)) AS d FROM b)
+        SELECT g.d AS day_bucket,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM grid g LEFT JOIN a ON a.d BETWEEN g.d - 6 AND g.d
+        GROUP BY g.d ORDER BY g.d
     """,
     # same Laplace-smoothed hashed-unigram log-ratio, token buckets from the
     # identical md5 hex-parse; ROUND 4 absorbs the engine/oracle sum-order

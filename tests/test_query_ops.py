@@ -127,6 +127,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "events_hourly_gapfill",
         "zorder_pruned_scan",
         "doc_dsir_weights",
+        "rolling_active_users",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -650,3 +651,37 @@ def test_mmr_diverse_matches_serial_and_diversifies(ray_session):
 
     plain = q_knn_cosine_top10(SF_DIR)
     assert set(got["vec_id"]) != set(plain["vec_id"]), "MMR never diversified"
+
+
+def test_rolling_active_users_interval_splits(ray_session, tmp_path):
+    """Sparse synthetic activity with gaps of exactly 6/7/8 days — the
+    interval-merge branch the dense driver fixture never exercises —
+    pinned against a brute-force windowed COUNT DISTINCT."""
+    from entity_resolution_engine_ray.pipelines.queries import q_rolling_active_users
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    # u1: days 0 and 6 (gap 6 -> ONE merged interval), u2: days 0 and 7
+    # (gap 7 -> split), u3: days 2, 10, 18 (gap 8 -> two splits), u4: day 29
+    for u, days in [(1, [0, 6]), (2, [0, 7]), (3, [2, 10, 18]), (4, [29])]:
+        for d in days:
+            rows.append({"user_id": u, "ts": base + pd.Timedelta(days=d, hours=3)})
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    got = q_rolling_active_users(str(tmp_path))
+
+    day = (pdf["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000).to_numpy()
+    u = pdf["user_id"].to_numpy()
+    d0, d1 = day.min(), day.max()
+    want = [
+        len({u[i] for i in range(len(u)) if d - 6 <= day[i] <= d})
+        for d in range(d0, d1 + 1)
+    ]
+    assert got["day_bucket"].tolist() == list(range(d0, d1 + 1))
+    assert got["active_users"].tolist() == want
+    # the split/merge cases actually bite: day 9 sits inside u3's 8-day gap
+    # (coverage [2,8]/[10,16]) but within u1's MERGED [0,12] and u2's second
+    # interval [7,13] — exactly 2 actives; and day 14 has dropped u2 too
+    assert got.loc[got["day_bucket"] == d0 + 9, "active_users"].item() == 2
+    assert got.loc[got["day_bucket"] == d0 + 14, "active_users"].item() == 1
