@@ -6971,6 +6971,88 @@ def q_rolling_active_users(sf_dir: str):
     )
 
 
+def q_event_type_lift(sf_dir: str):
+    """Association-rule mining (support / confidence / lift) over
+    (user, day) baskets of event types — the market-basket readout for
+    behavioral data ("users who error also purchase?"). One user_id hash
+    exchange; per partition the distinct (user, day, type) triples pair
+    via a vectorized basket self-merge into O(|types|²) integer partials
+    (plus per-type basket counts and the basket total — |types| is small
+    by construction, the op contract); the driver finish is a bounded
+    aggregate. Every ratio is a SINGLE float division (or one multiply
+    each side then one divide) of exact integers, mirrored token-for-token
+    in the SQL oracle, so the compare is bit-exact with no rounding."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=str),
+                    "b": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        day = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        trip = pd.DataFrame(
+            {
+                "u": pdf["user_id"].to_numpy(np.int64),
+                "d": day,
+                "t": pdf["event_type"].astype(str).to_numpy(),
+            }
+        ).drop_duplicates()
+        nb = len(trip[["u", "d"]].drop_duplicates())
+        na = trip.groupby("t").size()
+        m = trip.merge(trip, on=["u", "d"])
+        m = m[m["t_x"] != m["t_y"]]
+        nab = m.groupby(["t_x", "t_y"]).size()
+        return pd.concat(
+            [
+                pd.DataFrame({"a": ["#"], "b": ["#"], "n": [nb]}),
+                pd.DataFrame(
+                    {"a": na.index, "b": "#", "n": na.to_numpy(np.int64)}
+                ),
+                pd.DataFrame(
+                    {
+                        "a": nab.index.get_level_values(0),
+                        "b": nab.index.get_level_values(1),
+                        "n": nab.to_numpy(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    parts = (
+        partition_map_groups(ds, ["user_id"], partial)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    nb_total = int(parts.loc[(parts["a"] == "#") & (parts["b"] == "#"), "n"].iloc[0])
+    na = parts[(parts["a"] != "#") & (parts["b"] == "#")].set_index("a")["n"]
+    ab = parts[(parts["a"] != "#") & (parts["b"] != "#")].copy()
+    n_a = na.loc[ab["a"]].to_numpy(np.int64)
+    n_b = na.loc[ab["b"]].to_numpy(np.int64)
+    n_ab = ab["n"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "antecedent": ab["a"].to_numpy(),
+            "consequent": ab["b"].to_numpy(),
+            "n_ab": n_ab,
+            "support": n_ab.astype(np.float64) / np.float64(nb_total),
+            "confidence": n_ab.astype(np.float64) / n_a.astype(np.float64),
+            "lift": (n_ab.astype(np.float64) * np.float64(nb_total))
+            / (n_a.astype(np.float64) * n_b.astype(np.float64)),
+        }
+    )
+    return out.sort_values(["antecedent", "consequent"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -7112,6 +7194,7 @@ QUERIES = {
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "doc_dsir_weights": q_doc_dsir_weights,
     "rolling_active_users": q_rolling_active_users,
+    "event_type_lift": q_event_type_lift,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8794,6 +8877,37 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # baskets = distinct (user, day); every ratio is the same single float
+    # division (one multiply each side for lift) of exact integers as the
+    # engine computes — bit-exact, no rounding
+    "event_type_lift": """
+        WITH t AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                   event_type
+            FROM events
+        ),
+        nb AS (
+            SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, d FROM t)
+        ),
+        na AS (SELECT event_type, COUNT(*) AS n FROM t GROUP BY event_type),
+        nab AS (
+            SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                   COUNT(*) AS n_ab
+            FROM t a JOIN t b
+              ON a.user_id = b.user_id AND a.d = b.d
+             AND a.event_type <> b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(n_ab AS DOUBLE) / nb.n AS support,
+               CAST(n_ab AS DOUBLE) / x.n AS confidence,
+               (CAST(n_ab AS DOUBLE) * nb.n) / (CAST(x.n AS DOUBLE) * y.n) AS lift
+        FROM nab
+        JOIN na x ON x.event_type = nab.antecedent
+        JOIN na y ON y.event_type = nab.consequent, nb
+        ORDER BY antecedent, consequent
     """,
     # windowed COUNT DISTINCT via the grid JOIN the engine's interval plan
     # avoids; LEFT JOIN keeps zero-activity days (engine's dense cumsum grid)

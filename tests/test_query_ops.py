@@ -128,6 +128,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "zorder_pruned_scan",
         "doc_dsir_weights",
         "rolling_active_users",
+        "event_type_lift",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
