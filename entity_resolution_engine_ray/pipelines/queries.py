@@ -7053,6 +7053,67 @@ def q_event_type_lift(sf_dir: str):
     )
 
 
+def q_doc_length_psi(sf_dir: str):
+    """Population stability index (PSI) — the standard production drift
+    monitor — between two corpus slices' document-length distributions
+    (reference = sources src0–src9, current = the rest). Fixed integer
+    bins (n_chars // 50, capped at 12) keep the bucketing deterministic;
+    per-bin Laplace-smoothed shares p, q and the contribution
+    (p − q)·ln(p/q) follow. 100-TB shape: ONE streaming pass of O(bins)
+    integer bincount partials per batch per side, a tiny bin-keyed
+    groupby, driver finish over 13 rows. p and q are single divisions of
+    exact integers and the ln tree is mirrored in the oracle; ROUND 6 on
+    the term absorbs libm's last ulp."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    NB = 13
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], type=pa.int64()),
+                    "n_ref": pa.array([], type=pa.int64()),
+                    "n_cur": pa.array([], type=pa.int64()),
+                }
+            )
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(nc // 50, NB - 1)
+        src = np.asarray(t["source"].to_pylist())
+        # src0..src9 = reference (one trailing digit), src10+ = current
+        is_ref = np.char.str_len(src.astype(str)) == 4
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(NB, dtype=np.int64)),
+                "n_ref": pa.array(np.bincount(b[is_ref], minlength=NB).astype(np.int64)),
+                "n_cur": pa.array(np.bincount(b[~is_ref], minlength=NB).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_ref", alias_name="n_ref"), Sum("n_cur", alias_name="n_cur"))
+        .to_pandas()
+    )
+    n_ref = np.zeros(NB, dtype=np.int64)
+    n_cur = np.zeros(NB, dtype=np.int64)
+    n_ref[agg["bin"].to_numpy(np.int64)] = agg["n_ref"].to_numpy(np.int64)
+    n_cur[agg["bin"].to_numpy(np.int64)] = agg["n_cur"].to_numpy(np.int64)
+    p = (n_ref + 1.0) / np.float64(n_ref.sum() + NB)
+    q = (n_cur + 1.0) / np.float64(n_cur.sum() + NB)
+    term = (p - q) * np.log(p / q)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(NB, dtype=np.int64),
+            "n_ref": n_ref,
+            "n_cur": n_cur,
+            "psi_term": _rha(term, 6),
+        }
+    )
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -7195,6 +7256,7 @@ QUERIES = {
     "doc_dsir_weights": q_doc_dsir_weights,
     "rolling_active_users": q_rolling_active_users,
     "event_type_lift": q_event_type_lift,
+    "doc_length_psi": q_doc_length_psi,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8877,6 +8939,29 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # dense 13-bin grid via generate_series (engine emits all bins, empty
+    # ones included); same Laplace shares + (p-q)*ln(p/q) tree, ROUND 6
+    "doc_length_psi": """
+        WITH d AS (
+            SELECT LEAST(n_chars // 50, 12) AS bin,
+                   CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS is_ref
+            FROM documents
+        ),
+        grid AS (SELECT UNNEST(generate_series(0, 12)) AS bin),
+        c AS (
+            SELECT g.bin,
+                   CAST(COALESCE(SUM(d.is_ref), 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(SUM(1 - d.is_ref), 0) AS BIGINT) AS n_cur
+            FROM grid g LEFT JOIN d ON d.bin = g.bin
+            GROUP BY g.bin
+        ),
+        tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c)
+        SELECT bin, n_ref, n_cur,
+               ROUND(((n_ref + 1.0) / (tr + 13.0) - (n_cur + 1.0) / (tc + 13.0))
+                     * ln(((n_ref + 1.0) / (tr + 13.0))
+                          / ((n_cur + 1.0) / (tc + 13.0))), 6) AS psi_term
+        FROM c, tot ORDER BY bin
     """,
     # baskets = distinct (user, day); every ratio is the same single float
     # division (one multiply each side for lift) of exact integers as the

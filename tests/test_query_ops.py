@@ -129,6 +129,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_dsir_weights",
         "rolling_active_users",
         "event_type_lift",
+        "doc_length_psi",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
