@@ -217,3 +217,94 @@ def read_sharded_parquet(out_dir: str, zone_filter: dict | None = None):
             raise FileNotFoundError(f"no sealed shards under {out_dir}")
         return rd.read_parquet(all_paths).limit(0)
     return rd.read_parquet(paths)
+
+
+def compact_shards(
+    out_dir: str,
+    target_rows: int,
+    params_hash: str = "",
+    zone_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE / bin-packing maintenance pass
+    every long-lived table needs): greedily bin-packs ADJACENT sealed
+    shards (sorted by shard value, preserving any z-order/sort locality)
+    into new sealed shards of >= ``target_rows`` each, so a table that
+    accumulated thousands of tiny incremental shards reads back with file
+    counts proportional to data size, not to ingest history.
+
+    Planning is manifest-only (row counts come from the manifests — no data
+    file opens); each output bin is rewritten by ONE Ray task reading only
+    its own input shards, so the pass is O(data) with no shuffle. Zone maps
+    are recomputed per output shard (the union range stays exactly as tight
+    as the inputs allow). Writes are atomic (tmp dir + rename) and land
+    FIRST; the consumed input shards are removed only after every bin
+    sealed — a kill mid-compaction leaves either the old shards or both
+    (both readable copies are never half-deleted; re-running converges).
+    Shards already >= target_rows pass through untouched. Returns
+    {"written": [...], "removed": [...], "kept": [...]}.
+    """
+    import ray
+
+    bins: list[list[tuple[str, int]]] = []
+    cur: list[tuple[str, int]] = []
+    cur_rows = 0
+    kept = []
+    for name in sorted(os.listdir(out_dir)):
+        sdir = os.path.join(out_dir, name)
+        mpath = os.path.join(sdir, _MANIFEST)
+        if not (name.startswith("shard=") and os.path.isfile(mpath)):
+            continue
+        with open(mpath) as f:
+            rows = int(json.load(f).get("rows", 0))
+        value = name[len("shard="):]
+        if rows >= target_rows:
+            kept.append(value)
+            continue
+        cur.append((value, rows))
+        cur_rows += rows
+        if cur_rows >= target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        bins.append(cur)
+    # a 1-input bin is a rename-shaped no-op: rewriting it buys nothing
+    solo = [b for b in bins if len(b) < 2]
+    kept.extend(v for b in solo for v, _ in b)
+    bins = [b for b in bins if len(b) >= 2]
+    zcols = list(zone_cols or [])
+
+    @ray.remote
+    def rewrite(bin_idx: int, values: list[str]) -> str:
+        paths = []
+        for v in values:
+            sdir = _shard_dir(out_dir, v)
+            paths.extend(
+                os.path.join(sdir, f)
+                for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")
+            )
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        value = f"c{bin_idx:06d}_{values[0]}"
+        sdir = _shard_dir(out_dir, value)
+        tmp = sdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+        manifest = {"rows": tbl.num_rows, "params_hash": params_hash}
+        if zcols:
+            manifest["zones"] = {c: _zone_entry(tbl[c]) for c in zcols}
+        with open(os.path.join(tmp, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, sdir)
+        return value
+
+    written = ray.get(
+        [rewrite.remote(i, [v for v, _ in b]) for i, b in enumerate(bins)]
+    )
+    removed = []
+    for b in bins:
+        for v, _ in b:
+            shutil.rmtree(_shard_dir(out_dir, v), ignore_errors=True)
+            removed.append(v)
+    return {"written": sorted(written), "removed": sorted(removed), "kept": sorted(kept)}

@@ -69,3 +69,43 @@ def test_zorder_constant_column_and_resume(ray_session, tmp_path):
     r2 = write_zordered_parquet(rd.from_pandas(pdf), out, ["x", "y"], bits=3,
                                 params_hash="h1")
     assert sorted(r2["skipped"]) == sorted(r1["written"]) and not r2["written"]
+
+
+def test_compact_shards_binpacks_and_loses_nothing(ray_session, tmp_path):
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.sources.sink import (
+        compact_shards,
+        pruned_shard_paths,
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    pdf = _fixture(2000)
+    pdf["shard"] = (pdf.index % 40).astype(np.int64)  # 40 tiny shards of 50 rows
+    out = str(tmp_path / "C")
+    write_sharded_parquet(
+        rd.from_pandas(pdf).repartition(4), out, "shard", zone_cols=["x"]
+    )
+    before, _ = pruned_shard_paths(out)
+    assert len(before) == 40
+
+    rep = compact_shards(out, target_rows=300, zone_cols=["x"])
+    assert rep["removed"] and rep["written"]
+    after, _ = pruned_shard_paths(out)
+    assert len(after) < len(before) // 4
+
+    got = read_sharded_parquet(out).to_pandas().sort_values(["x", "y", "v"])
+    want = pdf.sort_values(["x", "y", "v"])
+    assert len(got) == len(want)
+    for c in ("x", "y", "v"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()
+
+    # zone maps were recomputed: a narrow x-range still prunes and loses nothing
+    sel = read_sharded_parquet(out, {"x": (0, 49)}).to_pandas()
+    sel = sel[sel["x"] <= 49]
+    assert len(sel) == int((pdf["x"] <= 49).sum())
+
+    # re-running converges: everything is already >= target or solo
+    rep2 = compact_shards(out, target_rows=300, zone_cols=["x"])
+    assert not rep2["removed"]
