@@ -6070,30 +6070,19 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
-def q_part_bfs_hops(sf_dir: str):
-    """Distributed BFS hop distances (≤3) from the minimum part key over
-    the part-adjacency graph (parts on CONSECUTIVE lineitem lines of the
-    same order, undirected) — the iterative-frontier graph pattern next to
-    PageRank's fixed-iteration one: edges are hash-partitioned ONCE and
-    stay stationary; each round broadcasts only the frontier/visited id
-    arrays and collects per-partition unvisited neighbors
-    (stages/pagerank.bfs_hops). Layered BFS = minimal hop by construction,
-    so the recursive-CTE MIN(d) oracle matches exactly (all 2000 parts
-    reached within 3 hops at sf0.01)."""
+def _part_adjacency_edges(sf_dir: str):
+    """(edges Dataset(s, t) both directions, materialized lineitem) for the
+    part-adjacency graph: parts on CONSECUTIVE lineitem lines of the same
+    order, undirected — the shared graph fixture of the BFS / k-core
+    queries. Adjacency = the oracle's JOIN predicate exactly (ln_b =
+    ln_a + 1 within the order) via a partition-local self-merge on one
+    l_orderkey hash exchange."""
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_map_groups
-    from entity_resolution_engine_ray.stages.pagerank import bfs_hops
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey"],
     ).materialize()
-
-    def min_part(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"m": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64())}
-        )
-
-    src = int(li.map_batches(min_part, batch_format="pyarrow").to_pandas()["m"].min())
 
     def consecutive(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -6130,8 +6119,47 @@ def q_part_bfs_hops(sf_dir: str):
         )
 
     edges = hash_exchange_map_groups(li, ["l_orderkey"], consecutive)
+    return edges, li
+
+
+def q_part_bfs_hops(sf_dir: str):
+    """Distributed BFS hop distances (≤3) from the minimum part key over
+    the part-adjacency graph (parts on CONSECUTIVE lineitem lines of the
+    same order, undirected) — the iterative-frontier graph pattern next to
+    PageRank's fixed-iteration one: edges are hash-partitioned ONCE and
+    stay stationary; each round broadcasts only the frontier/visited id
+    arrays and collects per-partition unvisited neighbors
+    (stages/pagerank.bfs_hops). Layered BFS = minimal hop by construction,
+    so the recursive-CTE MIN(d) oracle matches exactly (all 2000 parts
+    reached within 3 hops at sf0.01)."""
+    from entity_resolution_engine_ray.stages.pagerank import bfs_hops
+
+    edges, li = _part_adjacency_edges(sf_dir)
+
+    def min_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"m": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64())}
+        )
+
+    src = int(li.map_batches(min_part, batch_format="pyarrow").to_pandas()["m"].min())
     out = bfs_hops(edges, src, max_hops=3)
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+def q_part_kcore(sf_dir: str):
+    """k-core membership (k=20) of the part-adjacency graph — the dense-
+    subgraph screen (spam-cluster / community-core detection on link
+    graphs). Iterative peel via stages/pagerank.kcore_nodes: stationary
+    src-partitioned edges, each round broadcasts only the cumulative
+    removed-node array; per-partition degree counts are FULL degrees (all
+    of a src's edges co-locate), so no degree merge is needed. The k-core
+    is unique, hence order-independent — the distributed peel equals the
+    serial one exactly (pinned in tests); iterative fixpoint has no SQL
+    form, so this entry is rows-only."""
+    from entity_resolution_engine_ray.stages.pagerank import kcore_nodes
+
+    edges, _ = _part_adjacency_edges(sf_dir)
+    return kcore_nodes(edges, k=20)
 
 
 def q_bucketed_join_segments(sf_dir: str):
@@ -7257,6 +7285,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "event_type_lift": q_event_type_lift,
     "doc_length_psi": q_doc_length_psi,
+    "part_kcore": q_part_kcore,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }

@@ -197,3 +197,59 @@ def bfs_hops(edges_ds, source: int, max_hops: int, num_partitions: int | None = 
             "hops": np.concatenate([np.atleast_1d(h) for h in hops]).astype(np.int64),
         }
     )
+
+
+@ray.remote
+def _kcore_degrees(edge_part: pa.Table, removed) -> pa.Table:
+    """Per-node degree within one stationary src-partition, ignoring edges
+    with a REMOVED endpoint. Src-partitioning makes the per-partition count
+    a node's FULL degree (all (src, *) rows co-locate), so no degree merge
+    across partitions is needed."""
+    if edge_part.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+    s = edge_part["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = edge_part["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(removed):
+        def alive(a):
+            i = np.searchsorted(removed, a)
+            i[i >= len(removed)] = len(removed) - 1
+            return removed[i] != a
+        keep = alive(s) & alive(t)
+        s, t = s[keep], t[keep]
+    if len(s) == 0:
+        return pa.table({"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+    nodes, deg = np.unique(s, return_counts=True)
+    return pa.table({"node": pa.array(nodes), "deg": pa.array(deg.astype(np.int64))})
+
+
+def kcore_nodes(edges_ds, k: int, num_partitions: int | None = None,
+                max_rounds: int = 1000) -> pd.DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree ≥ k) of a DIRECTED edge Dataset (s:int64, t:int64) — feed both
+    directions for an undirected graph. Classic iterative peel: drop every
+    node with degree < k, recompute degrees, repeat to fixpoint; the
+    result is order-independent (the k-core is unique), so the distributed
+    peel equals the serial one exactly.
+
+    Scale shape (the bfs_hops contract): edges hash-partition by src ONCE
+    and stay stationary; each round broadcasts only the cumulative sorted
+    removed-node array (``ray.put`` once per round) and gets back O(nodes)
+    degree rows per partition — full degrees, not partials, because all of
+    a src's edges co-locate. Driver state is O(nodes), the same order as
+    the output; the edge set never moves after the initial partition.
+    Returns a pandas frame (node,) sorted ascending. Raises if the peel
+    does not converge within ``max_rounds`` (it converges in ≤ rounds =
+    peel depth; the guard catches pathological inputs, not slow ones)."""
+    edges_refs = exchange_partition_refs(edges_ds, ["s"], num_partitions)
+
+    removed = np.empty(0, dtype=np.int64)
+    for _ in range(int(max_rounds)):
+        r_ref = ray.put(removed)
+        parts = ray.get([_kcore_degrees.remote(r, r_ref) for r in edges_refs])
+        nodes = np.concatenate([p["node"].to_numpy(zero_copy_only=False) for p in parts])
+        deg = np.concatenate([p["deg"].to_numpy(zero_copy_only=False) for p in parts])
+        drop = nodes[deg < k]
+        if len(drop) == 0:
+            return pd.DataFrame({"node": np.sort(nodes).astype(np.int64)})
+        removed = np.sort(np.concatenate([removed, drop]))
+    raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")

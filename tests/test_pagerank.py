@@ -167,3 +167,45 @@ def test_bfs_hops_isolated_source_and_cap(ray_session):
     # hop cap truncates the path
     capped = bfs_hops(rd.from_pandas(edges), source=1, max_hops=2)
     assert sorted(capped["node"].tolist()) == [1, 2, 3]
+
+
+def test_kcore_matches_serial_peel(ray_session):
+    """Distributed peel == serial peel on a graph with a planted dense core
+    (K8 clique) plus a tree fringe that cascades away at k=3."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.pagerank import kcore_nodes
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    for i in range(8):          # K8 clique: the 7-core everyone keeps
+        for j in range(i + 1, 8):
+            edges.add((i, j))
+    for n in range(8, 60):      # fringe: each new node hangs off 2 earlier ones
+        for p in rng.choice(n, size=2, replace=False):
+            edges.add((int(p), n))
+    directed = [(s, t) for s, t in edges] + [(t, s) for s, t in edges]
+    df = pd.DataFrame(directed, columns=["s", "t"]).astype(np.int64)
+
+    def serial_kcore(pairs, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for s, t in pairs:
+            adj[s].add(t)
+            adj[t].add(s)
+        alive = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return sorted(alive)
+
+    for k in (3, 5, 7, 8):
+        got = kcore_nodes(rd.from_pandas(df).repartition(5), k=k)["node"].tolist()
+        assert got == serial_kcore(edges, k), f"k={k}"
+    # k=7 keeps exactly the clique unless the fringe reinforces it
+    assert set(kcore_nodes(rd.from_pandas(df).repartition(3), k=8)["node"]) == set()
