@@ -7142,6 +7142,130 @@ def q_doc_length_psi(sf_dir: str):
     )
 
 
+def q_user_decayed_value(sf_dir: str):
+    """Recency-weighted (exponential-decay) user value — the ranking signal
+    behind 'recently valuable' user lists: Σ value·2^(−age_days/7) with a
+    7-day half-life anchored at the corpus max timestamp. The decay term is
+    an ALGEBRAIC aggregate (order-independent sum), so it streams as
+    per-batch per-user float partials into one tiny user-keyed groupby —
+    no sort, no window. Both engines evaluate the identical term tree
+    (cents · 2^(−Δus/86400e6/7)); only the sum order differs, ROUND 4
+    absorbs it (the user_event_entropy regime)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    t_max = pd.Timestamp(
+        ds.aggregate(Max("ts", alias_name="hi"))["hi"]
+    ).value // 1000  # µs
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.float64()),
+                }
+            )
+        ts_us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100)
+        age_days = (np.float64(t_max) - ts_us.astype(np.float64)) / 86_400_000_000.0
+        term = cents * np.power(2.0, -age_days / 7.0)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.unique(u)
+        sums = np.bincount(np.searchsorted(uu, u), weights=term, minlength=len(uu))
+        return pa.table({"user_id": pa.array(uu), "w": pa.array(sums)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": agg["user_id"].to_numpy(np.int64),
+            "decayed_cents": _rha(agg["w"].to_numpy(np.float64), 4),
+        }
+    )
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution — every purchase is credited to the same
+    user's LATEST click within the preceding 24 h (the marketing-analytics
+    join). One user_id hash exchange; inside each partition a single
+    ``pandas.merge_asof`` (backward, by=user, 24 h tolerance) matches all
+    purchases against all clicks vectorized, then per-user integer partials
+    (purchases, attributed purchases, attributed cents) fold through a tiny
+    groupby. Exact integers end-to-end except the final cents→value
+    division, mirrored in the oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def attribute(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_purchases": pd.Series([], dtype=np.int64),
+                "n_attributed": pd.Series([], dtype=np.int64),
+                "attr_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.copy()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        purch = pdf[pdf["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        clicks = pdf[pdf["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if purch.empty:
+            return empty
+        m = pd.merge_asof(
+            purch,
+            clicks[["user_id", "ts"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            tolerance=pd.Timedelta(hours=24),
+        )
+        m["cents"] = np.round(m["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        hit = m["click_ts"].notna().to_numpy()
+        m["h"] = hit.astype(np.int64)
+        m["c"] = np.where(hit, m["cents"].to_numpy(np.int64), 0)
+        g = m.groupby("user_id", sort=True)
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray(list(g.groups.keys()), dtype=np.int64),
+                "n_purchases": g.size().to_numpy(np.int64),
+                "n_attributed": g["h"].sum().to_numpy(np.int64),
+                "attr_cents": g["c"].sum().to_numpy(np.int64),
+            }
+        )
+
+    parts = partition_map_groups(ds, ["user_id"], attribute)
+    agg = (
+        parts.groupby("user_id")
+        .aggregate(
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("n_attributed", alias_name="n_attributed"),
+            Sum("attr_cents", alias_name="attr_cents"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": agg["user_id"].to_numpy(np.int64),
+            "n_purchases": agg["n_purchases"].to_numpy(np.int64),
+            "n_attributed": agg["n_attributed"].to_numpy(np.int64),
+            "attributed_value": agg["attr_cents"].to_numpy(np.int64).astype(np.float64)
+            / 100.0,
+        }
+    )
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -7286,6 +7410,8 @@ QUERIES = {
     "event_type_lift": q_event_type_lift,
     "doc_length_psi": q_doc_length_psi,
     "part_kcore": q_part_kcore,
+    "user_decayed_value": q_user_decayed_value,
+    "purchase_attribution": q_purchase_attribution,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -8968,6 +9094,41 @@ ORACLE_SQL = {
                CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY hb) AS DOUBLE)
                    / 100.0 AS cum_value
         FROM j ORDER BY user_id, hb
+    """,
+    # epoch_us keeps the age exact-integer µs before the single /86400e6
+    # division — the engine's identical term tree; ROUND 4 absorbs sum order
+    "user_decayed_value": """
+        WITH m AS (SELECT MAX(ts) AS t FROM events)
+        SELECT user_id,
+               ROUND(SUM(CAST(ROUND(value * 100) AS DOUBLE)
+                         * POWER(2.0, -((epoch_us(m.t) - epoch_us(ts))
+                                        / 86400000000.0) / 7.0)), 4)
+                   AS decayed_cents
+        FROM events, m
+        GROUP BY user_id ORDER BY user_id
+    """,
+    # last-touch: latest click <= purchase ts within 24h; event_id in the
+    # per-purchase group keeps duplicate (user, ts) purchases distinct
+    "purchase_attribution": """
+        WITH p AS (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        j AS (
+            SELECT p.event_id, p.user_id, p.cents, MAX(c.ts) AS click_ts
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+            GROUP BY p.event_id, p.user_id, p.cents
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(click_ts) AS BIGINT) AS n_attributed,
+               CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
+                    AS DOUBLE) / 100.0 AS attributed_value
+        FROM j GROUP BY user_id ORDER BY user_id
     """,
     # dense 13-bin grid via generate_series (engine emits all bins, empty
     # ones included); same Laplace shares + (p-q)*ln(p/q) tree, ROUND 6

@@ -130,6 +130,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "rolling_active_users",
         "event_type_lift",
         "doc_length_psi",
+        "user_decayed_value",
+        "purchase_attribution",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
