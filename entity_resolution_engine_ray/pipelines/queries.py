@@ -7266,6 +7266,558 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top-20 customers by lost
+    revenue (ext·(1−disc)) over RETURNED ('R') lineitems of H1-1998 orders,
+    with customer + nation names attached. Shape for scale: lineitem folds
+    to per-batch (orderkey, rev) partials BEFORE the orderkey cogroup with
+    the date-pruned orders; the custkey exchange then finalizes per-customer
+    sums and each partition emits only its LOCAL top-20 (a customer's rows
+    all land in one partition), so the driver merges P×20 rows — never the
+    join. The two dimension attaches are key-lookup reads (predicate-pushdown
+    parquet on 20 keys; a keyed store at 100 TB), not joins. Revenue sums in
+    exact integer 1e-4 dollars — order/partition-invariant (see
+    q_lineitem_pricing)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    lo, hi = pd.Timestamp("1998-01-01"), pd.Timestamp("1998-07-01")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ext_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        disc_h = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev": ext_c * (100 - disc_h),
+            }
+        )
+        g = pdf.groupby("l_orderkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def to_cust(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "rev": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or o_pdf.empty:
+            return empty
+        m = l_pdf.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        g = m.groupby("o_custkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g
+
+    cust_partials = hash_exchange_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders,
+        ["l_orderkey"],
+        ["o_orderkey"],
+        to_cust,
+    )
+
+    def local_top20(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "rev": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = pdf.groupby("o_custkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g.sort_values(
+            ["rev", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    cand = partition_map_groups(cust_partials, ["o_custkey"], local_top20).to_pandas()
+    top = cand.sort_values(
+        ["rev", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    keys = top["o_custkey"].to_numpy(np.int64)
+    cust_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pc.field("c_custkey").isin(pa.array(keys)),
+    ).to_pandas()
+    nation_tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_map = dict(
+        zip(nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist())
+    )
+    out = top.merge(cust_tbl, left_on="o_custkey", right_on="c_custkey")
+    # exact 1e-4 dollars -> half-away cents -> dollars (rev >= 0)
+    cents = (out["rev"].to_numpy(np.int64) + 50) // 100
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].to_numpy(np.int64),
+            "c_name": out["c_name"].astype(str),
+            "n_name": out["c_nationkey"].map(nation_map).astype(str),
+            "revenue": cents.astype(np.float64) / 100.0,
+        }
+    )
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume-order screen: orders whose total
+    lineitem quantity exceeds 200 units, with the order header joined back.
+    The HAVING-on-fact shape: lineitem folds to per-batch (orderkey, qty)
+    integer partials, ONE orderkey cogroup with orders both finalizes the
+    per-order sum (all of an order's rows co-locate) and applies the
+    HAVING filter, emitting only qualifying rows — the unfiltered join
+    never exists. Quantities are integral-valued doubles in the data and
+    sum as exact int64."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty": np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("l_orderkey", as_index=False)["qty"].sum()
+        g["qty"] = g["qty"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def having_join(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_totalprice": pd.Series([], dtype=np.float64),
+                "total_qty": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or o_pdf.empty:
+            return empty
+        g = l_pdf.groupby("l_orderkey", as_index=False)["qty"].sum()
+        g = g[g["qty"] > 200]
+        if g.empty:
+            return empty
+        m = g.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": m["o_custkey"].to_numpy(np.int64),
+                "o_orderdate": m["o_orderdate"].astype("datetime64[us]"),
+                "o_totalprice": _rha(m["o_totalprice"].to_numpy(np.float64), 2),
+                "total_qty": m["qty"].to_numpy(np.int64),
+            }
+        )
+
+    out = hash_exchange_cogroup(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        orders,
+        ["l_orderkey"],
+        ["o_orderkey"],
+        having_join,
+    ).to_pandas()
+    return out.sort_values(
+        ["total_qty", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — brands are distinct so the
+# three disjuncts are mutually exclusive and each row maps to ≤1 band
+_Q19_BANDS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 30),
+    ("Brand#3", 20, 50, 20, 40),
+)
+
+
+def q_part_band_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate join: discounted revenue per
+    brand/size/quantity band, where the predicate is an OR of three
+    (brand, size-range, qty-range) conjunctions spanning BOTH join sides —
+    so nothing can pre-aggregate below the join. Shape for scale: lineitem
+    ships only (partkey, qty, rev-1e-4) through ONE partkey cogroup with the
+    3-column part attribute table; the disjuncts evaluate as vectorized
+    masks in-partition and fold to ≤3 rows per partition. Revenue in exact
+    integer 1e-4 dollars."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        ext_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        disc_h = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pa.array(
+                    np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+                "rev": pa.array(ext_c * (100 - disc_h)),
+            }
+        )
+
+    def band_partial(l_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "band": pd.Series([], dtype=np.int64),
+                "rev": pd.Series([], dtype=np.int64),
+                "n_items": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or p_pdf.empty:
+            return empty
+        m = l_pdf.merge(p_pdf, left_on="l_partkey", right_on="p_partkey")
+        if m.empty:
+            return empty
+        qty = m["qty"].to_numpy(np.int64)
+        size = m["p_size"].to_numpy(np.int64)
+        brand = m["p_brand"].to_numpy()
+        rev = m["rev"].to_numpy(np.int64)
+        rows = []
+        for b, (br, s0, s1, q0, q1) in enumerate(_Q19_BANDS, start=1):
+            mask = (brand == br) & (size >= s0) & (size <= s1) & (qty >= q0) & (qty <= q1)
+            if mask.any():
+                rows.append((b, int(rev[mask].sum()), int(mask.sum())))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["band", "rev", "n_items"]).astype(np.int64)
+
+    partials = hash_exchange_cogroup(
+        li.map_batches(li_slim, batch_format="pyarrow"),
+        part,
+        ["l_partkey"],
+        ["p_partkey"],
+        band_partial,
+    ).to_pandas()
+    agg = partials.groupby("band", as_index=False).agg(
+        rev=("rev", "sum"), n_items=("n_items", "sum")
+    )
+    cents = (agg["rev"].to_numpy(np.int64) + 50) // 100
+    return pd.DataFrame(
+        {
+            "band": agg["band"].to_numpy(np.int64),
+            "revenue": cents.astype(np.float64) / 100.0,
+            "n_items": agg["n_items"].to_numpy(np.int64),
+        }
+    ).sort_values("band", kind="mergesort").reset_index(drop=True)
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: per order-year, NATION_2's share of
+    all PROMO-part revenue sold to ASIA-region customers. Five-table shape
+    with every reduction pushed below the exchanges: part prunes to a
+    deduped PROMO key set (partkey semi-cogroup slims lineitem to
+    orderkey/suppkey/rev), ASIA customer keys (region resolved through the
+    two tiny driver-side dimensions) semi-cogroup orders down to
+    (orderkey, year), and the final orderkey cogroup folds straight to
+    (year, numerator, denominator) integer partials — supplier→nation is a
+    sorted-array broadcast lookup (tiny dimension). Share divides the two
+    exact int64 1e-4-dollar sums in float64 identically to the oracle."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    nation_tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region_tbl = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    asia_key = region_tbl.to_pandas().set_index("r_name")["r_regionkey"]["ASIA"]
+    npdf = nation_tbl.to_pandas()
+    asia_nations = npdf.loc[npdf["n_regionkey"] == asia_key, "n_nationkey"].to_numpy(np.int64)
+    target_nation = int(npdf.loc[npdf["n_name"] == "NATION_2", "n_nationkey"].iloc[0])
+    supp_tbl = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    supp_keys = supp_tbl["s_suppkey"].to_numpy(np.int64)
+    supp_nation = supp_tbl["s_nationkey"].to_numpy(np.int64)
+
+    promo_keys = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        filter=(pc.field("p_type") == "PROMO"),
+    ).map_batches(
+        lambda t: pa.table({"p_partkey": pc.unique(t["p_partkey"])}), batch_format="pyarrow"
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_semi(l_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "l_suppkey": pd.Series([], dtype=np.int64),
+                "rev": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or p_pdf.empty:
+            return empty
+        keep = l_pdf[l_pdf["l_partkey"].isin(p_pdf["p_partkey"])]
+        if keep.empty:
+            return empty
+        ext_c = np.round(keep["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_h = np.round(keep["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": keep["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": keep["l_suppkey"].to_numpy(np.int64),
+                "rev": ext_c * (100 - disc_h),
+            }
+        )
+
+    li_promo = hash_exchange_cogroup(li, promo_keys, ["l_partkey"], ["p_partkey"], li_semi)
+
+    asia_cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(pa.array(asia_nations)),
+    ).map_batches(
+        lambda t: pa.table({"c_custkey": pc.unique(t["c_custkey"])}), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_semi(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_year": pd.Series([], dtype=np.int64),
+                }
+            )
+        keep = o_pdf[o_pdf["o_custkey"].isin(c_pdf["c_custkey"])]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].to_numpy(np.int64),
+                "o_year": keep["o_orderdate"].dt.year.to_numpy(np.int64),
+            }
+        )
+
+    slim_orders = hash_exchange_cogroup(
+        orders, asia_cust, ["o_custkey"], ["c_custkey"], order_semi
+    )
+
+    def share_partial(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_year": pd.Series([], dtype=np.int64),
+                "num": pd.Series([], dtype=np.int64),
+                "den": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or o_pdf.empty:
+            return empty
+        m = l_pdf.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return empty
+        idx = np.searchsorted(supp_keys, m["l_suppkey"].to_numpy(np.int64))
+        nk = supp_nation[np.clip(idx, 0, len(supp_nation) - 1)]
+        rev = m["rev"].to_numpy(np.int64)
+        m2 = pd.DataFrame(
+            {
+                "o_year": m["o_year"].to_numpy(np.int64),
+                "num": np.where(nk == target_nation, rev, 0),
+                "den": rev,
+            }
+        )
+        g = m2.groupby("o_year", as_index=False).agg(num=("num", "sum"), den=("den", "sum"))
+        return g.astype(np.int64)
+
+    partials = hash_exchange_cogroup(
+        li_promo, slim_orders, ["l_orderkey"], ["o_orderkey"], share_partial
+    ).to_pandas()
+    agg = partials.groupby("o_year", as_index=False).agg(num=("num", "sum"), den=("den", "sum"))
+    return pd.DataFrame(
+        {
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "mkt_share": _rha(
+                agg["num"].to_numpy(np.int64).astype(np.float64)
+                / agg["den"].to_numpy(np.int64).astype(np.float64),
+                6,
+            ),
+        }
+    ).sort_values("o_year", kind="mergesort").reset_index(drop=True)
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped fraction-of-global screen: parts whose total
+    discounted lineitem revenue exceeds 1.5× the AVERAGE part's revenue
+    (the per-part-count form of Q11's SUM·fraction cut — a fixed global
+    fraction goes vacuous as the part count grows; this one selects a
+    stable tail at every scale). The global-scalar-HAVING shape: per-batch
+    (partkey, rev) integer partials finalize per part in one partkey
+    exchange; the global total AND part count are a second fold of the SAME
+    materialized per-part aggregate (no second pass over the fact table),
+    broadcast into a distributed filter as scalars. The threshold compare
+    is exact integer (rev·2n > 3·total, int64 1e-4 dollars,
+    overflow-asserted — at scales where it would saturate, split lanes as
+    in q_lineitem_pricing)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        disc_h = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "rev": ext_c * (100 - disc_h),
+            }
+        )
+        g = pdf.groupby("l_partkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "l_partkey": pd.Series([], dtype=np.int64),
+                    "rev": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = pdf.groupby("l_partkey", as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g
+
+    per_part = partition_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_partkey"], finalize
+    ).materialize()
+    fold = per_part.aggregate(
+        Sum("rev", alias_name="t"), Count(alias_name="n"), Max("rev", alias_name="mx")
+    )
+    total, n_parts = int(fold["t"] or 0), int(fold["n"])
+    max_rev = int(fold["mx"] or 0)
+    if n_parts and (max_rev * 2 * n_parts > 2**63 - 1 or 3 * total > 2**63 - 1):
+        raise OverflowError("important_parts: rev*2n compare saturates int64 — split lanes")
+
+    def over_threshold(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = rev * (2 * n_parts) > 3 * total
+        cents = (rev[keep] + 50) // 100
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "part_value": pa.array(cents.astype(np.float64) / 100.0),
+            }
+        )
+
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    out = typed_to_pandas(per_part.map_batches(over_threshold, batch_format="pyarrow"))
+    return out.sort_values("p_partkey", kind="mergesort").reset_index(drop=True)
+
+
+def q_supplier_diversity(sf_dir: str):
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers that shipped
+    each (brand, size) part class, excluding flagged suppliers (negative
+    account balance — the reference query's complaints NOT IN). Shape for
+    scale: lineitem slims to per-batch-unique (partkey, suppkey) pairs with
+    the tiny exclusion set applied at the read side, ONE partkey cogroup
+    attaches brand/size and re-dedups, then the (brand, size) exchange does
+    the global distinct count (cross-partition duplicate pairs from
+    different partkeys meet there and drop)."""
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        pdf = pdf[~np.isin(pdf["l_suppkey"].to_numpy(np.int64), bad)]
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+
+    def attach(l_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "p_size": pd.Series([], dtype=np.int64),
+                "l_suppkey": pd.Series([], dtype=np.int64),
+            }
+        )
+        if l_pdf.empty or p_pdf.empty:
+            return empty
+        m = l_pdf.merge(p_pdf, left_on="l_partkey", right_on="p_partkey")
+        return m[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+
+    triples = hash_exchange_cogroup(
+        li.map_batches(uniq_pairs, batch_format="pyarrow"),
+        part,
+        ["l_partkey"],
+        ["p_partkey"],
+        attach,
+    )
+
+    def distinct_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "p_brand": pd.Series([], dtype=object),
+                    "p_size": pd.Series([], dtype=np.int64),
+                    "supplier_cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            pdf.drop_duplicates()
+            .groupby(["p_brand", "p_size"], as_index=False)["l_suppkey"]
+            .nunique()
+        )
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"].astype(str),
+                "p_size": g["p_size"].to_numpy(np.int64),
+                "supplier_cnt": g["l_suppkey"].to_numpy(np.int64),
+            }
+        )
+
+    out = partition_map_groups(triples, ["p_brand", "p_size"], distinct_count).to_pandas()
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 QUERIES = {
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
@@ -7412,6 +7964,12 @@ QUERIES = {
     "part_kcore": q_part_kcore,
     "user_decayed_value": q_user_decayed_value,
     "purchase_attribution": q_purchase_attribution,
+    "returned_item_revenue": q_returned_item_revenue,
+    "large_orders": q_large_orders,
+    "part_band_revenue": q_part_band_revenue,
+    "nation_market_share": q_nation_market_share,
+    "important_parts": q_important_parts,
+    "supplier_diversity": q_supplier_diversity,
     "er_pages_entities": q_er_pages_entities,
     "relational_er_entities": q_relational_er_entities,
 }
@@ -9129,6 +9687,110 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # Q10 shape: DECIMAL revenue sums == the engine's integer 1e-4 lanes;
+    # ORDER BY the UNROUNDED sum with a custkey tie-break matches the
+    # engine's exact-integer ordering
+    "returned_item_revenue": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                 c.c_custkey ASC
+        LIMIT 20
+    """,
+    # Q18 shape: integral-valued double quantities sum exactly as BIGINT
+    # (outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT -> pandas float)
+    "large_orders": """
+        WITH q AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+               q.total_qty
+        FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+        ORDER BY q.total_qty DESC, o.o_orderkey ASC
+    """,
+    # Q19 shape: the three disjuncts are brand-disjoint, so CASE maps each
+    # row to at most one band; DECIMAL sums == integer 1e-4 lanes
+    "part_band_revenue": """
+        WITH j AS (
+            SELECT CASE
+                     WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                          AND l.l_quantity BETWEEN 1 AND 20 THEN 1
+                     WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                          AND l.l_quantity BETWEEN 10 AND 30 THEN 2
+                     WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                          AND l.l_quantity BETWEEN 20 AND 40 THEN 3
+                   END AS band,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM j WHERE band IS NOT NULL
+        GROUP BY band ORDER BY band
+    """,
+    # Q8 shape: numerator/denominator in the engine's exact int64 1e-4
+    # units (cents × discount-hundredths), divided in DOUBLE identically
+    "nation_market_share": """
+        WITH j AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,
+                   s.s_nationkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        )
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN s_nationkey =
+                                   (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+                                   THEN rev ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        FROM j GROUP BY o_year ORDER BY o_year
+    """,
+    # Q11 shape: DECIMAL(scale-4) per-part sums and total — v·2n > 3t is
+    # exact on both sides (the engine asserts its int64 twin can't saturate)
+    "important_parts": """
+        WITH pv AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(v) AS t, COUNT(*) AS n FROM pv)
+        SELECT pv.l_partkey AS p_partkey,
+               CAST(ROUND(pv.v, 2) AS DOUBLE) AS part_value
+        FROM pv, tot WHERE pv.v * 2 * tot.n > 3 * tot.t
+        ORDER BY p_partkey
+    """,
+    # Q16 shape: NOT IN exclusion + COUNT(DISTINCT) per part class
+    "supplier_diversity": """
+        SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
     """,
     # dense 13-bin grid via generate_series (engine emits all bins, empty
     # ones included); same Laplace shares + (p-q)*ln(p/q) tree, ROUND 6

@@ -132,6 +132,12 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_length_psi",
         "user_decayed_value",
         "purchase_attribution",
+        "returned_item_revenue",
+        "large_orders",
+        "part_band_revenue",
+        "nation_market_share",
+        "important_parts",
+        "supplier_diversity",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
