@@ -1929,6 +1929,38 @@ def q_knn_int8_recall(sf_dir: str):
     )
 
 
+def q_knn_pq_recall(sf_dir: str):
+    """Product-quantization ANN audit — the 32× compression lever a 100-TB
+    vector corpus takes after int8 (8 uint8 codes per 64-float vector), and
+    the recall check that decides whether it's safe. Codebooks train on a
+    bounded deterministic sample (stages/knn.pq_train_codebooks, Knuth-hash
+    partial-top-k sample, driver Lloyd per subspace), broadcast once; the
+    scan scores by ADC table lookup + sum — no corpus-side float matmul —
+    then exact-re-ranks only each batch's local 4k ADC winners (two-stage
+    IVFADC-style retrieval). Output compares the PQ top-k id set against
+    the exact brute-force path (rows-only — recall of a lossy codec has no
+    SQL oracle; the pytest pins recall ≥ 0.7 and run-to-run determinism)."""
+    from entity_resolution_engine_ray.stages.knn import knn_brute_force, knn_pq, pq_train_codebooks
+
+    # materialize: three consumers (sample pass, ADC scan, exact scan)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    q = _query_vector(sf_dir)
+    k = 10
+    books = pq_train_codebooks(ds, m_sub=8, k_cent=32)
+    pq_top = knn_pq(ds, q, k=k, books=books, exclude_ids={0})
+    exact = knn_brute_force(ds, q, k=k, exclude_ids={0})
+    common = set(pq_top["vec_id"].astype(np.int64)) & set(exact["vec_id"].astype(np.int64))
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype=np.int64),
+            "m_sub": pd.Series([8], dtype=np.int64),
+            "recall": pd.Series([_rha(len(common) / k, 4)], dtype=np.float64),
+        }
+    )
+
+
 def q_reciprocal_nn(sf_dir: str):
     """Mutual (reciprocal) 10-NN pairs over the embedding table — the
     high-confidence match filter (b in a's top-10 AND a in b's). EXACT
@@ -7942,6 +7974,7 @@ QUERIES = {
     "doc_length_pctile": q_doc_length_pctile,
     "event_props_stats": q_event_props_stats,
     "knn_int8_recall": q_knn_int8_recall,
+    "knn_pq_recall": q_knn_pq_recall,
     "training_shards": q_training_shards,
     "promo_revenue": q_promo_revenue,
     "brand_nation_revenue": q_brand_nation_revenue,

