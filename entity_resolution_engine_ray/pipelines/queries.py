@@ -7298,6 +7298,59 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_events_cusum(sf_dir: str):
+    """CUSUM changepoint monitor over hourly revenue — the classic
+    sequential drift detector (Page 1954) for a telemetry/ingest stream.
+    Distributed work is the hourly integer-cents aggregation (per-batch
+    partials → one tiny hour-keyed groupby); the sequential recursion
+    S_t = max(0, S_{t-1} + x_t − k) then runs on the BOUNDED hourly series
+    (720 rows for a month — O(hours), not O(events), at any corpus size)
+    via the exact vectorized identity S_t = P_t − min(0, min_{j≤t} P_j)
+    with P = cumsum(x − k). All-integer: k = ⌊total/n⌋ cents, alert
+    threshold 8·⌊MAD⌋ — no float boundary anywhere, so the recursive-CTE
+    oracle matches value-for-value."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pdf = pa.table({"hour": hour}).to_pandas()
+        pdf["x"] = cents
+        g = pdf.groupby("hour", as_index=False)["x"].sum()
+        g["x"] = g["x"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("hour", kind="mergesort").reset_index(drop=True)
+    x = agg["x"].to_numpy(np.int64)
+    n = len(x)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "hour": pd.Series([], dtype="datetime64[us]"),
+                "cusum_c": pd.Series([], dtype=np.int64),
+                "alert": pd.Series([], dtype=np.int64),
+            }
+        )
+    k = int(x.sum()) // n
+    y = x - k
+    p = np.cumsum(y)
+    s = p - np.minimum.accumulate(np.minimum(p, 0))
+    mad = int(np.abs(y).sum()) // n
+    return pd.DataFrame(
+        {
+            "hour": agg["hour"].astype("datetime64[us]"),
+            "cusum_c": s.astype(np.int64),
+            "alert": (s > 8 * mad).astype(np.int64),
+        }
+    )
+
+
 def q_returned_item_revenue(sf_dir: str):
     """TPC-H Q10-shaped returned-item report: top-20 customers by lost
     revenue (ext·(1−disc)) over RETURNED ('R') lineitems of H1-1998 orders,
@@ -7997,6 +8050,7 @@ QUERIES = {
     "part_kcore": q_part_kcore,
     "user_decayed_value": q_user_decayed_value,
     "purchase_attribution": q_purchase_attribution,
+    "events_cusum": q_events_cusum,
     "returned_item_revenue": q_returned_item_revenue,
     "large_orders": q_large_orders,
     "part_band_revenue": q_part_band_revenue,
@@ -9720,6 +9774,34 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # Page's CUSUM via WITH RECURSIVE: the max(0, ·) recursion in integer
+    # cents; k = floor-mean, threshold 8·floor-MAD — all-integer, no float
+    # boundary; `//` is DuckDB integer division
+    "events_cusum": """
+        WITH RECURSIVE
+        hx AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1
+        ),
+        idx AS (SELECT hour, x, ROW_NUMBER() OVER (ORDER BY hour) AS i FROM hx),
+        p AS (
+            SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM hx
+        ),
+        p2 AS (
+            SELECT CAST(SUM(ABS(x - p.k)) // COUNT(*) AS BIGINT) AS mad
+            FROM hx, p GROUP BY p.k
+        ),
+        c AS (
+            SELECT i, GREATEST(0, x - (SELECT k FROM p)) AS s FROM idx WHERE i = 1
+            UNION ALL
+            SELECT idx.i, GREATEST(0, c.s + idx.x - (SELECT k FROM p))
+            FROM c JOIN idx ON idx.i = c.i + 1
+        )
+        SELECT idx.hour, CAST(c.s AS BIGINT) AS cusum_c,
+               CAST(c.s > 8 * (SELECT mad FROM p2) AS BIGINT) AS alert
+        FROM c JOIN idx USING (i) ORDER BY idx.hour
     """,
     # Q10 shape: DECIMAL revenue sums == the engine's integer 1e-4 lanes;
     # ORDER BY the UNROUNDED sum with a custkey tie-break matches the

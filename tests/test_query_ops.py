@@ -132,6 +132,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "doc_length_psi",
         "user_decayed_value",
         "purchase_attribution",
+        "events_cusum",
         "returned_item_revenue",
         "large_orders",
         "part_band_revenue",
