@@ -7298,6 +7298,63 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_key_skew_profile(sf_dir: str):
+    """Shuffle-key skew diagnostic — the profile a 100-TB operator reads
+    BEFORE choosing its partitioning (hot-key salting, bucket counts): per-
+    key cardinality concentration over events.user_id as Gini coefficient +
+    top-1/top-10 share. Distributed work is the per-key count table
+    (per-batch partials → one key groupby); the Gini finish sorts the
+    O(keys) count vector driver-side (at key cardinalities where that
+    outgrows the driver, swap the finish for a distributed sort + the same
+    prefix-sum — the formula Σ(2i−n−1)·c_(i) needs only ranks). Ties make
+    the formula order-invariant, so engine and oracle agree exactly; all
+    three ratios divide exact integers, ROUND 6."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uu), "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    c = np.sort(agg["cnt"].to_numpy(np.int64))  # ascending
+    n = len(c)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_keys": pd.Series([0], dtype=np.int64),
+                "n_rows": pd.Series([0], dtype=np.int64),
+                "gini": pd.Series([0.0]),
+                "top1_share": pd.Series([0.0]),
+                "top10_share": pd.Series([0.0]),
+            }
+        )
+    total = int(c.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    # exact integers: int64 dot while Σ|w|·c ≤ (n−1)·total fits, Python
+    # big ints past that (extreme key cardinalities)
+    w = 2 * i - n - 1
+    if (n - 1) * total < 2**62:
+        num = int(np.dot(w, c))
+    else:
+        num = sum(int(a) * int(b) for a, b in zip(w, c))
+    den = n * total
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([n], dtype=np.int64),
+            "n_rows": pd.Series([total], dtype=np.int64),
+            "gini": pd.Series([_rha(num / den, 6)]),
+            "top1_share": pd.Series([_rha(int(c[-1]) / total, 6)]),
+            "top10_share": pd.Series([_rha(int(c[-10:].sum()) / total, 6)]),
+        }
+    )
+
+
 def q_events_cusum(sf_dir: str):
     """CUSUM changepoint monitor over hourly revenue — the classic
     sequential drift detector (Page 1954) for a telemetry/ingest stream.
@@ -8051,6 +8108,7 @@ QUERIES = {
     "user_decayed_value": q_user_decayed_value,
     "purchase_attribution": q_purchase_attribution,
     "events_cusum": q_events_cusum,
+    "key_skew_profile": q_key_skew_profile,
     "returned_item_revenue": q_returned_item_revenue,
     "large_orders": q_large_orders,
     "part_band_revenue": q_part_band_revenue,
@@ -9774,6 +9832,28 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # Gini over the per-key count vector: Σ(2i−n−1)c_(i) is tie-order-
+    # invariant, HUGEINT keeps both terms exact; all ratios ROUND 6
+    "key_skew_profile": """
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i FROM c),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+        g AS (
+            SELECT SUM((2 * CAST(i AS HUGEINT) - s.n - 1) * cnt) AS num
+            FROM r, s GROUP BY s.n
+        ),
+        t AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS top10,
+                   CAST(MAX(cnt) AS BIGINT) AS top1
+            FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+        )
+        SELECT s.n AS n_keys, s.tot AS n_rows,
+               ROUND(CAST(g.num AS DOUBLE)
+                     / CAST(CAST(s.n AS HUGEINT) * s.tot AS DOUBLE), 6) AS gini,
+               ROUND(CAST(t.top1 AS DOUBLE) / CAST(s.tot AS DOUBLE), 6) AS top1_share,
+               ROUND(CAST(t.top10 AS DOUBLE) / CAST(s.tot AS DOUBLE), 6) AS top10_share
+        FROM s, g, t
     """,
     # Page's CUSUM via WITH RECURSIVE: the max(0, ·) recursion in integer
     # cents; k = floor-mean, threshold 8·floor-MAD — all-integer, no float

@@ -133,6 +133,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "user_decayed_value",
         "purchase_attribution",
         "events_cusum",
+        "key_skew_profile",
         "returned_item_revenue",
         "large_orders",
         "part_band_revenue",
