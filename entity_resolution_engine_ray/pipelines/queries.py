@@ -7298,6 +7298,116 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_user_value_range_24h(sf_dir: str):
+    """Time-RANGE window frame — SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW).
+    Unlike the ROWS frame (q_user_value_moving_sum) the frame width varies
+    per row with event density. ONE user_id exchange; inside the partition
+    the per-user timeline sorts once and the interval sum is
+    prefix-sum[i] − prefix-sum[searchsorted(ts − 24 h)] — two vectorized
+    passes, no per-row loop. SQL RANGE frames include ALL ties of the
+    current ts, so rows with equal (user, ts) share one frame — the
+    searchsorted('right') upper bound reproduces that exactly. Integer
+    cents throughout."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def range_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "range_sum": pd.Series([], dtype=np.float64),
+            }
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        ts = pdf["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        users = pdf["user_id"].to_numpy(np.int64)
+        out = np.zeros(len(pdf), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[starts, len(pdf)]
+        day_us = 24 * 3600 * 1_000_000
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            t = ts[a:b]
+            ps = np.concatenate([[0], np.cumsum(cents[a:b])])
+            lo = np.searchsorted(t, t - day_us, side="left")
+            hi = np.searchsorted(t, t, side="right")  # include ts ties (SQL RANGE)
+            out[a:b] = ps[hi] - ps[lo]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "user_id": users,
+                "range_sum": out.astype(np.float64) / 100.0,
+            }
+        )
+
+    return partition_map_groups(ds, ["user_id"], range_sum)
+
+
+_BENFORD_P = [np.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit screen over order totals — the classic fraud /
+    synthetic-data smell test. Single shuffle-free pass: each batch folds
+    to 9 first-digit partial counts (digit via floor(x / 10^floor(log10 x))
+    on integer cents — no string formatting); the driver emits observed vs
+    expected share and the per-digit chi-square term. Counts are exact
+    integers; the float finish (log10 expectation, χ² term) is the same
+    expression tree the oracle writes, ROUND 6."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return pa.table(
+                {"digit": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+            )
+        mag = np.floor(np.log10(cents.astype(np.float64))).astype(np.int64)
+        first = cents // np.power(10, mag).astype(np.int64)
+        # float log10 can land one magnitude low/high on exact powers —
+        # correct integer-exactly
+        too_big = first >= 10
+        first[too_big] //= 10
+        too_small = first == 0
+        first[too_small] = 1
+        cnt = np.bincount(first, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    exp = np.array(_BENFORD_P, dtype=np.float64)
+    obs = n.astype(np.float64) / total
+    chi = (obs - exp) ** 2 / exp
+    return pd.DataFrame(
+        {
+            "digit": agg["digit"].to_numpy(np.int64),
+            "n": n,
+            "obs_share": _rha(obs, 6),
+            "benford_share": _rha(exp, 6),
+            "chi_term": _rha(chi, 6),
+        }
+    )
+
+
 def q_key_skew_profile(sf_dir: str):
     """Shuffle-key skew diagnostic — the profile a 100-TB operator reads
     BEFORE choosing its partitioning (hot-key salting, bucket counts): per-
@@ -8109,6 +8219,8 @@ QUERIES = {
     "purchase_attribution": q_purchase_attribution,
     "events_cusum": q_events_cusum,
     "key_skew_profile": q_key_skew_profile,
+    "user_value_range_24h": q_user_value_range_24h,
+    "orders_benford": q_orders_benford,
     "returned_item_revenue": q_returned_item_revenue,
     "large_orders": q_large_orders,
     "part_band_revenue": q_part_band_revenue,
@@ -9832,6 +9944,34 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # time-RANGE frame: peers of the current ts are in-frame by SQL
+    # semantics; integer-cents window sum, HUGEINT-safe cast
+    "user_value_range_24h": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100.0 AS range_sum
+        FROM events
+    """,
+    # first digit of the exact integer cents via VARCHAR head (no float
+    # log in the digit path); identical float finish tree, ROUND 6
+    "orders_benford": """
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE ROUND(o_totalprice * 100) > 0
+        ),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        s AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT c.digit, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / CAST(s.total AS DOUBLE), 6) AS obs_share,
+               ROUND(LOG10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+               ROUND(POWER(CAST(c.n AS DOUBLE) / CAST(s.total AS DOUBLE)
+                           - LOG10(1.0 + 1.0 / c.digit), 2)
+                     / LOG10(1.0 + 1.0 / c.digit), 6) AS chi_term
+        FROM c, s ORDER BY c.digit
     """,
     # Gini over the per-key count vector: Σ(2i−n−1)c_(i) is tie-order-
     # invariant, HUGEINT keeps both terms exact; all ratios ROUND 6

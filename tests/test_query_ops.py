@@ -134,6 +134,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "purchase_attribution",
         "events_cusum",
         "key_skew_profile",
+        "user_value_range_24h",
+        "orders_benford",
         "returned_item_revenue",
         "large_orders",
         "part_band_revenue",
