@@ -7298,6 +7298,85 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_user_survival_km(sf_dir: str):
+    """Kaplan–Meier time-to-conversion curve — the product-limit estimator
+    (Kaplan & Meier 1958) over days from a user's FIRST event to their
+    FIRST purchase, with administrative right-censoring at day 7 (the
+    7-day conversion window every growth readout uses; users converting
+    later — or never, within their observed span — are censored, which is
+    exactly the bias the naive CDF gets wrong). Distributed work:
+    per-batch (user, first, last, first-purchase) partials → one user
+    groupby → a second O(days) fold of (day, converted) counts; the
+    driver finish is O(days): at-risk via suffix-sum, survival via
+    exp(Σ ln(1 − d/n)) — the SAME ordered float tree the SQL window
+    writes (days with d = 0 contribute ln 1 = 0), ROUND 6."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    sentinel = np.iinfo(np.int64).max
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        uu = np.unique(u)
+        idx = np.searchsorted(uu, u)
+        f = np.full(len(uu), sentinel)
+        l = np.full(len(uu), np.iinfo(np.int64).min)
+        p = np.full(len(uu), sentinel)
+        np.minimum.at(f, idx, us)
+        np.maximum.at(l, idx, us)
+        np.minimum.at(p, idx[is_p], us[is_p])
+        return pa.table(
+            {"user_id": pa.array(uu), "f": pa.array(f), "l": pa.array(l), "p": pa.array(p)}
+        )
+
+    per_user = (
+        ds.map_batches(span_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("f", alias_name="f"), Max("l", alias_name="l"), Min("p", alias_name="p"))
+    )
+    day_us = 86_400_000_000
+    window = 7
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_p = p != sentinel
+        pday = np.where(has_p, (p - f) // day_us, sentinel)
+        span = (l - f) // day_us
+        event = has_p & (pday <= window)
+        day = np.where(event, pday, np.where(has_p, window, np.minimum(span, window)))
+        pdf = pd.DataFrame(
+            {"day": day.astype(np.int64), "d": event.astype(np.int64), "cnt": np.ones(len(day), dtype=np.int64)}
+        )
+        g = pdf.groupby("day", as_index=False).agg(d=("d", "sum"), cnt=("cnt", "sum"))
+        return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+    agg = (
+        per_user.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("d", alias_name="d"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    d = agg["d"].to_numpy(np.int64)
+    cnt = agg["cnt"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    at_risk = total - np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    with np.errstate(divide="ignore"):
+        surv = np.exp(np.cumsum(np.log(1.0 - d.astype(np.float64) / at_risk.astype(np.float64))))
+    keep = d > 0
+    return pd.DataFrame(
+        {
+            "day": agg["day"].to_numpy(np.int64)[keep],
+            "n_at_risk": at_risk[keep].astype(np.int64),
+            "n_churned": d[keep],
+            "survival": _rha(surv[keep], 6),
+        }
+    )
+
+
 def q_user_value_range_24h(sf_dir: str):
     """Time-RANGE window frame — SUM(value) OVER (PARTITION BY user_id
     ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW).
@@ -8221,6 +8300,7 @@ QUERIES = {
     "key_skew_profile": q_key_skew_profile,
     "user_value_range_24h": q_user_value_range_24h,
     "orders_benford": q_orders_benford,
+    "user_survival_km": q_user_survival_km,
     "returned_item_revenue": q_returned_item_revenue,
     "large_orders": q_large_orders,
     "part_band_revenue": q_part_band_revenue,
@@ -9944,6 +10024,49 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # Kaplan–Meier product-limit over 7-day conversion: the cumulative
+    # window SUM of LN terms is the engine's exact cumsum tree (d = 0 days
+    # contribute ln 1 = 0); integer day/at-risk/event lanes, ROUND 6
+    "user_survival_km": """
+        WITH u AS (
+            SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT CASE WHEN p IS NOT NULL
+                             AND (epoch_us(p) - epoch_us(f)) // 86400000000 <= 7
+                        THEN (epoch_us(p) - epoch_us(f)) // 86400000000
+                        WHEN p IS NOT NULL THEN 7
+                        ELSE LEAST((epoch_us(l) - epoch_us(f)) // 86400000000, 7)
+                   END AS day,
+                   CASE WHEN p IS NOT NULL
+                             AND (epoch_us(p) - epoch_us(f)) // 86400000000 <= 7
+                        THEN 1 ELSE 0 END AS ev
+            FROM u
+        ),
+        c AS (
+            SELECT CAST(day AS BIGINT) AS day, CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM v GROUP BY day
+        ),
+        k AS (
+            SELECT day, d,
+                   CAST((SELECT COUNT(*) FROM v)
+                        - COALESCE(SUM(cnt) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_at_risk
+            FROM c
+        ),
+        s AS (
+            SELECT day, n_at_risk, d,
+                   EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+                       OVER (ORDER BY day)) AS surv
+            FROM k
+        )
+        SELECT day, n_at_risk, d AS n_churned, ROUND(surv, 6) AS survival
+        FROM s WHERE d > 0 ORDER BY day
     """,
     # time-RANGE frame: peers of the current ts are in-frame by SQL
     # semantics; integer-cents window sum, HUGEINT-safe cast

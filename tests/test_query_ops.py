@@ -136,6 +136,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "key_skew_profile",
         "user_value_range_24h",
         "orders_benford",
+        "user_survival_km",
         "returned_item_revenue",
         "large_orders",
         "part_band_revenue",
