@@ -7364,8 +7364,13 @@ def q_user_survival_km(sf_dir: str):
     cnt = agg["cnt"].to_numpy(np.int64)
     total = int(cnt.sum())
     at_risk = total - np.concatenate([[0], np.cumsum(cnt)[:-1]])
-    with np.errstate(divide="ignore"):
-        surv = np.exp(np.cumsum(np.log(1.0 - d.astype(np.float64) / at_risk.astype(np.float64))))
+    # a day where EVERY at-risk user converts makes S exactly 0 from there
+    # on; both engines substitute ln 1 for that term and zero the tail
+    # explicitly (DuckDB LN(0) raises, numpy returns -inf)
+    dead = d == at_risk
+    term = np.where(dead, 1.0, 1.0 - d.astype(np.float64) / at_risk.astype(np.float64))
+    surv = np.exp(np.cumsum(np.log(term)))
+    surv[np.maximum.accumulate(dead)] = 0.0
     keep = d > 0
     return pd.DataFrame(
         {
@@ -10061,11 +10066,15 @@ ORACLE_SQL = {
         ),
         s AS (
             SELECT day, n_at_risk, d,
-                   EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
-                       OVER (ORDER BY day)) AS surv
+                   EXP(SUM(LN(CASE WHEN d = n_at_risk THEN 1.0
+                                   ELSE 1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                              END)) OVER (ORDER BY day)) AS surv,
+                   MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY day) AS dead
             FROM k
         )
-        SELECT day, n_at_risk, d AS n_churned, ROUND(surv, 6) AS survival
+        SELECT day, n_at_risk, d AS n_churned,
+               ROUND(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6) AS survival
         FROM s WHERE d > 0 ORDER BY day
     """,
     # time-RANGE frame: peers of the current ts are in-frame by SQL
