@@ -7298,6 +7298,120 @@ def q_purchase_attribution(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_ordered_funnel_1h(sf_dir: str):
+    """Windowed ORDERED funnel — users completing view → click → purchase
+    where each hop happens strictly after the previous AND within one hour
+    of it (the product-analytics conversion funnel; the lifetime funnel
+    q_funnel_conversion ignores order and windows). ONE user_id exchange;
+    per user the three sorted timestamp arrays resolve each stage with two
+    searchsorted passes: a click qualifies if a view lies in [c−1h, c), a
+    purchase if a QUALIFIED click lies in [p−1h, p) — no triple join ever
+    materializes. Partial per-partition stage counts fold to one row."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    hour_us = 3_600_000_000
+
+    def funnel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_view": pd.Series([], dtype=np.int64),
+                "n_view_click": pd.Series([], dtype=np.int64),
+                "n_full_chain": pd.Series([], dtype=np.int64),
+            }
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts"], kind="mergesort")
+        us = pdf["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        users = pdf["user_id"].to_numpy(np.int64)
+        et = pdf["event_type"].to_numpy()
+        n1 = n2 = n3 = 0
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[starts, len(pdf)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            t, e = us[a:b], et[a:b]
+            v = t[e == "view"]
+            if len(v) == 0:
+                continue
+            n1 += 1
+            c = t[e == "click"]
+            if len(c) == 0:
+                continue
+            # click qualified: a view in [c-1h, c)
+            okc = c[
+                (np.searchsorted(v, c, side="left") - np.searchsorted(v, c - hour_us, side="left"))
+                > 0
+            ]
+            if len(okc) == 0:
+                continue
+            n2 += 1
+            p = t[e == "purchase"]
+            hit = (
+                np.searchsorted(okc, p, side="left")
+                - np.searchsorted(okc, p - hour_us, side="left")
+            ) > 0
+            if hit.any():
+                n3 += 1
+        return pd.DataFrame(
+            {
+                "n_view": pd.Series([n1], dtype=np.int64),
+                "n_view_click": pd.Series([n2], dtype=np.int64),
+                "n_full_chain": pd.Series([n3], dtype=np.int64),
+            }
+        )
+
+    parts = partition_map_groups(ds, ["user_id"], funnel).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_view": pd.Series([int(parts["n_view"].sum())], dtype=np.int64),
+            "n_view_click": pd.Series([int(parts["n_view_click"].sum())], dtype=np.int64),
+            "n_full_chain": pd.Series([int(parts["n_full_chain"].sum())], dtype=np.int64),
+        }
+    )
+
+
+def q_session_paths(sf_dir: str):
+    """Top-10 session paths — the event-type sequences users actually walk
+    (the clickstream product-analytics staple). ONE user_id exchange;
+    in-partition: sort by (user, ts, event_id), 30-minute-gap
+    sessionization (the q_user_sessions rule), per-session path strings
+    via groupby string-join, partial (path, n) counts; a tiny path
+    groupby + deterministic (n desc, path asc) top-10 finish."""
+    from entity_resolution_engine_ray.stages.grouping import partition_map_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def paths(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"path": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = pdf["user_id"].ne(pdf["user_id"].shift())
+        gap = pdf["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = (new_user | gap).cumsum()
+        g = (
+            pdf.assign(sid=sid)
+            .groupby("sid", sort=False)["event_type"]
+            .agg(">".join)
+            .value_counts()
+        )
+        return pd.DataFrame({"path": g.index.to_numpy(object), "n": g.to_numpy(np.int64)})
+
+    parts = partition_map_groups(ds, ["user_id"], paths).to_pandas()
+    agg = parts.groupby("path", as_index=False)["n"].sum()
+    agg["n"] = agg["n"].astype(np.int64)
+    return (
+        agg.sort_values(["n", "path"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
 def q_user_survival_km(sf_dir: str):
     """Kaplan–Meier time-to-conversion curve — the product-limit estimator
     (Kaplan & Meier 1958) over days from a user's FIRST event to their
@@ -8306,6 +8420,8 @@ QUERIES = {
     "user_value_range_24h": q_user_value_range_24h,
     "orders_benford": q_orders_benford,
     "user_survival_km": q_user_survival_km,
+    "ordered_funnel_1h": q_ordered_funnel_1h,
+    "session_paths": q_session_paths,
     "returned_item_revenue": q_returned_item_revenue,
     "large_orders": q_large_orders,
     "part_band_revenue": q_part_band_revenue,
@@ -10029,6 +10145,52 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END)
                     AS DOUBLE) / 100.0 AS attributed_value
         FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    # ordered funnel: strict v < c ≤ v+1h and c < p ≤ c+1h chains via
+    # EXISTS — the qualified-click condition nests one level
+    "ordered_funnel_1h": """
+        WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        okc AS (
+            SELECT c.user_id, c.ts FROM c
+            WHERE EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                          AND v.ts < c.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
+        )
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM v) AS n_view,
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM okc) AS n_view_click,
+            (SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) FROM p
+             WHERE EXISTS (SELECT 1 FROM okc WHERE okc.user_id = p.user_id
+                           AND okc.ts < p.ts AND p.ts <= okc.ts + INTERVAL 1 HOUR))
+                AS n_full_chain
+    """,
+    # 30-minute-gap sessionization (the q_user_sessions rule) + ordered
+    # string_agg path per session; (n desc, path asc) keeps rank-10 ties
+    # deterministic on both engines
+    "session_paths": """
+        WITH s AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sid AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM s
+        ),
+        paths AS (
+            SELECT user_id, session_no,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM sid GROUP BY user_id, session_no
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paths GROUP BY path
+        ORDER BY n DESC, path ASC LIMIT 10
     """,
     # Kaplan–Meier product-limit over 7-day conversion: the cumulative
     # window SUM of LN terms is the engine's exact cumsum tree (d = 0 days

@@ -143,6 +143,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "nation_market_share",
         "important_parts",
         "supplier_diversity",
+        "ordered_funnel_1h",
+        "session_paths",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
