@@ -7186,9 +7186,15 @@ def q_user_decayed_value(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
-    t_max = pd.Timestamp(
-        ds.aggregate(Max("ts", alias_name="hi"))["hi"]
-    ).value // 1000  # µs
+    hi = (ds.aggregate(Max("ts", alias_name="hi")) or {}).get("hi")
+    if hi is None:  # empty corpus
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "decayed_cents": pd.Series([], dtype=np.float64),
+            }
+        )
+    t_max = pd.Timestamp(hi).value // 1000  # µs
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -7286,6 +7292,15 @@ def q_purchase_attribution(sf_dir: str):
         )
         .to_pandas()
     )
+    if agg.empty:  # empty collects lose their columns
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_purchases": pd.Series([], dtype=np.int64),
+                "n_attributed": pd.Series([], dtype=np.int64),
+                "attributed_value": pd.Series([], dtype=np.float64),
+            }
+        )
     out = pd.DataFrame(
         {
             "user_id": agg["user_id"].to_numpy(np.int64),
@@ -7362,6 +7377,8 @@ def q_ordered_funnel_1h(sf_dir: str):
         )
 
     parts = partition_map_groups(ds, ["user_id"], funnel).to_pandas()
+    if parts.empty:  # empty collects lose their columns
+        parts = pd.DataFrame({"n_view": [0], "n_view_click": [0], "n_full_chain": [0]})
     return pd.DataFrame(
         {
             "n_view": pd.Series([int(parts["n_view"].sum())], dtype=np.int64),
@@ -7403,6 +7420,10 @@ def q_session_paths(sf_dir: str):
         return pd.DataFrame({"path": g.index.to_numpy(object), "n": g.to_numpy(np.int64)})
 
     parts = partition_map_groups(ds, ["user_id"], paths).to_pandas()
+    if parts.empty:  # empty collects lose their columns
+        return pd.DataFrame(
+            {"path": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+        )
     agg = parts.groupby("path", as_index=False)["n"].sum()
     agg["n"] = agg["n"].astype(np.int64)
     return (
@@ -7471,9 +7492,17 @@ def q_user_survival_km(sf_dir: str):
         .groupby("day")
         .aggregate(Sum("d", alias_name="d"), Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("day", kind="mergesort")
-        .reset_index(drop=True)
     )
+    if agg.empty:  # empty collects lose their columns — guard BEFORE use
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype=np.int64),
+                "n_at_risk": pd.Series([], dtype=np.int64),
+                "n_churned": pd.Series([], dtype=np.int64),
+                "survival": pd.Series([], dtype=np.float64),
+            }
+        )
+    agg = agg.sort_values("day", kind="mergesort").reset_index(drop=True)
     d = agg["d"].to_numpy(np.int64)
     cnt = agg["cnt"].to_numpy(np.int64)
     total = int(cnt.sum())
@@ -7587,9 +7616,18 @@ def q_orders_benford(sf_dir: str):
         .groupby("digit")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("digit", kind="mergesort")
-        .reset_index(drop=True)
     )
+    if agg.empty:  # empty collects lose their columns — guard BEFORE use
+        return pd.DataFrame(
+            {
+                "digit": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "obs_share": pd.Series([], dtype=np.float64),
+                "benford_share": pd.Series([], dtype=np.float64),
+                "chi_term": pd.Series([], dtype=np.float64),
+            }
+        )
+    agg = agg.sort_values("digit", kind="mergesort").reset_index(drop=True)
     n = agg["n"].to_numpy(np.int64)
     total = int(n.sum())
     exp = np.array(_BENFORD_P, dtype=np.float64)
@@ -7630,7 +7668,7 @@ def q_key_skew_profile(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    c = np.sort(agg["cnt"].to_numpy(np.int64))  # ascending
+    c = np.sort(agg["cnt"].to_numpy(np.int64)) if not agg.empty else np.array([], np.int64)
     n = len(c)
     if n == 0:
         return pd.DataFrame(
@@ -7691,10 +7729,7 @@ def q_events_cusum(sf_dir: str):
         .aggregate(Sum("x", alias_name="x"))
         .to_pandas()
     )
-    agg = agg.sort_values("hour", kind="mergesort").reset_index(drop=True)
-    x = agg["x"].to_numpy(np.int64)
-    n = len(x)
-    if n == 0:
+    if agg.empty:  # empty collects lose their columns — guard BEFORE use
         return pd.DataFrame(
             {
                 "hour": pd.Series([], dtype="datetime64[us]"),
@@ -7702,6 +7737,9 @@ def q_events_cusum(sf_dir: str):
                 "alert": pd.Series([], dtype=np.int64),
             }
         )
+    agg = agg.sort_values("hour", kind="mergesort").reset_index(drop=True)
+    x = agg["x"].to_numpy(np.int64)
+    n = len(x)
     k = int(x.sum()) // n
     y = x - k
     p = np.cumsum(y)
@@ -7796,6 +7834,15 @@ def q_returned_item_revenue(sf_dir: str):
         ).head(20)
 
     cand = partition_map_groups(cust_partials, ["o_custkey"], local_top20).to_pandas()
+    if cand.empty:  # empty collects lose their columns
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype=np.int64),
+                "c_name": pd.Series([], dtype=object),
+                "n_name": pd.Series([], dtype=object),
+                "revenue": pd.Series([], dtype=np.float64),
+            }
+        )
     top = cand.sort_values(
         ["rev", "o_custkey"], ascending=[False, True], kind="mergesort"
     ).head(20)
@@ -7876,13 +7923,17 @@ def q_large_orders(sf_dir: str):
             }
         )
 
-    out = hash_exchange_cogroup(
-        li.map_batches(qty_partial, batch_format="pyarrow"),
-        orders,
-        ["l_orderkey"],
-        ["o_orderkey"],
-        having_join,
-    ).to_pandas()
+    from entity_resolution_engine_ray.stages.exchange import typed_to_pandas
+
+    out = typed_to_pandas(
+        hash_exchange_cogroup(
+            li.map_batches(qty_partial, batch_format="pyarrow"),
+            orders,
+            ["l_orderkey"],
+            ["o_orderkey"],
+            having_join,
+        )
+    )
     return out.sort_values(
         ["total_qty", "o_orderkey"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
@@ -7962,6 +8013,14 @@ def q_part_band_revenue(sf_dir: str):
         ["p_partkey"],
         band_partial,
     ).to_pandas()
+    if partials.empty:  # empty collects lose their columns
+        return pd.DataFrame(
+            {
+                "band": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+                "n_items": pd.Series([], dtype=np.int64),
+            }
+        )
     agg = partials.groupby("band", as_index=False).agg(
         rev=("rev", "sum"), n_items=("n_items", "sum")
     )
@@ -7992,8 +8051,14 @@ def q_nation_market_share(sf_dir: str):
 
     nation_tbl = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
     region_tbl = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    asia_key = region_tbl.to_pandas().set_index("r_name")["r_regionkey"]["ASIA"]
+    empty_out = pd.DataFrame(
+        {"o_year": pd.Series([], dtype=np.int64), "mkt_share": pd.Series([], dtype=np.float64)}
+    )
+    rpdf = region_tbl.to_pandas()
     npdf = nation_tbl.to_pandas()
+    if "ASIA" not in set(rpdf["r_name"]) or "NATION_2" not in set(npdf["n_name"]):
+        return empty_out  # empty/absent dimensions → empty share table
+    asia_key = rpdf.set_index("r_name")["r_regionkey"]["ASIA"]
     asia_nations = npdf.loc[npdf["n_regionkey"] == asia_key, "n_nationkey"].to_numpy(np.int64)
     target_nation = int(npdf.loc[npdf["n_name"] == "NATION_2", "n_nationkey"].iloc[0])
     supp_tbl = pq.read_table(
@@ -8099,6 +8164,8 @@ def q_nation_market_share(sf_dir: str):
     partials = hash_exchange_cogroup(
         li_promo, slim_orders, ["l_orderkey"], ["o_orderkey"], share_partial
     ).to_pandas()
+    if partials.empty:  # empty collects lose their columns
+        return empty_out
     agg = partials.groupby("o_year", as_index=False).agg(num=("num", "sum"), den=("den", "sum"))
     return pd.DataFrame(
         {
@@ -8164,6 +8231,13 @@ def q_important_parts(sf_dir: str):
         Sum("rev", alias_name="t"), Count(alias_name="n"), Max("rev", alias_name="mx")
     )
     total, n_parts = int(fold["t"] or 0), int(fold["n"])
+    if n_parts == 0:  # empty corpus: the mapped collect would lose columns
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "part_value": pd.Series([], dtype=np.float64),
+            }
+        )
     max_rev = int(fold["mx"] or 0)
     if n_parts and (max_rev * 2 * n_parts > 2**63 - 1 or 3 * total > 2**63 - 1):
         raise OverflowError("important_parts: rev*2n compare saturates int64 — split lanes")
@@ -8263,6 +8337,14 @@ def q_supplier_diversity(sf_dir: str):
         )
 
     out = partition_map_groups(triples, ["p_brand", "p_size"], distinct_count).to_pandas()
+    if out.empty:  # empty collects lose their columns
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "p_size": pd.Series([], dtype=np.int64),
+                "supplier_cnt": pd.Series([], dtype=np.int64),
+            }
+        )
     return out.sort_values(
         ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True], kind="mergesort"
     ).reset_index(drop=True)

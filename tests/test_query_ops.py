@@ -744,3 +744,50 @@ def test_rolling_active_users_interval_splits(ray_session, tmp_path):
     # interval [7,13] — exactly 2 actives; and day 14 has dropped u2 too
     assert got.loc[got["day_bucket"] == d0 + 9, "active_users"].item() == 2
     assert got.loc[got["day_bucket"] == d0 + 14, "active_users"].item() == 1
+
+
+# queries added in round-4 session 10; every one must tolerate a fully
+# EMPTY corpus (a day-partition with no rows is routine at 100 TB) by
+# returning an empty/zero frame instead of raising
+_S10_EMPTY_SAFE = [
+    "events_cusum",
+    "key_skew_profile",
+    "user_value_range_24h",
+    "orders_benford",
+    "user_survival_km",
+    "ordered_funnel_1h",
+    "session_paths",
+    "returned_item_revenue",
+    "large_orders",
+    "part_band_revenue",
+    "nation_market_share",
+    "important_parts",
+    "supplier_diversity",
+    "user_decayed_value",
+    "purchase_attribution",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Zero-row copies of every testdata table, schemas preserved."""
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("empty_sf")
+    for tb in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        t = pq.read_table(f"{SF_DIR}/{tb}.parquet")
+        pq.write_table(t.slice(0, 0), str(out / f"{tb}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _S10_EMPTY_SAFE)
+def test_query_tolerates_empty_tables(ray_session, empty_sf_dir, name):
+    from entity_resolution_engine_ray.pipelines.queries import QUERIES
+
+    out = QUERIES[name](empty_sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) <= 1  # empty, or a single all-zero summary row
