@@ -8350,7 +8350,276 @@ def q_supplier_diversity(sf_dir: str):
     ).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# relational: TPC-H classic-shape fill-ins (Q6 / Q15 / Q12 / Q2)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_band_forecast(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue scan: ONE column-pruned pass over
+    lineitem with a pure per-batch filter+sum — no shuffle, no groupby; each
+    batch emits a single (whole, remainder) 1e-4-dollar lane pair and the
+    driver folds them in Python big-int. Predicates: shipped in 1996,
+    discount in [0.05, 0.07] (compared in exact integer hundredths so a
+    float-repr discount can't straddle the band differently from the
+    oracle), quantity < 24."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi) & (disc_h >= 5) & (disc_h <= 7) & (qty < 24)
+        ext_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        u = int((ext_c * disc_h[keep]).sum())
+        return pa.table(
+            {
+                "w": pa.array([u // 10_000], pa.int64()),
+                "r": pa.array([u % 10_000], pa.int64()),
+            }
+        )
+
+    lanes = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(lanes["w"].sum()) * 10_000 + int(lanes["r"].sum())
+    return pd.DataFrame({"revenue": [((total + 50) // 100) / 100.0]})
+
+
+def q_top_supplier_quarter(sf_dir: str):
+    """TPC-H Q15-shaped scalar-max screen: per-supplier 1996-Q1 revenue via
+    per-batch partial pre-aggregation → one supplier-keyed groupby (the
+    shuffle moves ≤ |suppliers|×P partial rows, never lineitems), then keep
+    every supplier whose revenue equals the global max. The max compare runs
+    on the raw 1e-4-dollar big-int lanes, so two suppliers that round to the
+    same cents but differ in raw lanes can't diverge from the oracle. Names
+    attach from the supplier dimension pruned to the winner keys."""
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        ext_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        disc_h = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": sk, "u": ext_c * (100 - disc_h)}).groupby(
+            "l_suppkey", as_index=False
+        )["u"].sum()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+                "rev_w": pa.array((g["u"] // 10_000).to_numpy(np.int64)),
+                "rev_r": pa.array((g["u"] % 10_000).to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_w", alias_name="rev_w"), Sum("rev_r", alias_name="rev_r"))
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+    if agg.empty:
+        return empty
+    u = [int(a) * 10_000 + int(b) for a, b in zip(agg["rev_w"], agg["rev_r"])]
+    mx = max(u)
+    winners = agg.loc[[x == mx for x in u], "l_suppkey"].to_numpy(np.int64)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners.tolist())],
+    ).to_pandas()
+    out = supp.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+    out["total_revenue"] = ((mx + 50) // 100) / 100.0
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q_late_line_priority(sf_dir: str):
+    """TPC-H Q12-shaped late-shipment severity split (the fixture has no
+    ship-mode column; l_linestatus plays its role): for every lineitem
+    shipped more than 60 days after its order date, count critical-priority
+    orders (1-URGENT / 2-HIGH) vs the rest per linestatus. One slim hash
+    cogroup on orderkey with the counting folded BELOW the exchange — each
+    partition returns ≤ |linestatus| rows, the driver folds ≤ P×2."""
+    from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
+    from entity_resolution_engine_ray.stages.joins import default_join_partitions
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    _E = pd.DataFrame(
+        {
+            "l_linestatus": pd.Series([], dtype=object),
+            "high_line_count": pd.Series([], dtype=np.int64),
+            "low_line_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    late_by = np.timedelta64(60, "D")
+
+    def stage(l_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty or o_pdf.empty:
+            return _E.copy()
+        m = l_pdf.merge(o_pdf, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return _E.copy()
+        late = m["l_shipdate"].to_numpy() > (m["o_orderdate"].to_numpy() + late_by)
+        m = m[late]
+        if m.empty:
+            return _E.copy()
+        high = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "l_linestatus": m["l_linestatus"].to_numpy(),
+                    "high_line_count": high.astype(np.int64),
+                    "low_line_count": (~high).astype(np.int64),
+                }
+            )
+            .groupby("l_linestatus", as_index=False)
+            .sum()
+        )
+        g["high_line_count"] = g["high_line_count"].astype(np.int64)
+        g["low_line_count"] = g["low_line_count"].astype(np.int64)
+        return g
+
+    parts = hash_exchange_cogroup(
+        li, orders, ["l_orderkey"], ["o_orderkey"], stage, default_join_partitions()
+    ).to_pandas()
+    if parts.empty:
+        return _E.copy()
+    out = parts.groupby("l_linestatus", as_index=False).sum()
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_linestatus", kind="mergesort").reset_index(drop=True)
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped min-cost-supplier pick (the fixture has no partsupp
+    table; a part's candidate costs are its lineitem extended prices): for
+    every size-15 part, the supplier of its cheapest lineitem — ties break
+    to the smallest suppkey, the same lexicographic (cost_cents, suppkey)
+    order on both engines. The size-15 partkey→name map is pruned at the
+    dimension read and broadcast once via ``ray.put`` (never re-shipped per
+    batch); lineitem folds to one candidate row per (batch, part) before
+    the part-keyed argmin exchange."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_size"],
+        filters=[("p_size", "=", 15)],
+    )
+    name_map = dict(
+        zip(part_tbl["p_partkey"].to_pylist(), part_tbl["p_name"].to_pylist())
+    )
+    keys_sorted = np.sort(part_tbl["p_partkey"].to_numpy().astype(np.int64))
+    keys_ref = ray.put(keys_sorted)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def candidates(t: pa.Table) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+            keep = keys[pos] == pk
+        df = pd.DataFrame(
+            {
+                "l_partkey": pk[keep],
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False)[keep],
+                "cost_c": np.round(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+                ).astype(np.int64),
+            }
+        )
+        return (
+            df.sort_values(["cost_c", "l_suppkey"], kind="mergesort")
+            .groupby("l_partkey", as_index=False)
+            .first()
+        )
+
+    def reduce_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        return (
+            pdf.sort_values(["cost_c", "l_suppkey"], kind="mergesort")
+            .groupby("l_partkey", as_index=False)
+            .first()
+        )
+
+    won = partition_map_groups(
+        li.map_batches(candidates, batch_format="pyarrow"), ["l_partkey"], reduce_part
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "p_name": pd.Series([], dtype=object),
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "min_cost": pd.Series([], dtype=np.float64),
+        }
+    )
+    if won.empty:
+        return empty
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", sorted(set(won["l_suppkey"].tolist())))],
+    ).to_pandas()
+    sname = dict(zip(supp["s_suppkey"], supp["s_name"]))
+    out = pd.DataFrame(
+        {
+            "p_partkey": won["l_partkey"].astype(np.int64),
+            "p_name": won["l_partkey"].map(name_map),
+            "s_suppkey": won["l_suppkey"].astype(np.int64),
+            "s_name": won["l_suppkey"].map(sname),
+            "min_cost": won["cost_c"].to_numpy(np.int64) / 100.0,
+        }
+    )
+    return out.sort_values("p_partkey", kind="mergesort").reset_index(drop=True)
+
+
 QUERIES = {
+    "revenue_band_forecast": q_revenue_band_forecast,
+    "top_supplier_quarter": q_top_supplier_quarter,
+    "late_line_priority": q_late_line_priority,
+    "min_cost_supplier": q_min_cost_supplier,
     "part_fuzzy_names": q_part_fuzzy_names,
     "er_blocking_eval": q_er_blocking_eval,
     "part_skyline": q_part_skyline,
@@ -10789,6 +11058,68 @@ ORACLE_SQL = {
         WHERE n_chars BETWEEN 200 AND 399
         GROUP BY lang
         ORDER BY lang
+    """,
+    "revenue_band_forecast": """
+        WITH j AS (
+            SELECT CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(ROUND(l_discount * 100) AS HUGEINT) AS u
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        )
+        SELECT CAST((COALESCE(SUM(u), 0) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        FROM j
+    """,
+    "top_supplier_quarter": """
+        WITH r AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS HUGEINT))) AS u
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST((r.u + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
+        FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.u = (SELECT MAX(u) FROM r)
+        ORDER BY s.s_suppkey
+    """,
+    "late_line_priority": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+    "min_cost_supplier": """
+        WITH c AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cost_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.l_partkey
+                       ORDER BY CAST(ROUND(l.l_extendedprice * 100) AS BIGINT),
+                                l.l_suppkey
+                   ) AS rn
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size = 15
+        )
+        SELECT p.p_partkey, p.p_name, c.l_suppkey AS s_suppkey, s.s_name,
+               CAST(c.cost_c AS DOUBLE) / 100.0 AS min_cost
+        FROM c
+        JOIN part p ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        WHERE c.rn = 1
+        ORDER BY p.p_partkey
     """,
     "local_supplier_revenue": """
         WITH j AS (
