@@ -6301,6 +6301,32 @@ def q_doc_jaccard_join(sf_dir: str):
     )
 
 
+def q_doc_containment(sf_dir: str):
+    """EXACT asymmetric containment self-join (threshold 0.8): directed
+    pairs where |S(src) ∩ S(dst)| / |S(src)| ≥ 0.8 over 3-token shingles —
+    the quote-inclusion / near-superset detector Jaccard dilutes away
+    (stages/containment: lossless src-side prefix filtering + full dst
+    index, one slim shingle exchange, candidate dedup, two co-partitioned
+    token-attach cogroups). The oracle is the exhaustive shingle join, so
+    equality certifies the asymmetric prefix blocking lossless."""
+    from entity_resolution_engine_ray.stages.containment import containment_self_join
+
+    edges, dropped = containment_self_join(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.8,
+    )
+    if dropped:
+        raise RuntimeError(
+            f"containment_self_join dropped {dropped} candidates — raise "
+            "max_block_size; an exact join must not drop"
+        )
+    out = edges.to_pandas()
+    out["containment"] = round_half_away(out["containment"].to_numpy(), 4)
+    return out.sort_values(["src_id", "dst_id"], kind="mergesort").reset_index(drop=True)
+
+
 def q_part_skyline(sf_dir: str):
     """Pareto skyline of parts (minimize p_retailprice AND p_size): exact
     two-phase dominance filter — streaming per-block local skyline, then
@@ -8624,6 +8650,7 @@ QUERIES = {
     "er_blocking_eval": q_er_blocking_eval,
     "part_skyline": q_part_skyline,
     "doc_jaccard_join": q_doc_jaccard_join,
+    "doc_containment": q_doc_containment,
     "er_fs_weights": q_er_fs_weights,
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_meta_blocking": q_er_meta_blocking,
@@ -9104,6 +9131,31 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = inter.r
         WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
         ORDER BY left_id, right_id
+    """,
+    "doc_containment": r"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                       '\s+') AS a
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM arrs, unnest(range(1, len(a) - 1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT src AS src_id, dst AS dst_id,
+               ROUND(i * 1.0 / s.n, 4) AS containment
+        FROM inter
+        JOIN sizes s ON s.doc_id = inter.src
+        WHERE i * 1.0 / s.n >= 0.8
+        ORDER BY src_id, dst_id
     """,
     "part_skyline": """
         SELECT p_partkey, p_retailprice, p_size
