@@ -6102,6 +6102,63 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_bloom_pruned_lookup(sf_dir: str):
+    """Bloom-pruned point lookup — the equality-skipping complement of
+    zone_pruned_stats: documents land HASH-scattered into 16 shards (so
+    every shard's doc_id [min, max] spans the whole domain and zone maps
+    can never prune), each manifest carrying a per-shard Bloom filter over
+    doc_id; a 3-id lookup then opens only the shards whose filter may
+    contain one of the ids — on a 100 TB corpus the difference between a
+    full scan and ~3 directory reads. Blooms only PRUNE (false positives
+    cost one extra shard read, false negatives cannot occur), an exact
+    filter follows, and the plain full-scan SQL oracle certifies nothing
+    was lost. A pruning-effectiveness floor is asserted: with 3 ids over
+    16 shards at 1% fpp, at least half the shards must have been skipped."""
+    import hashlib
+
+    from entity_resolution_engine_ray.sources.sink import (
+        pruned_shard_paths,
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def hash_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(16)
+        return t.append_column("bucket", pa.array(shard.astype(np.int64), type=pa.int64()))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/er_bloom_shards_{tag}"
+    write_sharded_parquet(
+        ds.map_batches(hash_shard, batch_format="pyarrow"),
+        out_dir,
+        "bucket",
+        params_hash=f"bloomv1|{sf_dir}",
+        bloom_cols=["doc_id"],
+    )
+
+    lookup_ids = [1, 2, 3]
+    _, skipped = pruned_shard_paths(out_dir, point_filter={"doc_id": lookup_ids})
+    if len(skipped) < 8:
+        raise RuntimeError(
+            f"bloom pruning skipped only {len(skipped)}/16 shards for a 3-id "
+            "lookup — the filters are not pruning"
+        )
+    pruned = read_sharded_parquet(out_dir, point_filter={"doc_id": lookup_ids})
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["doc_id"], value_set=pa.array(lookup_ids, type=pa.int64()))
+        t = t.filter(keep)
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    out = pruned.map_batches(exact, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def _part_adjacency_edges(sf_dir: str):
     """(edges Dataset(s, t) both directions, materialized lineitem) for the
     part-adjacency graph: parts on CONSECUTIVE lineitem lines of the same
@@ -8660,6 +8717,7 @@ QUERIES = {
     "er_phonetic_blocking": q_er_phonetic_blocking,
     "er_one_to_one": q_er_one_to_one,
     "zone_pruned_stats": q_zone_pruned_stats,
+    "bloom_pruned_lookup": q_bloom_pruned_lookup,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -11110,6 +11168,12 @@ ORACLE_SQL = {
         WHERE n_chars BETWEEN 200 AND 399
         GROUP BY lang
         ORDER BY lang
+    """,
+    "bloom_pruned_lookup": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id IN (1, 2, 3)
+        ORDER BY doc_id
     """,
     "revenue_band_forecast": """
         WITH j AS (

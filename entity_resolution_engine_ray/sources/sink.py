@@ -29,15 +29,18 @@ must not corrupt the layout or escape ``out_dir``).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 _MANIFEST = "_MANIFEST.json"
+_BLOOM_FPP = 0.01
 
 
 def _validate_shard_value(value: str) -> str:
@@ -85,6 +88,33 @@ def _zone_entry(col: pa.ChunkedArray | pa.Array):
     return [enc(lo), enc(hi)]
 
 
+def _bloom_entry(col: pa.ChunkedArray | pa.Array) -> dict:
+    """JSON-serializable per-shard Bloom filter over an int64 column
+    (stages/bloom.BloomFilter geometry, bits base64-encoded). ~1.2 KB per
+    1,000 distinct keys at 1% fpp — manifest-sized, never data-sized."""
+    from entity_resolution_engine_ray.stages.bloom import BloomFilter
+
+    vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    bf = BloomFilter(max(1, len(vals)), _BLOOM_FPP)
+    if len(vals):
+        bf.add(vals)
+    return {
+        "m": bf.m,
+        "k": bf.k,
+        "bits": base64.b64encode(bf.bits.tobytes()).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(entry: dict, values: list) -> bool:
+    """True iff ANY of ``values`` may be present (no false negatives)."""
+    from entity_resolution_engine_ray.stages.bloom import BloomFilter
+
+    bf = BloomFilter.__new__(BloomFilter)
+    bf.m, bf.k = int(entry["m"]), int(entry["k"])
+    bf.bits = np.frombuffer(base64.b64decode(entry["bits"]), dtype=np.uint64).copy()
+    return bool(bf.contains(np.asarray(values, dtype=np.int64)).any())
+
+
 def write_sharded_parquet(
     ds,
     out_dir: str,
@@ -92,6 +122,7 @@ def write_sharded_parquet(
     params_hash: str = "",
     num_partitions: int | None = None,
     zone_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Write ``ds`` as one directory per distinct ``shard_col`` value,
     skipping shards already sealed by a matching manifest.
@@ -108,6 +139,14 @@ def write_sharded_parquet(
     opening a single data file — the Iceberg/Delta file-skipping idea at
     shard granularity, and the difference between "scan 100 TB to answer a
     one-week query" and "open last week's shards".
+
+    ``bloom_cols``: record a per-shard BLOOM FILTER for these int64 columns
+    in the manifest — the skipping complement for EQUALITY lookups on
+    high-cardinality columns where [min, max] zones never prune (ids hash-
+    scattered across shards span the whole domain in every shard). A later
+    ``read_sharded_parquet(point_filter={col: [v, ...]})`` opens only the
+    shards whose filter may contain some looked-up value; false positives
+    cost one extra shard read, false negatives cannot occur.
     """
     import ray
 
@@ -118,6 +157,7 @@ def write_sharded_parquet(
     skipped = sorted(done)
     done_ref = ray.put(done)
     zcols = list(zone_cols or [])
+    bcols = list(bloom_cols or [])
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -148,6 +188,8 @@ def write_sharded_parquet(
             manifest = {"rows": sub.num_rows, "params_hash": params_hash}
             if zcols:
                 manifest["zones"] = {c: _zone_entry(sub[c]) for c in zcols}
+            if bcols:
+                manifest["blooms"] = {c: _bloom_entry(sub[c]) for c in bcols}
             with open(os.path.join(tmp, _MANIFEST), "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, sdir)
@@ -175,9 +217,13 @@ def _zone_intersects(zones: dict, zone_filter: dict) -> bool:
     return True
 
 
-def pruned_shard_paths(out_dir: str, zone_filter: dict | None = None) -> tuple:
-    """(paths_to_read, shards_skipped_by_zone). Only manifests are opened —
-    pruning a shard never touches its data files."""
+def pruned_shard_paths(
+    out_dir: str, zone_filter: dict | None = None, point_filter: dict | None = None
+) -> tuple:
+    """(paths_to_read, shards_skipped). Only manifests are opened — pruning
+    a shard never touches its data files. ``point_filter``: {col: [values]}
+    equality lookups checked against the per-shard Bloom filters; a column
+    with no recorded bloom NEVER prunes (same safety rule as zones)."""
     paths: list = []
     skipped: list = []
     for name in sorted(os.listdir(out_dir)):
@@ -185,31 +231,43 @@ def pruned_shard_paths(out_dir: str, zone_filter: dict | None = None) -> tuple:
         mpath = os.path.join(sdir, _MANIFEST)
         if not (name.startswith("shard=") and os.path.isfile(mpath)):
             continue
-        if zone_filter:
+        if zone_filter or point_filter:
             with open(mpath) as f:
                 manifest = json.load(f)
-            if not _zone_intersects(manifest.get("zones", {}), zone_filter):
+            if zone_filter and not _zone_intersects(manifest.get("zones", {}), zone_filter):
                 skipped.append(name)
                 continue
+            if point_filter:
+                blooms = manifest.get("blooms", {})
+                miss = any(
+                    col in blooms and not _bloom_may_contain(blooms[col], vals)
+                    for col, vals in point_filter.items()
+                )
+                if miss:
+                    skipped.append(name)
+                    continue
         paths.extend(
             os.path.join(sdir, f) for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")
         )
     return paths, skipped
 
 
-def read_sharded_parquet(out_dir: str, zone_filter: dict | None = None):
+def read_sharded_parquet(
+    out_dir: str, zone_filter: dict | None = None, point_filter: dict | None = None
+):
     """Read sealed shards back as one Dataset (unsealed tmp dirs and
     manifest-less shards are ignored — they belong to an interrupted run).
 
     ``zone_filter``: {col: (lo, hi)} inclusive intervals (None = unbounded
-    side). Shards whose manifest zone map cannot intersect are skipped
-    WITHOUT opening any data file; rows inside surviving shards are NOT
-    filtered here — compose with a normal ``map_batches``/``filter`` for
-    exact semantics (zone maps only prune, like Parquet row-group stats
-    one level up)."""
+    side). ``point_filter``: {col: [values]} equality lookups against the
+    per-shard Bloom filters. Shards that cannot match are skipped WITHOUT
+    opening any data file; rows inside surviving shards are NOT filtered
+    here — compose with a normal ``map_batches``/``filter`` for exact
+    semantics (both prune only, like Parquet row-group stats one level
+    up; bloom survivors include ~fpp false-positive shards)."""
     import ray.data as rd
 
-    paths, _ = pruned_shard_paths(out_dir, zone_filter)
+    paths, _ = pruned_shard_paths(out_dir, zone_filter, point_filter)
     if not paths:
         # everything pruned: keep the schema (from any sealed shard), 0 rows
         all_paths, _ = pruned_shard_paths(out_dir, None)
@@ -224,6 +282,7 @@ def compact_shards(
     target_rows: int,
     params_hash: str = "",
     zone_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Small-file compaction (the OPTIMIZE / bin-packing maintenance pass
     every long-lived table needs): greedily bin-packs ADJACENT sealed
@@ -272,6 +331,7 @@ def compact_shards(
     kept.extend(v for b in solo for v, _ in b)
     bins = [b for b in bins if len(b) >= 2]
     zcols = list(zone_cols or [])
+    bcols = list(bloom_cols or [])
 
     @ray.remote
     def rewrite(bin_idx: int, values: list[str]) -> str:
@@ -294,6 +354,8 @@ def compact_shards(
         manifest = {"rows": tbl.num_rows, "params_hash": params_hash}
         if zcols:
             manifest["zones"] = {c: _zone_entry(tbl[c]) for c in zcols}
+        if bcols:
+            manifest["blooms"] = {c: _bloom_entry(tbl[c]) for c in bcols}
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         os.rename(tmp, sdir)

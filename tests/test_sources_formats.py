@@ -309,3 +309,52 @@ def test_zone_map_pruning_skips_shards_without_opening_data(ray_session, tmp_pat
     # zone maps only PRUNE: surviving shards still carry out-of-range rows
     loose = read_sharded_parquet(out, {"v": (50, 51)}).to_pandas()
     assert sorted(loose["v"].tolist()) == [50, 51, 52, 53]
+
+
+def test_bloom_pruning_skips_shards_for_point_lookups(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.sources.sink import (
+        compact_shards,
+        pruned_shard_paths,
+        read_sharded_parquet,
+        write_sharded_parquet,
+    )
+
+    # ids hash-scattered over 8 shards: every shard's [min, max] spans the
+    # domain, so only the blooms can prune an equality lookup
+    ids = np.arange(400, dtype=np.int64)
+    pdf = pd.DataFrame({"shard": (ids * 7919) % 8, "doc_id": ids})
+    out = str(tmp_path / "bloomed")
+    write_sharded_parquet(
+        rd.from_pandas(pdf), out, "shard", params_hash="h", bloom_cols=["doc_id"]
+    )
+
+    # a single id lives in exactly one shard; at 1% fpp over 7 other
+    # shards, expected false-positive shards ≈ 0.07 — require ≥ 5 skipped
+    home = int((123 * 7919) % 8)
+    paths, skipped = pruned_shard_paths(out, point_filter={"doc_id": [123]})
+    assert f"shard={home}" not in skipped  # no false negatives, ever
+    assert len(skipped) >= 5
+    got = read_sharded_parquet(out, point_filter={"doc_id": [123]}).to_pandas()
+    assert 123 in set(got["doc_id"])
+
+    # multi-value lookup unions the probes
+    _, sk2 = pruned_shard_paths(out, point_filter={"doc_id": [1, 2, 3]})
+    homes = {f"shard={(i * 7919) % 8}" for i in (1, 2, 3)}
+    assert not (homes & set(sk2))
+
+    # a column with no bloom never prunes (safety)
+    assert pruned_shard_paths(out, point_filter={"nope": [1]})[1] == []
+
+    # an absent id may prune everything — schema survives at 0 rows
+    nothing = read_sharded_parquet(out, point_filter={"doc_id": [10**9]})
+    assert nothing.count() == 0
+    assert set(nothing.schema().names) == {"shard", "doc_id"}
+
+    # compaction recomputes blooms for the merged shards
+    compact_shards(out, target_rows=120, params_hash="h", bloom_cols=["doc_id"])
+    paths3, sk3 = pruned_shard_paths(out, point_filter={"doc_id": [123]})
+    got3 = read_sharded_parquet(out, point_filter={"doc_id": [123]}).to_pandas()
+    assert 123 in set(got3["doc_id"])
