@@ -6102,6 +6102,84 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_range_sharded_export(sf_dir: str):
+    """Range-partitioned export (the TeraSort layout): documents land in 8
+    EQUAL-COUNT range shards of (n_chars, doc_id) order — the sorted,
+    zone-mapped layout that makes later range scans open only the shards
+    they need (zone_pruned_stats composes on exactly this). Shard
+    assignment is the exact NTILE rule over the exact global rank
+    (distributed sort + O(blocks) metadata prefix walk,
+    stages/scan.grouped_prefix_sum — rows never leave their block), never
+    a sampled-boundary approximation, so the layout is deterministic and
+    the SQL oracle (`NTILE(8) OVER (ORDER BY n_chars, doc_id)`) matches
+    it row-for-row. The returned per-shard stats (rows + [min, max]
+    zones) are read from the MANIFESTS ALONE — zero data files opened —
+    certifying both the assignment and the recorded zone maps."""
+    import hashlib
+
+    from entity_resolution_engine_ray.sources.sink import (
+        shard_manifests,
+        write_sharded_parquet,
+    )
+    from entity_resolution_engine_ray.stages.scan import grouped_prefix_sum
+
+    n_shards = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "g", pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
+        ).append_column("one", pa.array(np.ones(n, dtype=np.int64), type=pa.int64()))
+
+    ranked = grouped_prefix_sum(
+        ds.map_batches(tag, batch_format="pyarrow"), ["g"], ["n_chars", "doc_id"], "one", "rank"
+    ).materialize()
+    n_total = ranked.count()
+    if n_total == 0:
+        return pd.DataFrame(
+            {
+                "shard": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "min_chars": pd.Series([], dtype=np.int64),
+                "max_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+    q, m = divmod(n_total, n_shards)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r0 = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        # NTILE: the first n_total % n_shards buckets take one extra row
+        big = (q + 1) * m
+        b = np.where(r0 < big, r0 // max(q + 1, 1), m + (r0 - big) // max(q, 1))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "bucket": pa.array(b + 1, type=pa.int64()),
+            }
+        )
+
+    tagged = ranked.map_batches(assign, batch_format="pyarrow")
+    tag_h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/er_range_shards_{tag_h}"
+    write_sharded_parquet(
+        tagged, out_dir, "bucket", params_hash=f"rangev1|{sf_dir}", zone_cols=["n_chars"]
+    )
+
+    rows = [
+        {
+            "shard": np.int64(int(value)),
+            "n_docs": np.int64(man["rows"]),
+            "min_chars": np.int64(man["zones"]["n_chars"][0]),
+            "max_chars": np.int64(man["zones"]["n_chars"][1]),
+        }
+        for value, man in shard_manifests(out_dir).items()
+    ]
+    out = pd.DataFrame(rows)
+    return out.sort_values("shard", kind="mergesort").reset_index(drop=True)
+
+
 def q_bloom_pruned_lookup(sf_dir: str):
     """Bloom-pruned point lookup — the equality-skipping complement of
     zone_pruned_stats: documents land HASH-scattered into 16 shards (so
@@ -8718,6 +8796,7 @@ QUERIES = {
     "er_one_to_one": q_er_one_to_one,
     "zone_pruned_stats": q_zone_pruned_stats,
     "bloom_pruned_lookup": q_bloom_pruned_lookup,
+    "range_sharded_export": q_range_sharded_export,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -11174,6 +11253,20 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id IN (1, 2, 3)
         ORDER BY doc_id
+    """,
+    "range_sharded_export": """
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   NTILE(8) OVER (ORDER BY n_chars, doc_id) AS shard
+            FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM t
+        GROUP BY shard
+        ORDER BY shard
     """,
     "revenue_band_forecast": """
         WITH j AS (

@@ -277,6 +277,21 @@ def read_sharded_parquet(
     return rd.read_parquet(paths)
 
 
+def shard_manifests(out_dir: str) -> dict:
+    """{shard_value: manifest dict} for every sealed shard — the metadata
+    surface for manifest-only answers (row counts, zone ranges) that never
+    open a data file."""
+    out: dict = {}
+    if not os.path.isdir(out_dir):
+        return out
+    for name in sorted(os.listdir(out_dir)):
+        mpath = os.path.join(out_dir, name, _MANIFEST)
+        if name.startswith("shard=") and os.path.isfile(mpath):
+            with open(mpath) as f:
+                out[name[len("shard="):]] = json.load(f)
+    return out
+
+
 def compact_shards(
     out_dir: str,
     target_rows: int,

@@ -791,3 +791,41 @@ def test_query_tolerates_empty_tables(ray_session, empty_sf_dir, name):
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
     assert len(out) <= 1  # empty, or a single all-zero summary row
+
+
+def test_range_sharded_export_tiny_n_and_resume(ray_session, tmp_path):
+    """NTILE edge: fewer rows than shards (each row its own bucket 1..N),
+    plus the resume path — a second identical run skips every sealed shard
+    and returns the same manifest-only stats."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_engine_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q_range_sharded_export,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+            "text": ["aa", "bb", "cc"],
+            "lang": ["en", "en", "de"],
+            "source": ["s1", "s1", "s2"],
+            "n_chars": pa.array([5, 2, 9], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_range_sharded_export(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(ORACLE_SQL["range_sharded_export"]).df()
+    con.close()
+    assert got["shard"].tolist() == exp["shard"].tolist() == [1, 2, 3]
+    assert got["n_docs"].tolist() == [1, 1, 1]
+    assert got["min_chars"].tolist() == exp["min_chars"].tolist()
+    # second run: shards sealed with the same params resume to the same answer
+    got2 = q_range_sharded_export(str(tmp_path))
+    assert got2.equals(got)
