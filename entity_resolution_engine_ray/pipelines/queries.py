@@ -6102,6 +6102,56 @@ def q_zone_pruned_stats(sf_dir: str):
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def q_doc_char_entropy(sf_dir: str):
+    """Per-doc character Shannon entropy (bits/char) — the cheap junk
+    detector that catches what token rules miss: binary blobs and random
+    padding read HIGH, repeated-character spam reads LOW; corpus pipelines
+    band on it next to the Gopher rules. Embarrassingly parallel and fully
+    vectorized: each batch builds ONE (rows × 256) byte-count matrix with a
+    single ``np.add.at`` scatter (no per-doc Python loop), entropy is a
+    rowwise log2 over it. 4-dp rounding absorbs the float-sum association
+    difference vs the oracle's SUM (terms are ~dozens of doubles; drift is
+    ~1e-10, four orders below the rounding grid — same money-lane argument
+    as the ROUND aggregates)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "entropy": pa.array([], type=pa.float64()),
+                }
+            )
+        texts = t["text"].to_pylist()
+        # the fixture is single-byte text; non-ASCII would need a
+        # codepoint histogram instead (the oracle splits on characters)
+        joined = ("".join(s or "" for s in texts)).encode("utf-8", "surrogatepass")
+        lens = np.array([len((s or "").encode("utf-8")) for s in texts], dtype=np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.zeros((n, 256), dtype=np.int64)
+        if len(row):
+            np.add.at(counts, (row, np.frombuffer(joined, dtype=np.uint8)), 1)
+        tot = counts.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / np.maximum(tot, 1)[:, None]
+            terms = np.where(counts > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+        ent = terms.sum(axis=1)
+        ent[tot == 0] = 0.0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(tot, type=pa.int64()),
+                "entropy": pa.array(_rha(ent, 4)),
+            }
+        )
+
+    out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_range_sharded_export(sf_dir: str):
     """Range-partitioned export (the TeraSort layout): documents land in 8
     EQUAL-COUNT range shards of (n_chars, doc_id) order — the sorted,
@@ -8797,6 +8847,7 @@ QUERIES = {
     "zone_pruned_stats": q_zone_pruned_stats,
     "bloom_pruned_lookup": q_bloom_pruned_lookup,
     "range_sharded_export": q_range_sharded_export,
+    "doc_char_entropy": q_doc_char_entropy,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -11253,6 +11304,22 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id IN (1, 2, 3)
         ORDER BY doc_id
+    """,
+    "doc_char_entropy": """
+        WITH cnt AS (
+            SELECT doc_id, ch, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            GROUP BY doc_id, ch
+        ),
+        tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(t.n AS BIGINT) AS n_chars,
+               ROUND(SUM(-(c * 1.0 / t.n) * LOG2(c * 1.0 / t.n)), 4) AS entropy
+        FROM cnt
+        JOIN tot t ON cnt.doc_id = t.doc_id
+        GROUP BY t.doc_id, t.n
+        ORDER BY t.doc_id
     """,
     "range_sharded_export": """
         WITH t AS (
