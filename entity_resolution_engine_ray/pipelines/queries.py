@@ -755,10 +755,11 @@ def q_supplier_region_stats(sf_dir: str):
 
 
 def q_orders_priority_count(sf_dir: str):
-    """Semi join (EXISTS): orders with ≥1 deep-discount lineitem, counted per
-    priority. Lineitem side is reduced to per-batch-unique orderkeys before
-    the ONE hash cogroup; the per-partition semi (isin) feeds a partial count
-    that folds to ≤ P×5 rows on the driver."""
+    """Semi join (EXISTS), TPC-H Q4 shape: orders with ≥1 deep-discount
+    lineitem, counted per priority. Lineitem side is reduced to
+    per-batch-unique orderkeys before the ONE hash cogroup; the
+    per-partition semi (isin) feeds a partial count that folds to ≤ P×5
+    rows on the driver."""
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_cogroup
     from entity_resolution_engine_ray.stages.joins import default_join_partitions
 
