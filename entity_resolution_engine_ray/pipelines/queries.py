@@ -6150,6 +6150,14 @@ def q_doc_char_entropy(sf_dir: str):
         )
 
     out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    if out.empty:  # 0-row reads skip the lazy map — rebuild the typed frame
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "entropy": pd.Series([], dtype=np.float64),
+            }
+        )
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
@@ -6271,6 +6279,17 @@ def q_bloom_pruned_lookup(sf_dir: str):
     )
 
     lookup_ids = [1, 2, 3]
+    empty_out = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "lang": pd.Series([], dtype=object),
+            "n_chars": pd.Series([], dtype=np.int64),
+        }
+    )
+    from entity_resolution_engine_ray.sources.sink import shard_manifests
+
+    if not shard_manifests(out_dir):  # empty corpus wrote no shards
+        return empty_out
     _, skipped = pruned_shard_paths(out_dir, point_filter={"doc_id": lookup_ids})
     if len(skipped) < 8:
         raise RuntimeError(
@@ -6285,6 +6304,8 @@ def q_bloom_pruned_lookup(sf_dir: str):
         return t.select(["doc_id", "lang", "n_chars"])
 
     out = pruned.map_batches(exact, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty_out
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
@@ -6509,6 +6530,14 @@ def q_doc_containment(sf_dir: str):
             "max_block_size; an exact join must not drop"
         )
     out = edges.to_pandas()
+    if out.empty:  # zero-row Datasets drop columns on to_pandas
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype=np.int64),
+                "dst_id": pd.Series([], dtype=np.int64),
+                "containment": pd.Series([], dtype=np.float64),
+            }
+        )
     out["containment"] = round_half_away(out["containment"].to_numpy(), 4)
     return out.sort_values(["src_id", "dst_id"], kind="mergesort").reset_index(drop=True)
 

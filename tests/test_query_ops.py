@@ -765,6 +765,11 @@ _S10_EMPTY_SAFE = [
     "supplier_diversity",
     "user_decayed_value",
     "purchase_attribution",
+    # session-11 additions
+    "doc_containment",
+    "bloom_pruned_lookup",
+    "range_sharded_export",
+    "doc_char_entropy",
 ]
 
 
