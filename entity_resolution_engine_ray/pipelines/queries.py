@@ -1228,6 +1228,75 @@ def q_lang_balanced_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_source_mixture_sample(sf_dir: str):
+    """Data-mixing sampler — EXACT per-source counts (the contract a
+    training-mixture spec needs: "40% of the budget at weights w_s", not
+    "expected 40%"): per-source quota k_s = min(n_s, B·w_s // Σw) with
+    B = 40% of the corpus and w_s a deterministic function of the source
+    name, then the k_s docs with the SMALLEST Knuth hash per source win.
+    Exact-k stratified sampling is a per-key top-k, not a threshold filter
+    (contrast lang_balanced_sample's expected-count keep): it rides
+    ``grouped_topk``'s combiner — each batch forwards at most max(k_s)
+    rows per source it saw, so the exchange ships O(k·sources), never the
+    corpus. Determinism: hash ties break by doc_id, mirroring the
+    oracle's ROW_NUMBER order exactly."""
+    from entity_resolution_engine_ray.stages.grouping import grouped_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"]})
+            .to_pandas()
+            .groupby("source", as_index=False)
+            .agg(n=("source", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+        }
+    )
+    if counts.empty:
+        return empty
+    n_by_src = dict(zip(counts["source"], counts["n"].astype(int)))
+    total = sum(n_by_src.values())
+    weights = {s: int(s[3:]) % 3 + 1 for s in n_by_src}
+    sum_w = sum(weights.values())
+    budget = (4 * total) // 10
+    quota = {s: min(n_by_src[s], budget * weights[s] // sum_w) for s in n_by_src}
+    k_max = max(quota.values())
+    if k_max == 0:
+        return empty
+
+    def hkey(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "hkey": pa.array(_knuth32(ids))}
+        )
+
+    top = grouped_topk(
+        ds.map_batches(hkey, batch_format="pyarrow"),
+        key_col="source",
+        order_col="hkey",
+        k=k_max,
+        tie_cols=["doc_id"],
+        descending=False,
+    ).to_pandas()
+    if top.empty:
+        return empty
+    keep = top["rn"].to_numpy() <= top["source"].map(quota).to_numpy()
+    out = top.loc[keep, ["doc_id", "source"]]
+    return out.sort_values(["source", "doc_id"], kind="mergesort").reset_index(drop=True)
+
+
 def q_cross_corpus_dedup(sf_dir: str):
     """Cross-corpus dedup — the incremental-ingestion guard: drop incoming
     crawl docs whose content key (5-word prefix fingerprint) already exists
@@ -8878,6 +8947,7 @@ QUERIES = {
     "bloom_pruned_lookup": q_bloom_pruned_lookup,
     "range_sharded_export": q_range_sharded_export,
     "doc_char_entropy": q_doc_char_entropy,
+    "source_mixture_sample": q_source_mixture_sample,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -9633,6 +9703,30 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = new_doc_id
         JOIN sizes sb ON sb.doc_id = old_doc_id
         WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    """,
+    "source_mixture_sample": """
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n,
+                     CAST(CAST(SUBSTR(source, 4) AS INTEGER) % 3 + 1 AS BIGINT) AS wt
+              FROM c),
+        tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS sw, CAST(SUM(n) AS BIGINT) AS nn
+                FROM w),
+        q AS (SELECT source, LEAST(n, (((4 * nn) // 10) * wt) // sw) AS k
+              FROM w, tot),
+        ranked AS (
+            SELECT d.doc_id, d.source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296),
+                                d.doc_id
+                   ) AS rn
+            FROM documents d
+        )
+        SELECT doc_id, source
+        FROM ranked JOIN q USING (source)
+        WHERE rn <= q.k
+        ORDER BY source, doc_id
     """,
     "lang_balanced_sample": """
         WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

@@ -145,6 +145,11 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "supplier_diversity",
         "ordered_funnel_1h",
         "session_paths",
+        "doc_containment",
+        "bloom_pruned_lookup",
+        "range_sharded_export",
+        "doc_char_entropy",
+        "source_mixture_sample",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -770,6 +775,7 @@ _S10_EMPTY_SAFE = [
     "bloom_pruned_lookup",
     "range_sharded_export",
     "doc_char_entropy",
+    "source_mixture_sample",
 ]
 
 
