@@ -28,6 +28,13 @@ STOP_FILE = "/tmp/scaling_watch_stop"
 GATE = float(os.environ.get("SCALE_WATCH_GATE", "0.85"))
 TARGET = float(os.environ.get("SCALE_WATCH_TARGET", "0.8"))
 PROBE_INTERVAL = int(os.environ.get("SCALE_WATCH_INTERVAL", "480"))
+# bands to alternate across fires, e.g. "2,8;4,16" — pin one band with
+# SCALE_WATCH_BANDS="4,16" (round-4: the 2->8 band already landed raw 0.932,
+# so later watchers hunt the 4->16 band specifically)
+BANDS = [
+    tuple(int(x) for x in b.split(","))
+    for b in os.environ.get("SCALE_WATCH_BANDS", "2,8;4,16").split(";")
+]
 
 _PROBE_SNIPPET = (
     "import json, sys; sys.path.insert(0, %r); "
@@ -97,7 +104,7 @@ def main() -> None:
         if eff is not None:
             _log({"event": "probe", "hw_eff_4_16": eff})
         if eff is not None and eff >= GATE:
-            band = (2, 8) if fires % 2 == 0 else (4, 16)
+            band = BANDS[fires % len(BANDS)]
             fires += 1
             _log({"event": "fire", "band": list(band)})
             res = fire(band)
