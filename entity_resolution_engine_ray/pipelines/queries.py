@@ -893,6 +893,159 @@ def q_doc_top_tokens(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_event_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: Jaccard of the USER SETS of every event-type
+    pair — the segmentation diagnostic behind "do buyers also click?".
+    Fully distributed set algebra: per-batch (event_type, user) dedup
+    partials, ONE user-keyed exchange where each user's sorted type set
+    emits its within-user type pairs (types-per-user is small and bounded —
+    the pair fan-out is O(users · t²/2) slim rows, never events²), then an
+    O(type-pairs) count finish. Jaccard is one float division of three
+    exact integers, so the oracle matches bit-for-bit under ROUND."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def dedup_partial(t: pa.Table) -> pd.DataFrame:
+        pdf = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return pdf.drop_duplicates()
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "etype_a": pd.Series([], dtype=object),
+                    "etype_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        pdf = pdf.drop_duplicates()  # across-batch duplicates meet here
+        rows_a, rows_b = [], []
+        for _, grp in pdf.groupby("user_id", sort=False):
+            ts = sorted(grp["event_type"].tolist())
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    rows_a.append(ts[i])
+                    rows_b.append(ts[j])
+        # per-type presence rides the same partition as singleton rows
+        pres = pdf.groupby("event_type", as_index=False).agg(n=("user_id", "size"))
+        pairs = (
+            pd.DataFrame({"etype_a": rows_a, "etype_b": rows_b})
+            .groupby(["etype_a", "etype_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            if rows_a
+            else pd.DataFrame(
+                {
+                    "etype_a": pd.Series([], dtype=object),
+                    "etype_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+        single = pd.DataFrame(
+            {"etype_a": pres["event_type"], "etype_b": "", "n": pres["n"]}
+        )
+        out = pd.concat([pairs, single], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = partition_map_groups(
+        ds.map_batches(dedup_partial, batch_format="pyarrow"), ["user_id"], per_user
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "etype_a": pd.Series([], dtype=object),
+            "etype_b": pd.Series([], dtype=object),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "n_both": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64),
+        }
+    )
+    if parts.empty:
+        return empty
+    folded = parts.groupby(["etype_a", "etype_b"], as_index=False).agg(n=("n", "sum"))
+    sizes = dict(
+        zip(
+            folded.loc[folded["etype_b"] == "", "etype_a"],
+            folded.loc[folded["etype_b"] == "", "n"].astype(int),
+        )
+    )
+    co = folded[folded["etype_b"] != ""].copy()
+    if co.empty:
+        return empty
+    na = co["etype_a"].map(sizes).to_numpy(np.int64)
+    nb = co["etype_b"].map(sizes).to_numpy(np.int64)
+    both = co["n"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "etype_a": co["etype_a"].to_numpy(),
+            "etype_b": co["etype_b"].to_numpy(),
+            "n_a": na,
+            "n_b": nb,
+            "n_both": both,
+            "jaccard": round_half_away(both / (na + nb - both), 4),
+        }
+    )
+    return out.sort_values(["etype_a", "etype_b"], kind="mergesort").reset_index(drop=True)
+
+
+def q_token_zipf_slope(sf_dir: str):
+    """Zipf rank–frequency fit over the top-100 tokens — the corpus-health
+    diagnostic (natural text fits slope ≈ −1; templated/boilerplate corpora
+    flatten, spam steepens). Distributed work is ONE token-count aggregate
+    (per-batch `value_counts` partials — the doc_top_tokens machinery);
+    rank, logs and the OLS closed form run on the 100-row result. Slope /
+    intercept are ROUND(…, 4): with 100 terms the two-pass closed form and
+    the oracle's regr_slope accumulation agree far below the grid."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"], "[ \t\n\r]+")
+        flat = (
+            lists.combine_chunks().flatten()
+            if isinstance(lists, pa.ChunkedArray)
+            else lists.flatten()
+        )
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "n_top": pd.Series([], dtype=np.int64),
+                "slope": pd.Series([], dtype=np.float64),
+                "intercept": pd.Series([], dtype=np.float64),
+            }
+        )
+    top = agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(100)
+    y = np.log(top["n"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    denom = ((x - xm) ** 2).sum()
+    slope = float(((x - xm) * (y - ym)).sum() / denom) if denom > 0 else 0.0
+    intercept = ym - slope * xm
+    return pd.DataFrame(
+        {
+            "n_top": pd.Series([len(top)], dtype=np.int64),
+            "slope": pd.Series(round_half_away(np.array([slope]), 4)),
+            "intercept": pd.Series(round_half_away(np.array([intercept]), 4)),
+        }
+    )
+
+
 def _explode_tokens(t: pa.Table, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
     """Vectorized single-space tokenize of a batch: returns (row_index,
     token) numpy arrays with empty tokens removed — the exact semantics of
@@ -8948,6 +9101,8 @@ QUERIES = {
     "range_sharded_export": q_range_sharded_export,
     "doc_char_entropy": q_doc_char_entropy,
     "source_mixture_sample": q_source_mixture_sample,
+    "token_zipf_slope": q_token_zipf_slope,
+    "event_audience_overlap": q_event_audience_overlap,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -9934,6 +10089,41 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 20
+    """,
+    "event_audience_overlap": """
+        WITH du AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+        sz AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY et),
+        co AS (
+            SELECT a.et AS ea, b.et AS eb, CAST(COUNT(*) AS BIGINT) AS c
+            FROM du a JOIN du b ON a.u = b.u AND a.et < b.et
+            GROUP BY a.et, b.et
+        )
+        SELECT ea AS etype_a, eb AS etype_b,
+               sa.n AS n_a, sb.n AS n_b, c AS n_both,
+               ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM co
+        JOIN sz sa ON sa.et = ea
+        JOIN sz sb ON sb.et = eb
+        ORDER BY ea, eb
+    """,
+    "token_zipf_slope": """
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(text, '[ \t\n\r]+')) AS token
+                FROM documents
+            ) WHERE length(token) > 0
+            GROUP BY token
+        ),
+        top AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+            FROM counts
+            ORDER BY n DESC, token ASC
+            LIMIT 100
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+               ROUND(regr_slope(LN(n), LN(r)), 4) AS slope,
+               ROUND(regr_intercept(LN(n), LN(r)), 4) AS intercept
+        FROM top
     """,
     "doc_decontaminate": """
         WITH snip AS (

@@ -150,6 +150,8 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "range_sharded_export",
         "doc_char_entropy",
         "source_mixture_sample",
+        "token_zipf_slope",
+        "event_audience_overlap",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -776,6 +778,8 @@ _S10_EMPTY_SAFE = [
     "range_sharded_export",
     "doc_char_entropy",
     "source_mixture_sample",
+    "token_zipf_slope",
+    "event_audience_overlap",
 ]
 
 
