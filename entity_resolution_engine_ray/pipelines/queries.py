@@ -3233,6 +3233,58 @@ def q_events_latest_state(sf_dir: str):
     return partition_map_groups(ds, ["user_id", "event_type"], latest)
 
 
+def q_events_value_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier screen per event type — the companion to
+    the z-score screen that heavy tails can't fool (mean and sigma are
+    themselves dragged by the outliers they're meant to catch; the median
+    and the median absolute deviation are not). ONE event_type-keyed
+    exchange; each group computes med, MAD and the |v−med| > 3·MAD count
+    in-partition (exact selection, no float-sum drift — med/MAD are order
+    statistics and the threshold compare uses their full-precision values
+    on both engines). Partitioning assumption, documented like asof_join's:
+    one event type's rows co-reside in one partition — event-type
+    cardinality is tiny and per-type volume bounded by a worker's heap; a
+    corpus where one type outgrows a worker needs the histogram-quantile
+    sketch path (stages/quantiles) instead."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def per_type(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "med": pd.Series([], dtype=np.float64),
+                "mad": pd.Series([], dtype=np.float64),
+                "n_outliers": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        rows = []
+        for et, grp in pdf.groupby("event_type", sort=False):
+            v = grp["value"].to_numpy(np.float64)
+            med = float(np.median(v))
+            ad = np.abs(v - med)
+            mad = float(np.median(ad))
+            rows.append(
+                {
+                    "event_type": et,
+                    "n": np.int64(len(v)),
+                    "med": med,
+                    "mad": mad,
+                    "n_outliers": np.int64(int((ad > 3.0 * mad).sum())),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = partition_map_groups(ds, ["event_type"], per_type).to_pandas()
+    if out.empty:
+        return per_type(pd.DataFrame())
+    out["med"] = round_half_away(out["med"].to_numpy(np.float64), 4)
+    out["mad"] = round_half_away(out["mad"].to_numpy(np.float64), 4)
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
 def q_events_value_outliers(sf_dir: str):
     """Z-score outlier screen per event type (value > mean + 3*sigma_pop) —
     the metrics-hygiene pass before aggregating noisy telemetry. Pass 1:
@@ -9103,6 +9155,7 @@ QUERIES = {
     "source_mixture_sample": q_source_mixture_sample,
     "token_zipf_slope": q_token_zipf_slope,
     "event_audience_overlap": q_event_audience_overlap,
+    "events_value_mad_outliers": q_events_value_mad_outliers,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -10089,6 +10142,27 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 20
+    """,
+    "events_value_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, median(ABS(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(m.med, 4) AS med,
+               ROUND(x.mad, 4) AS mad,
+               CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * x.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad x USING (event_type)
+        GROUP BY e.event_type, m.med, x.mad
+        ORDER BY e.event_type
     """,
     "event_audience_overlap": """
         WITH du AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),

@@ -152,6 +152,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "source_mixture_sample",
         "token_zipf_slope",
         "event_audience_overlap",
+        "events_value_mad_outliers",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -780,6 +781,7 @@ _S10_EMPTY_SAFE = [
     "source_mixture_sample",
     "token_zipf_slope",
     "event_audience_overlap",
+    "events_value_mad_outliers",
 ]
 
 
