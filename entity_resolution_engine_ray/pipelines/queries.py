@@ -1777,6 +1777,79 @@ def q_doc_shuffle_shards(sf_dir: str):
     return agg
 
 
+def q_label_cohesion(sf_dir: str):
+    """Embedding-cluster cohesion: per label, the mean and worst cosine of
+    members to their own label centroid — the vector-quality gate run
+    before trusting labels for semantic dedup / retrieval eval (a label
+    whose min_cos is low is mislabeled or multi-modal). Two cheap passes,
+    no vector shuffle: the (label × dim) centroid fold (label_centroids
+    machinery), then the tiny centroid matrix rides the closure into ONE
+    cosine map with per-batch (sum, min, n) partials. Cosines are float64
+    expressions over exactly-widened float32 inputs; 4-dp ROUND absorbs
+    the partial-sum association difference vs the oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    cent = q_label_centroids(sf_dir)  # (label, dim, centroid) — tiny
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series([], dtype=np.int32),
+            "n": pd.Series([], dtype=np.int64),
+            "mean_cos": pd.Series([], dtype=np.float64),
+            "min_cos": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(cent) == 0:
+        return empty
+    piv = cent.pivot(index="label", columns="dim", values="centroid").sort_index()
+    labels_order = piv.index.to_numpy()
+    cmat = piv.to_numpy(np.float64)
+    cnorm = np.sqrt((cmat**2).sum(axis=1))
+    lab_pos = {int(lb): i for i, lb in enumerate(labels_order)}
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype=np.int32),
+                    "s": pd.Series([], dtype=np.float64),
+                    "mn": pd.Series([], dtype=np.float64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        emb = (
+            t["embedding"].combine_chunks()
+            if isinstance(t["embedding"], pa.ChunkedArray)
+            else t["embedding"]
+        )
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = cmat.shape[1]
+        mat = flat.reshape(-1, d)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        pos = np.array([lab_pos[int(lb)] for lb in labels], dtype=np.int64)
+        dots = (mat * cmat[pos]).sum(axis=1)
+        cos = dots / (np.sqrt((mat**2).sum(axis=1)) * cnorm[pos])
+        g = pd.DataFrame({"label": labels, "cos": cos}).groupby("label", as_index=False)
+        out = g.agg(s=("cos", "sum"), mn=("cos", "min"), n=("cos", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    g = parts.groupby("label", as_index=False).agg(
+        s=("s", "sum"), mn=("mn", "min"), n=("n", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "label": g["label"].to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "mean_cos": round_half_away(g["s"].to_numpy() / g["n"].to_numpy(), 4),
+            "min_cos": round_half_away(g["mn"].to_numpy(np.float64), 4),
+        }
+    )
+    return out.sort_values("label", kind="mergesort").reset_index(drop=True)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids — the vector aggregate under k-means /
     IVF training. Per-batch partial (label, dim) sums via one
@@ -1818,6 +1891,14 @@ def q_label_centroids(sf_dir: str):
         .groupby(["label", "dim"])
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     ).to_pandas()
+    if agg.empty:  # zero-row reads skip the lazy map — typed empty
+        return pd.DataFrame(
+            {
+                "label": pd.Series([], dtype=np.int32),
+                "dim": pd.Series([], dtype=np.int64),
+                "centroid": pd.Series([], dtype=np.float64),
+            }
+        )
     agg = agg.sort_values(["label", "dim"], kind="mergesort").reset_index(drop=True)
     agg["centroid"] = _rha(agg["s"] / agg["n"], 6)
     agg["dim"] = agg["dim"].astype(np.int64)
@@ -9156,6 +9237,7 @@ QUERIES = {
     "token_zipf_slope": q_token_zipf_slope,
     "event_audience_overlap": q_event_audience_overlap,
     "events_value_mad_outliers": q_events_value_mad_outliers,
+    "label_cohesion": q_label_cohesion,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -10309,6 +10391,31 @@ ORACLE_SQL = {
             GROUP BY n.node
         )
         SELECT node, ROUND(r, 6) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+    "label_cohesion": """
+        WITH e AS (
+            SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        -- centroid rounded to 6dp on BOTH engines (label_centroids
+        -- contract) so the cosine consumes identical inputs
+        c AS (SELECT label, dim, ROUND(AVG(v), 6) AS cv FROM e GROUP BY label, dim),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   SUM(e.v * c.cv) AS dot,
+                   SUM(e.v * e.v) AS ee,
+                   SUM(c.cv * c.cv) AS cc
+            FROM e JOIN c USING (label, dim)
+            GROUP BY e.vec_id, e.label
+        ),
+        cos AS (SELECT label, dot / (SQRT(ee) * SQRT(cc)) AS cosv FROM dots)
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(cosv), 4) AS mean_cos,
+               ROUND(MIN(cosv), 4) AS min_cos
+        FROM cos
+        GROUP BY label
+        ORDER BY label
     """,
     "label_centroids": """
         SELECT label, i AS dim, ROUND(AVG(x), 6) AS centroid

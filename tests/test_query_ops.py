@@ -153,6 +153,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "token_zipf_slope",
         "event_audience_overlap",
         "events_value_mad_outliers",
+        "label_cohesion",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -782,6 +783,7 @@ _S10_EMPTY_SAFE = [
     "token_zipf_slope",
     "event_audience_overlap",
     "events_value_mad_outliers",
+    "label_cohesion",
 ]
 
 
