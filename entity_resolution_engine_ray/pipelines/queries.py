@@ -1777,6 +1777,96 @@ def q_doc_shuffle_shards(sf_dir: str):
     return agg
 
 
+def q_knn_label_vote(sf_dir: str):
+    """k-NN label vote (k=10) for the first 100 vectors — the label-noise
+    audit: a vector whose neighbors outvote its own label is mislabeled or
+    sits on a cluster boundary. The 100 query vectors broadcast in the
+    closure (bounded by construction); each batch computes its (rows × 100)
+    cosine block and forwards ONLY its per-query top-10 (an exact combiner
+    under the global (cos DESC, vec_id ASC) order — O(batches · 100 · 10)
+    slim partial rows, never the n×100 matrix); the driver finishes the
+    top-10 merge and the majority vote (ties → smaller label), mirroring
+    the oracle's ROW_NUMBER orders exactly."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype=np.int64),
+            "true_label": pd.Series([], dtype=np.int32),
+            "pred_label": pd.Series([], dtype=np.int32),
+            "votes": pd.Series([], dtype=np.int64),
+        }
+    )
+    qdf = ds.filter(expr="vec_id < 100").to_pandas()
+    if qdf.empty:
+        return empty
+    qdf = qdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    true_label = dict(zip(qids, qdf["label"].to_numpy()))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {
+            "qid": pd.Series([], dtype=np.int64),
+            "nid": pd.Series([], dtype=np.int64),
+            "nlabel": pd.Series([], dtype=np.int32),
+            "cos": pd.Series([], dtype=np.float64),
+        }
+        if t.num_rows == 0:
+            return pd.DataFrame(cols)
+        from entity_resolution_engine_ray.stages.knn import _to_matrix
+
+        m = _to_matrix(t["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        C = (m @ qn.T) / norms[:, None]
+        qs, ns, ls, cs = [], [], [], []
+        for j in range(len(qids)):
+            keep = ids != qids[j]  # a vector never votes on itself
+            cj, ij, lj = C[keep, j], ids[keep], labels[keep]
+            order = np.lexsort((ij, -cj))[:10]
+            qs.append(np.full(len(order), qids[j], dtype=np.int64))
+            ns.append(ij[order])
+            ls.append(lj[order])
+            cs.append(cj[order])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qs),
+                "nid": np.concatenate(ns),
+                "nlabel": np.concatenate(ls),
+                "cos": np.concatenate(cs),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    top = (
+        parts.sort_values(["qid", "cos", "nid"], ascending=[True, False, True], kind="mergesort")
+        .groupby("qid", sort=False)
+        .head(10)
+    )
+    votes = top.groupby(["qid", "nlabel"], as_index=False).size().rename(columns={"size": "c"})
+    pred = (
+        votes.sort_values(["qid", "c", "nlabel"], ascending=[True, False, True], kind="mergesort")
+        .groupby("qid", sort=False)
+        .head(1)
+    )
+    out = pd.DataFrame(
+        {
+            "vec_id": pred["qid"].to_numpy(np.int64),
+            "true_label": pred["qid"].map(true_label).to_numpy(),
+            "pred_label": pred["nlabel"].to_numpy(),
+            "votes": pred["c"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_label_cohesion(sf_dir: str):
     """Embedding-cluster cohesion: per label, the mean and worst cosine of
     members to their own label centroid — the vector-quality gate run
@@ -9238,6 +9328,7 @@ QUERIES = {
     "event_audience_overlap": q_event_audience_overlap,
     "events_value_mad_outliers": q_events_value_mad_outliers,
     "label_cohesion": q_label_cohesion,
+    "knn_label_vote": q_knn_label_vote,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -10391,6 +10482,37 @@ ORACLE_SQL = {
             GROUP BY n.node
         )
         SELECT node, ROUND(r, 6) AS pr FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+    "knn_label_vote": """
+        WITH p AS (
+            SELECT q.vec_id AS qid, q.label AS qlabel,
+                   e.vec_id AS nid, e.label AS nlabel,
+                   list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) AS cos
+            FROM embeddings q
+            JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 100
+        ),
+        top AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+                FROM p
+            ) WHERE rn <= 10
+        ),
+        votes AS (
+            SELECT qid, qlabel, nlabel, CAST(COUNT(*) AS BIGINT) AS c
+            FROM top GROUP BY qid, qlabel, nlabel
+        )
+        SELECT qid AS vec_id, qlabel AS true_label, nlabel AS pred_label,
+               c AS votes
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY c DESC, nlabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+        ORDER BY vec_id
     """,
     "label_cohesion": """
         WITH e AS (

@@ -154,6 +154,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "event_audience_overlap",
         "events_value_mad_outliers",
         "label_cohesion",
+        "knn_label_vote",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -784,6 +785,7 @@ _S10_EMPTY_SAFE = [
     "event_audience_overlap",
     "events_value_mad_outliers",
     "label_cohesion",
+    "knn_label_vote",
 ]
 
 
