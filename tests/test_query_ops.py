@@ -850,3 +850,34 @@ def test_range_sharded_export_tiny_n_and_resume(ray_session, tmp_path):
     # second run: shards sealed with the same params resume to the same answer
     got2 = q_range_sharded_export(str(tmp_path))
     assert got2.equals(got)
+
+
+def test_mixture_sample_is_stable_and_hits_exact_quotas(ray_session):
+    """Exact-count contract: the selected ids are a pure function of the
+    data (any batching), and every source hits its integer quota exactly."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import q_source_mixture_sample
+
+    got = q_source_mixture_sample(SF_DIR)
+    # serial recompute of quota + hash-rank winners
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    con.close()
+    n_by = pdf.groupby("source")["doc_id"].count().to_dict()
+    total = int(sum(n_by.values()))
+    w = {s: int(s[3:]) % 3 + 1 for s in n_by}
+    budget = (4 * total) // 10
+    quota = {s: min(int(n_by[s]), budget * w[s] // sum(w.values())) for s in n_by}
+    sizes = got.groupby("source")["doc_id"].count().to_dict()
+    assert sizes == {s: q for s, q in quota.items() if q > 0}
+    pdf["h"] = (pdf["doc_id"].to_numpy(np.int64).astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    want = (
+        pdf.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        .groupby("source", sort=False)
+        .apply(lambda g: g.head(quota[g.name]), include_groups=False)
+        .reset_index()
+    )
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"].astype(np.int64))
