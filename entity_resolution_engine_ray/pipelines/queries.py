@@ -39,9 +39,11 @@ from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
-    p = 10.0**decimals
-    x = np.asarray(x, dtype=np.float64)
-    return np.copysign(np.round(np.abs(x) * p) / p, x)  # np.round of .5 on abs
+    # floor(x*p + 0.5) — NOT np.round, which is half-EVEN and diverges from
+    # DuckDB when x*p lands exactly on .5 (dyadic values do: the EWMA's
+    # sums-over-powers-of-8 hit 0.65625-style boundaries; found by the
+    # daily_revenue_ewma oracle gate)
+    return _rha(x, decimals)
 
 
 def _rha(x, decimals):
@@ -2684,6 +2686,57 @@ def q_nation_revenue_share(sf_dir: str):
         ["r_name", "n_name"], kind="mergesort"
     )
     return out.reset_index(drop=True)
+
+
+def q_daily_revenue_ewma(sf_dir: str):
+    """EWMA-smoothed daily GMV (α = 1/8) — the anomaly-baseline smoother a
+    revenue monitor runs next to the CUSUM changepoint screen. Distributed
+    work is ONE per-day exact-cents aggregate (per-batch partials, money
+    lane); the recurrence s_t = (x_t + 7·s_{t−1}) / 8 then runs over the
+    few-thousand day rows on the driver. A sequential recurrence has no
+    summation-order freedom, so the doubles match the oracle's recursive
+    CTE bit-for-bit (ROUND 4 is belt-and-braces)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        pdf = pd.DataFrame(
+            {
+                "day": pd.to_datetime(
+                    t["o_orderdate"].to_numpy(zero_copy_only=False)
+                ).strftime("%Y-%m-%d"),
+                "cents": np.round(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        return pdf.groupby("day", as_index=False).agg(cents=("cents", "sum"))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+    ).to_pandas()
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype=object),
+                "gmv_cents": pd.Series([], dtype=np.int64),
+                "ewma_cents": pd.Series([], dtype=np.float64),
+            }
+        )
+    agg = agg.sort_values("day", kind="mergesort").reset_index(drop=True)
+    x = agg["cents"].to_numpy(np.int64)
+    s = np.empty(len(x), dtype=np.float64)
+    s[0] = float(x[0])
+    for i in range(1, len(x)):
+        s[i] = (float(x[i]) + 7.0 * s[i - 1]) / 8.0
+    return pd.DataFrame(
+        {
+            "day": agg["day"].to_numpy(),
+            "gmv_cents": x,
+            "ewma_cents": round_half_away(s, 4),
+        }
+    )
 
 
 def q_daily_new_users(sf_dir: str):
@@ -9329,6 +9382,7 @@ QUERIES = {
     "events_value_mad_outliers": q_events_value_mad_outliers,
     "label_cohesion": q_label_cohesion,
     "knn_label_vote": q_knn_label_vote,
+    "daily_revenue_ewma": q_daily_revenue_ewma,
     "bucketed_join_segments": q_bucketed_join_segments,
     "part_bfs_hops": q_part_bfs_hops,
     "local_supplier_revenue": q_local_supplier_revenue,
@@ -9925,6 +9979,25 @@ ORACLE_SQL = {
         JOIN nation n ON n.n_nationkey = rev.c_nationkey
         JOIN region r ON r.r_regionkey = n.n_regionkey
         ORDER BY r.r_name, n.n_name
+    """,
+    "daily_revenue_ewma": """
+        WITH RECURSIVE
+        dx AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM dx),
+        e AS (
+            SELECT i, CAST(cents AS DOUBLE) AS s FROM idx WHERE i = 1
+            UNION ALL
+            SELECT idx.i, (CAST(idx.cents AS DOUBLE) + 7 * e.s) / 8
+            FROM e JOIN idx ON idx.i = e.i + 1
+        )
+        SELECT idx.day, CAST(idx.cents AS BIGINT) AS gmv_cents,
+               ROUND(e.s, 4) AS ewma_cents
+        FROM e JOIN idx USING (i)
+        ORDER BY idx.day
     """,
     "daily_new_users": """
         WITH f AS (

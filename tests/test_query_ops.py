@@ -881,3 +881,20 @@ def test_mixture_sample_is_stable_and_hits_exact_quotas(ray_session):
         .reset_index()
     )
     assert sorted(got["doc_id"]) == sorted(want["doc_id"].astype(np.int64))
+
+
+def test_round_half_away_matches_duckdb_on_dyadic_boundaries():
+    """Dyadic values land EXACTLY on scaled .5 boundaries (the EWMA's
+    sums-over-powers-of-8 do), where np.round's half-even silently diverges
+    from DuckDB's half-away ROUND — the bug the daily_revenue_ewma oracle
+    gate caught. Pin the agreement on exact boundaries, both signs."""
+    import duckdb
+
+    from entity_resolution_engine_ray.pipelines.queries import round_half_away
+
+    vals = [14865523.65625, 0.65625, -0.65625, 2.5e-5, -2.5e-5, 1.00005, 123.45625]
+    got = round_half_away(np.array(vals, dtype=np.float64), 4)
+    con = duckdb.connect()
+    want = [con.execute("select round(?::DOUBLE, 4)", [v]).fetchone()[0] for v in vals]
+    con.close()
+    assert got.tolist() == want
