@@ -155,6 +155,7 @@ def _assert_match(a: pd.DataFrame, b: pd.DataFrame):
         "events_value_mad_outliers",
         "label_cohesion",
         "knn_label_vote",
+        "daily_revenue_ewma",
     ],
 )
 def test_query_matches_duckdb_oracle(ray_session, name):
@@ -786,6 +787,7 @@ _S10_EMPTY_SAFE = [
     "events_value_mad_outliers",
     "label_cohesion",
     "knn_label_vote",
+    "daily_revenue_ewma",
 ]
 
 
