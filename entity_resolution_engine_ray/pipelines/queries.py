@@ -2699,11 +2699,17 @@ def q_daily_revenue_ewma(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # datetime64[D].astype(str) is the C fast path; pandas strftime
+        # formats row-by-row and dominated the whole query (8 s at sf0.1)
+        days = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
         pdf = pd.DataFrame(
             {
-                "day": pd.to_datetime(
-                    t["o_orderdate"].to_numpy(zero_copy_only=False)
-                ).strftime("%Y-%m-%d"),
+                "day": days,
                 "cents": np.round(
                     t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
                 ).astype(np.int64),
@@ -2711,11 +2717,11 @@ def q_daily_revenue_ewma(sf_dir: str):
         )
         return pdf.groupby("day", as_index=False).agg(cents=("cents", "sum"))
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Sum("cents", alias_name="cents"))
-    ).to_pandas()
+    # day cardinality is tiny (one row per calendar day): fold the
+    # per-batch partials on the driver — a string-keyed sort shuffle for a
+    # 2.4k-group aggregate cost 8 s at sf0.1, the partial fold costs ~0.3 s
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("day", as_index=False).agg(cents=("cents", "sum"))
     if agg.empty:
         return pd.DataFrame(
             {
