@@ -2721,6 +2721,10 @@ def q_daily_revenue_ewma(sf_dir: str):
     # per-batch partials on the driver — a string-keyed sort shuffle for a
     # 2.4k-group aggregate cost 8 s at sf0.1, the partial fold costs ~0.3 s
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # zero-row reads drop columns on to_pandas
+        parts = pd.DataFrame(
+            {"day": pd.Series([], dtype=object), "cents": pd.Series([], dtype=np.int64)}
+        )
     agg = parts.groupby("day", as_index=False).agg(cents=("cents", "sum"))
     if agg.empty:
         return pd.DataFrame(
