@@ -195,12 +195,16 @@ def jaro_winkler_batch(
     la = np.fromiter((len(a_arr[i]) for i in neq), dtype=np.int64, count=len(neq))
     lb = np.fromiter((len(b_arr[i]) for i in neq), dtype=np.int64, count=len(neq))
     lmax = np.maximum(la, lb)
-    # length buckets: 8, 16, 32, ... (padding waste bounded at 2×)
-    bucket = np.ceil(np.log2(np.maximum(lmax, 8))).astype(np.int64)
+    # width-8 length buckets (8, 16, 24, ...): bounds the number of
+    # padded-matrix allocations while keeping padding waste under one
+    # 8-char lane; the matrix pads only to the bucket's ACTUAL max length —
+    # the O(n·L²) match loop is the kernel's whole cost, and e.g. 40-char
+    # titles in a pow2 64 bucket would pay 2.6× their true L²
+    bucket = (np.maximum(lmax, 1) + 7) // 8
     for bkt in np.unique(bucket):
         sel = np.flatnonzero(bucket == bkt)
         idx = neq[sel]
-        L = 1 << int(bkt)
+        L = int(lmax[sel].max())
         A = np.array([a_arr[i] for i in idx], dtype=f"U{L}").view(np.uint32).reshape(len(idx), L)
         B = np.array([b_arr[i] for i in idx], dtype=f"U{L}").view(np.uint32).reshape(len(idx), L)
         out[idx] = _jaro_winkler_batch_fixed(

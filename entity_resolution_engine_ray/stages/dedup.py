@@ -382,16 +382,28 @@ def _edges_from_feats(feats, *, threshold, max_block_size, num_partitions, n_fat
     # instead of being truncated — identical docs beyond the cap still pair
     # (within their salt; cross-salt recall is carried by the other bands).
     # The count pass runs over SLIM (id, block_key) rows — no token payload.
-    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, key_stats
+    from entity_resolution_engine_ray.stages.score import _keep_block_keys
 
     slim = feats.select_columns(["id", "band_keys"]).map_batches(
         _explode, batch_format="pyarrow"
     )
     # metadata-only count on the materialized features — skips the counting
-    # pass over the exploded rows inside hot_key_splits
-    hot = hot_key_splits(slim, max_block_size, n_rows_hint=n_fat)
+    # pass over the exploded rows inside key_stats
+    hot, pairable = key_stats(slim, max_block_size, n_rows_hint=n_fat)
 
-    fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
+    fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
+    if pairable is not None:
+        # singleton-bucket prune: keys with one member can never pair —
+        # drop their fat (token-payload) rows before the hash exchange
+        # (exactly output-preserving; see pairs.key_stats)
+        import ray
+
+        fat = fat.map_batches(
+            _keep_block_keys, fn_kwargs={"allowed_ref": ray.put(pairable)},
+            batch_format="pyarrow",
+        )
+    fat = fat.map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
     # partition counts scale with the data (metadata-only count on the
@@ -1039,11 +1051,21 @@ def cross_corpus_near_dup_pairs(
         .materialize()
     )
 
-    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, key_stats
+    from entity_resolution_engine_ray.stages.score import _keep_block_keys
 
     slim = feats.select_columns(["id", "band_keys"]).map_batches(_explode, batch_format="pyarrow")
-    hot = hot_key_splits(slim, max_block_size, n_rows_hint=feats.count() * bands)
-    fat = feats.map_batches(_explode_fat, batch_format="pyarrow").map_batches(
+    hot, pairable = key_stats(slim, max_block_size, n_rows_hint=feats.count() * bands)
+    fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
+    if pairable is not None:
+        # singleton-bucket prune (output-preserving; see pairs.key_stats)
+        import ray
+
+        fat = fat.map_batches(
+            _keep_block_keys, fn_kwargs={"allowed_ref": ray.put(pairable)},
+            batch_format="pyarrow",
+        )
+    fat = fat.map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
     n_fat = feats.count() * bands

@@ -35,9 +35,49 @@ def hot_key_splits(
 ) -> dict[int, int]:
     """block_key → n_splits for buckets over the cap (driver-side small dict).
 
-    Fast path: stream per-batch ``value_counts`` partials to a driver dict —
-    one pass, no shuffle. Above ``driver_row_limit`` distinct-key rows the
-    exact count groupby takes over (multi-node scale path).
+    Thin wrapper over ``key_stats`` for callers that only need the hot set."""
+    hot, _ = key_stats(
+        block_rows_ds,
+        cap,
+        driver_row_limit=driver_row_limit,
+        n_rows_hint=n_rows_hint,
+        want_pairable=False,
+    )
+    return hot
+
+
+def key_stats(
+    block_rows_ds,
+    cap: int,
+    driver_row_limit: int = 100_000_000,
+    n_rows_hint: int | None = None,
+    want_pairable: bool = True,
+    pairable_limit: int = 200_000_000,
+) -> tuple[dict[int, int], np.ndarray | None]:
+    """One counting pass over (block_key) rows → (hot dict, pairable keys).
+
+    ``hot``: block_key → n_splits for buckets over the cap (driver-side
+    small dict, same contract as the old ``hot_key_splits``).
+
+    ``pairable``: sorted int64 array of block keys with ≥ 2 members — the
+    only keys that can ever produce a candidate pair. The fat feature
+    explode is filtered to this set BEFORE its hash exchange: singleton
+    buckets (measured 35% of band rows on the dense sf0.1 fixture; far more
+    on sparse real-web corpora where most pages are unique) ship ~300 B of
+    token ids/title per row for provably zero pairs. Filtering them is
+    exactly output-preserving — no score, decision or dropped-count can
+    change. ``None`` when ``want_pairable`` is False or the set exceeds
+    ``pairable_limit`` (1.6 GB of int64 keys — past that the broadcast
+    costs more than the rows it prunes; callers must treat None as
+    "ship everything"). At 100-TB corpus scale the pairable set grows with
+    the number of DUPLICATED shingle-buckets, not the corpus, but a
+    per-shard corpus split (incremental ``key_filter`` path) is the
+    documented route once it would exceed the limit.
+
+    Fast path: per-batch ``value_counts`` partials → one slim summing hash
+    exchange → only keys with n ≥ 2 reach the driver. Above
+    ``driver_row_limit`` distinct-key rows the exact count groupby takes
+    over (multi-node scale path).
 
     ``n_rows_hint`` (e.g. pages × bands, known upstream) avoids a separate
     counting pass over the exploded rows."""
@@ -51,12 +91,15 @@ def hot_key_splits(
             )
 
         # two-level aggregation: per-batch partial counts → ONE hash
-        # exchange summing per key → only the over-cap keys reach the
+        # exchange summing per key → only multi-member keys reach the
         # driver (a driver-side concat of partials is ~n_distinct_keys rows
-        # — measured 21 s at 21M block rows; the hot set is a few thousand)
-        def sum_over_cap(pdf: pd.DataFrame) -> pd.DataFrame:
+        # — measured 21 s at 21M block rows; the n ≥ 2 set is the pair-
+        # producing minority, the hot (> cap) set a few thousand)
+        thresh = 2 if want_pairable else cap + 1
+
+        def sum_multi(pdf: pd.DataFrame) -> pd.DataFrame:
             g = pdf.groupby("k", as_index=False, sort=False)["n"].sum()
-            return g[g["n"] > cap]
+            return g[g["n"] >= thresh]
 
         from entity_resolution_engine_ray.stages.grouping import partition_map_groups
 
@@ -64,22 +107,52 @@ def hot_key_splits(
         # partial tables are ~n_distinct_keys rows; scale the summing
         # exchange with the input instead of paying 32 fixed tasks at 100k
         n_parts = int(min(32, max(4, n_rows // 500_000)))
-        hot_ds = partition_map_groups(partials, ["k"], sum_over_cap, n_parts)
-        out: dict[int, int] = {}
-        for batch in hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            for k, n in zip(batch["k"].to_pylist(), batch["n"].to_pylist()):
-                out[int(k)] = n_splits_for(int(n), cap)
-        return out
+        multi_ds = partition_map_groups(partials, ["k"], sum_multi, n_parts)
+        hot: dict[int, int] = {}
+        key_chunks: list[np.ndarray] = []
+        n_pairable = 0
+        for batch in multi_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            ks = batch["k"].to_numpy(zero_copy_only=False)
+            ns = batch["n"].to_numpy(zero_copy_only=False)
+            over = np.flatnonzero(ns > cap)
+            for i in over:
+                hot[int(ks[i])] = n_splits_for(int(ns[i]), cap)
+            if want_pairable:
+                n_pairable += len(ks)
+                if n_pairable <= pairable_limit:
+                    key_chunks.append(ks.astype(np.int64, copy=True))
+        if not want_pairable or n_pairable > pairable_limit:
+            return hot, None
+        pairable = (
+            np.sort(np.concatenate(key_chunks)) if key_chunks else np.empty(0, dtype=np.int64)
+        )
+        return hot, pairable
 
     counts = block_rows_ds.groupby("block_key").count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), cap)), batch_format="pyarrow"
+    thresh = 2 if want_pairable else cap + 1
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("count()"), thresh)),
+        batch_format="pyarrow",
     )
-    out = {}
-    for batch in hot.iter_batches(batch_format="pyarrow"):
-        for k, n in zip(batch["block_key"].to_pylist(), batch["count()"].to_pylist()):
-            out[k] = n_splits_for(n, cap)
-    return out
+    hot = {}
+    key_chunks = []
+    n_pairable = 0
+    for batch in multi.iter_batches(batch_format="pyarrow"):
+        ks = batch["block_key"].to_numpy(zero_copy_only=False)
+        ns = batch["count()"].to_numpy(zero_copy_only=False)
+        over = np.flatnonzero(ns > cap)
+        for i in over:
+            hot[int(ks[i])] = n_splits_for(int(ns[i]), cap)
+        if want_pairable:
+            n_pairable += len(ks)
+            if n_pairable <= pairable_limit:
+                key_chunks.append(ks.astype(np.int64, copy=True))
+    if not want_pairable or n_pairable > pairable_limit:
+        return hot, None
+    pairable = (
+        np.sort(np.concatenate(key_chunks)) if key_chunks else np.empty(0, dtype=np.int64)
+    )
+    return hot, pairable
 
 
 def _salt_batch(batch: pa.Table, hot: dict[int, int], hash_col: str = "url_hash") -> pa.Table:

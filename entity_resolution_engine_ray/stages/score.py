@@ -244,6 +244,24 @@ def _combined(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _keep_block_keys(t: pa.Table, allowed_ref) -> pa.Table:
+    """Keep rows whose block_key is in the broadcast sorted int64 array
+    (``ray.put`` once, zero-copy plasma read per task, vectorized
+    searchsorted per batch). Used by both the incremental ``key_filter``
+    path and the singleton-bucket prune."""
+    import ray
+
+    if t.num_rows == 0:
+        return t
+    allowed = ray.get(allowed_ref)
+    k = t["block_key"].to_numpy(zero_copy_only=False)
+    if len(allowed) == 0:
+        return t.filter(pa.array(np.zeros(len(k), dtype=bool)))
+    pos = np.searchsorted(allowed, k)
+    pos[pos >= len(allowed)] = len(allowed) - 1
+    return t.filter(pa.array(allowed[pos] == k))
+
+
 def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
     """One hash partition of fat (block_key, salt) sub-blocks → scored,
     gated edges, IDS ONLY (left_id/right_id int64 url hashes — no url
@@ -396,7 +414,7 @@ def fused_edges_stage(
     interleaved best-of-3: 7.96 vs 8.11 vs 8.71 s)."""
     from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_chained
-    from entity_resolution_engine_ray.stages.pairs import _salt_batch, hot_key_splits
+    from entity_resolution_engine_ray.stages.pairs import _salt_batch, key_stats
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
@@ -408,31 +426,39 @@ def fused_edges_stage(
         num_partitions = int(
             np.clip(n_fat // 50_000 + 1, int(1.5 * cpus), 65_536)
         )
+    import ray
+
     keys_ds = block_keys_stage(features_ds)  # key-only explode: 8 bytes/row
     fat = fat_block_rows_stage(features_ds)
     if key_filter is not None:
-        import ray
-
         allowed_ref = ray.put(np.asarray(key_filter, dtype=np.int64))
-
-        def keep_keys(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            allowed = ray.get(allowed_ref)
-            k = t["block_key"].to_numpy(zero_copy_only=False)
-            if len(allowed) == 0:
-                return t.filter(pa.array(np.zeros(len(k), dtype=bool)))
-            pos = np.searchsorted(allowed, k)
-            pos[pos >= len(allowed)] = len(allowed) - 1
-            return t.filter(pa.array(allowed[pos] == k))
-
-        keys_ds = keys_ds.map_batches(keep_keys, batch_format="pyarrow")
-        fat = fat.map_batches(keep_keys, batch_format="pyarrow")
-    hot = hot_key_splits(
+        keys_ds = keys_ds.map_batches(
+            _keep_block_keys, fn_kwargs={"allowed_ref": allowed_ref}, batch_format="pyarrow"
+        )
+        fat = fat.map_batches(
+            _keep_block_keys, fn_kwargs={"allowed_ref": allowed_ref}, batch_format="pyarrow"
+        )
+    hot, pairable = key_stats(
         keys_ds,
         cfg.max_block_size,
         n_rows_hint=features_ds.count() * cfg.bands,  # metadata-only count
     )
+    if pairable is not None:
+        if len(pairable) == 0:
+            # no bucket has ≥2 members ⇒ no candidate pairs at all; return a
+            # TYPED empty edges Dataset (from_items([]) has no schema and
+            # breaks downstream decision filters)
+            import ray.data as rd
+
+            return rd.from_arrow(_EDGE_SCHEMA.empty_table()), 0
+        # singleton-bucket prune: fat rows whose block key can never pair
+        # (35% of band rows on the dense sf0.1 fixture, more on sparse
+        # corpora) are dropped BEFORE the fat hash exchange — exactly
+        # output-preserving, see pairs.key_stats
+        pairable_ref = ray.put(pairable)
+        fat = fat.map_batches(
+            _keep_block_keys, fn_kwargs={"allowed_ref": pairable_ref}, batch_format="pyarrow"
+        )
     fat = fat.map_batches(
         _salt_batch, fn_kwargs={"hot": hot}, batch_format="pyarrow"
     )
