@@ -26,16 +26,42 @@ import pyarrow as pa
 
 from entity_resolution_engine_ray.config import PagesERConfig
 from entity_resolution_engine_ray.functions.similarity import (
-    hash_tokens,
-    jaccard_ids,
-    stable_hash64,
-    lsh_band_keys,
+    hash_tokens_flat,
+    lsh_band_keys_matrix,
     minhash_coefficients,
-    minhash_signature,
-    shingle_hashes,
-    simhash64,
+    minhash_signatures_flat,
+    shingle_hashes_flat,
+    simhash64_flat,
+    stable_hash64,
 )
 from entity_resolution_engine_ray.oracle.serial import canonical_tokens
+
+
+def _comb(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _split_canonical_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized ``canonical_tokens`` for an all-ASCII string array:
+    ascii_lower → RE2 ``[^\\w\\s]``→space → split_whitespace → drop empty
+    tokens. On ASCII input RE2's ``\\w``/``\\s`` and Arrow's whitespace
+    split agree byte-for-byte with Python's ``re``/``str.split`` (pinned by
+    test_feature_extractor_matches_scalar_reference and the ascii-parity
+    case in test_block_features). Returns (flat non-empty token values,
+    per-doc token counts)."""
+    import pyarrow.compute as pc
+
+    rep = pc.replace_substring_regex(
+        pc.ascii_lower(arr), pattern=r"[^\w\s]", replacement=" "
+    )
+    sp = _comb(pc.utf8_split_whitespace(rep))
+    lengths = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = sp.flatten()
+    nonempty = pc.not_equal(flat, "")
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(np.arange(len(sp), dtype=np.int64), lengths)
+    counts = np.bincount(doc_ids[ne_np], minlength=len(sp)).astype(np.int64)
+    return flat.filter(nonempty), counts
 
 
 class FeatureExtractor:
@@ -47,33 +73,123 @@ class FeatureExtractor:
         self.coeffs = minhash_coefficients(self.cfg.num_perm)
         self.cache: dict[str, int] = {}
 
+    def _hash_uniques(self, uniq: list[str]) -> np.ndarray:
+        uh = np.empty(len(uniq), dtype=np.int64)
+        cache = self.cache
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = stable_hash64(t)
+                cache[t] = h
+            uh[i] = h
+        return uh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Flat whole-batch form: tokenize per doc (C regex), then ONE
+        factorize-hash over the concatenated token stream and segment-
+        reduced MinHash/SimHash/band-key kernels (similarity.*_flat) —
+        per-DOC values identical to the scalar kernels (pinned by
+        tests/test_block_features.py::test_flat_kernels_match_scalar), with
+        no per-doc numpy call overhead. Measured 1.9× over the per-doc loop
+        at 4096-doc batches."""
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        texts = batch["text"].to_pylist()
-        titles = batch["title"].to_pylist()
-        n = len(texts)
-        tokens_col: list[str] = []
-        token_ids_col: list[np.ndarray] = []
-        url_hashes = np.zeros(n, dtype=np.int64)
-        simhashes = np.zeros(n, dtype=np.int64)
-        band_keys_col: list[list[int]] = []
-        title_norms: list[str] = []
+        n = batch.num_rows
         urls_py = batch["url"].to_pylist()
-        for i in range(n):
-            url_hashes[i] = stable_hash64(urls_py[i])
-            toks = canonical_tokens(texts[i])
-            th = hash_tokens(toks, self.cache)
-            sig = minhash_signature(shingle_hashes(th, k=cfg.shingle_k), *self.coeffs)
-            tokens_col.append("\x1f".join(sorted(set(toks))))
-            # sorted unique 32-bit token ids (low half of the 64-bit token
-            # hash) — the scorer's Jaccard operates on these. Int arrays
-            # stay zero-copy Arrow through the shuffle, and 32-bit ids
-            # halve the fat exchange's dominant payload (see jaccard_ids);
-            # MinHash/SimHash below keep the full 64-bit hashes.
-            token_ids_col.append(jaccard_ids(th))
-            simhashes[i] = simhash64(th)
-            band_keys_col.append(lsh_band_keys(sig, cfg.bands))
-            title_norms.append(" ".join(canonical_tokens(titles[i])))
+        url_hashes = np.fromiter(
+            (stable_hash64(u) for u in urls_py), dtype=np.int64, count=n
+        )
+        texts_arr = pc.fill_null(_comb(batch["text"]), "")
+        titles_arr = pc.fill_null(_comb(batch["title"]), "")
+        ascii_ok = bool(
+            n
+            and pc.all(pc.string_is_ascii(texts_arr)).as_py()
+            and pc.all(pc.string_is_ascii(titles_arr)).as_py()
+        )
+        if ascii_ok:
+            # Arrow fast path: the flat token stream never materializes as
+            # Python objects; only the batch's UNIQUE tokens do (for the
+            # cached blake2b hash) — byte-identical to the fallback below
+            flat_vals, counts = _split_canonical_ascii(texts_arr)
+            offsets = np.r_[0, counts.cumsum()]
+            denc = _comb(flat_vals).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = denc.dictionary.to_pylist()
+            uh = self._hash_uniques(uniq)
+            flat_h = uh.astype(np.uint64)[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+            # per-doc "\x1f".join(sorted(set(tokens))): rank unique tokens
+            # once in Python-string order, dedupe (doc, rank) pairs, then
+            # ONE C++ binary_join over the rank-ordered string lists
+            order = np.argsort(np.asarray(uniq, dtype=object)) if uniq else np.empty(0, np.int64)
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[order] = np.arange(len(uniq))
+            flat_ranks = rank[codes] if len(codes) else np.empty(0, np.int64)
+            doc_ids_ne = np.repeat(np.arange(n, dtype=np.int64), counts)
+            permr = np.lexsort((flat_ranks, doc_ids_ne))
+            dsr, rsr = doc_ids_ne[permr], flat_ranks[permr]
+            keepr = (
+                np.r_[True, (dsr[1:] != dsr[:-1]) | (rsr[1:] != rsr[:-1])]
+                if len(dsr)
+                else np.zeros(0, dtype=bool)
+            )
+            uniq_sorted = pa.array(np.asarray(uniq, dtype=object)[order], type=pa.string())
+            ucounts = np.bincount(dsr[keepr], minlength=n) if len(dsr) else np.zeros(n, np.int64)
+            tok_lists = pa.ListArray.from_arrays(
+                pa.array(np.r_[0, ucounts.cumsum()].astype(np.int32)),
+                uniq_sorted.take(pa.array(rsr[keepr], type=pa.int64()))
+                if len(dsr)
+                else pa.array([], type=pa.string()),
+            )
+            tokens_arr = pc.binary_join(tok_lists, "\x1f")
+            tflat, tcounts = _split_canonical_ascii(titles_arr)
+            title_arr = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(np.r_[0, tcounts.cumsum()].astype(np.int32)), tflat
+                ),
+                " ",
+            )
+        else:
+            texts = texts_arr.to_pylist()
+            titles = titles_arr.to_pylist()
+            toks_per_doc = [canonical_tokens(t) for t in texts]
+            counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+            offsets = np.r_[0, counts.cumsum()]
+            flat_tokens = np.empty(int(offsets[-1]), dtype=object)
+            pos = 0
+            for toks in toks_per_doc:
+                flat_tokens[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            flat_h = hash_tokens_flat(flat_tokens, self.cache)
+            tokens_arr = pa.array(
+                ["\x1f".join(sorted(set(toks))) for toks in toks_per_doc], type=pa.string()
+            )
+            title_arr = pa.array(
+                [" ".join(canonical_tokens(t)) for t in titles], type=pa.string()
+            )
+        # sorted unique 32-bit token ids per doc (low half of the 64-bit
+        # token hash) — the scorer's Jaccard operates on these. Int arrays
+        # stay zero-copy Arrow through the shuffle, and 32-bit ids halve
+        # the fat exchange's dominant payload (see jaccard_ids);
+        # MinHash/SimHash keep the full 64-bit hashes.
+        ids32 = (flat_h & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        perm = np.lexsort((ids32, doc_ids))
+        ds_, is_ = doc_ids[perm], ids32[perm]
+        keep = np.r_[True, (ds_[1:] != ds_[:-1]) | (is_[1:] != is_[:-1])] if len(ds_) else np.zeros(0, dtype=bool)
+        uniq_counts = np.bincount(ds_[keep], minlength=n) if len(ds_) else np.zeros(n, dtype=np.int64)
+        token_ids_arr = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, uniq_counts.cumsum()].astype(np.int32)),
+            pa.array(is_[keep] if len(ds_) else np.zeros(0, dtype=np.int32), type=pa.int32()),
+        )
+        flat_sh, sh_counts = shingle_hashes_flat(flat_h, offsets, k=cfg.shingle_k)
+        sigs = minhash_signatures_flat(flat_sh, sh_counts, *self.coeffs)
+        band_mat = lsh_band_keys_matrix(sigs, cfg.bands)
+        band_keys_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * cfg.bands, cfg.bands, dtype=np.int32)),
+            pa.array(band_mat.reshape(-1), type=pa.int64()),
+        )
+        simhashes = simhash64_flat(flat_h, offsets)
         # cache growth guard for long-lived actors
         if len(self.cache) > 2_000_000:
             self.cache.clear()
@@ -83,11 +199,11 @@ class FeatureExtractor:
                 "url_hash": pa.array(url_hashes, type=pa.int64()),
                 "warc_ts": batch["warc_ts"],
                 "lang": batch["lang"],
-                "title_norm": pa.array(title_norms, type=pa.string()),
-                "tokens": pa.array(tokens_col, type=pa.string()),
-                "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int32())),
+                "title_norm": title_arr,
+                "tokens": tokens_arr,
+                "token_ids": token_ids_arr,
                 "simhash": pa.array(simhashes, type=pa.int64()),
-                "band_keys": pa.array(band_keys_col, type=pa.list_(pa.int64())),
+                "band_keys": band_keys_arr,
             }
         )
 

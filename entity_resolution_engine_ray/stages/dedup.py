@@ -41,23 +41,20 @@ class _DedupFeatures:
         self.cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "token_shingle":
+            return self._call_token_shingle(batch)
         texts = batch[self.text_col].to_pylist()
         token_ids_col, keys_col = [], []
         for text in texts:
-            if self.mode == "char_ngram":
-                # vectorized window ids (injective for k<=3 — see
-                # char_ngram_hashes); duplicates are fine: MinHash is
-                # duplicate-invariant and token_ids uniques below
-                sh = char_ngram_hashes((text or "").lower(), self.k)
-            else:
-                toks = canonical_tokens(text or "")
-                th = hash_tokens(toks, self.cache)
-                sh = shingle_hashes(th, k=self.k)
-            # sorted unique int64 SHINGLE ids — exact verification runs in
-            # the same k-shingle space the MinHash sketches (the standard
-            # near-dup contract: the sketch approximates shingle Jaccard,
-            # the verify pass computes it exactly). char_ngram mode verifies
-            # gram-set Jaccard. NB sort AFTER the int64 reinterpret.
+            # vectorized window ids (injective for k<=3 — see
+            # char_ngram_hashes); duplicates are fine: MinHash is
+            # duplicate-invariant and token_ids uniques below
+            sh = char_ngram_hashes((text or "").lower(), self.k)
+            # sorted unique int64 GRAM ids — exact verification runs in
+            # the same gram space the MinHash sketches (the standard
+            # near-dup contract: the sketch approximates gram-set Jaccard,
+            # the verify pass computes it exactly). NB sort AFTER the
+            # int64 reinterpret.
             uniq = np.unique(sh)
             token_ids_col.append(np.sort(uniq.view(np.int64)))
             # unique grams only: MinHash is duplicate-invariant, and the
@@ -66,13 +63,94 @@ class _DedupFeatures:
             # array can be orders of magnitude larger than its gram set
             sig = minhash_signature(uniq, *self.coeffs)
             keys_col.append(lsh_band_keys(sig, self.bands))
-        if len(self.cache) > 2_000_000:
-            self.cache.clear()
         return pa.table(
             {
                 "id": batch[self.id_col],
                 "token_ids": pa.array(list(token_ids_col), type=pa.list_(pa.int64())),
                 "band_keys": pa.array(keys_col, type=pa.list_(pa.int64())),
+            }
+        )
+
+    def _call_token_shingle(self, batch: pa.Table) -> pa.Table:
+        """Flat whole-batch word-shingle featurization (same kernels as the
+        pages FeatureExtractor — similarity.*_flat; per-doc values pinned
+        identical to the scalar path by tests/test_dedup_flat_parity)."""
+        import pyarrow.compute as pc
+
+        from entity_resolution_engine_ray.stages.block import (
+            _comb,
+            _split_canonical_ascii,
+        )
+        from entity_resolution_engine_ray.functions.similarity import (
+            hash_tokens_flat,
+            lsh_band_keys_matrix,
+            minhash_signatures_flat,
+            shingle_hashes_flat,
+        )
+
+        n = batch.num_rows
+        arr = pc.fill_null(_comb(batch[self.text_col]), "")
+        if n and pc.all(pc.string_is_ascii(arr)).as_py():
+            flat_vals, counts = _split_canonical_ascii(arr)
+            denc = _comb(flat_vals).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq_toks = denc.dictionary.to_pylist()
+            uh = np.empty(len(uniq_toks), dtype=np.int64)
+            cache = self.cache
+            for i, t in enumerate(uniq_toks):
+                h = cache.get(t)
+                if h is None:
+                    h = stable_hash64(t)
+                    cache[t] = h
+                uh[i] = h
+            flat_h = (
+                uh.astype(np.uint64)[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+            )
+        else:
+            texts = arr.to_pylist()
+            toks_per_doc = [canonical_tokens(t) for t in texts]
+            counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+            flat_tokens = np.array(
+                [t for toks in toks_per_doc for t in toks], dtype=object
+            )
+            flat_h = hash_tokens_flat(flat_tokens, self.cache)
+        offsets = np.r_[0, counts.cumsum()]
+        flat_sh, sh_counts = shingle_hashes_flat(flat_h, offsets, k=self.k)
+        # per-doc sorted unique int64 SHINGLE ids (sort AFTER the int64
+        # reinterpret — same order as np.sort(np.unique(sh).view(int64)))
+        sv = flat_sh.view(np.int64)
+        sh_doc = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+        perm = np.lexsort((sv, sh_doc))
+        dsr, vsr = sh_doc[perm], sv[perm]
+        keep = (
+            np.r_[True, (dsr[1:] != dsr[:-1]) | (vsr[1:] != vsr[:-1])]
+            if len(dsr)
+            else np.zeros(0, dtype=bool)
+        )
+        ucounts = np.bincount(dsr[keep], minlength=n) if len(dsr) else np.zeros(n, np.int64)
+        token_ids_arr = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, ucounts.cumsum()].astype(np.int32)),
+            pa.array(vsr[keep] if len(dsr) else np.zeros(0, np.int64), type=pa.int64()),
+        )
+        # MinHash over the per-doc UNIQUE shingles (duplicate-invariant —
+        # identical signatures, smaller permute temp)
+        sigs = minhash_signatures_flat(
+            vsr[keep].view(np.uint64) if len(dsr) else np.empty(0, np.uint64),
+            ucounts,
+            *self.coeffs,
+        )
+        band_mat = lsh_band_keys_matrix(sigs, self.bands)
+        band_keys_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.bands, self.bands, dtype=np.int32)),
+            pa.array(band_mat.reshape(-1), type=pa.int64()),
+        )
+        if len(self.cache) > 2_000_000:
+            self.cache.clear()
+        return pa.table(
+            {
+                "id": batch[self.id_col],
+                "token_ids": token_ids_arr,
+                "band_keys": band_keys_arr,
             }
         )
 
