@@ -47,11 +47,21 @@ def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
 
 
 def _rha(x, decimals):
-    """round-half-away matching DuckDB's std::round(x*p)/p."""
+    """round-half-away matching DuckDB's std::round(x*p)/p.
+
+    The fractional part is compared against 0.5 EXACTLY (scaled − floor is
+    exact in IEEE by Sterbenz), not via floor(scaled + 0.5): adding 0.5 to
+    a value one ulp below .5 (0.49999999999999994) rounds the SUM to 1.0,
+    so the floor form returns 1 where std::round returns 0 — pinned in
+    test_round_half_away_matches_duckdb_on_dyadic_boundaries."""
     p = 10.0**decimals
     x = np.asarray(x, dtype=np.float64)
     scaled = x * p
-    return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
+    f = np.floor(scaled)
+    up = f + (scaled - f >= 0.5)
+    c = np.ceil(scaled)
+    down = c - (c - scaled >= 0.5)
+    return np.where(scaled >= 0, up, down) / p
 
 
 def _cents_from_lanes(w, r) -> np.ndarray:
@@ -948,9 +958,15 @@ def q_event_audience_overlap(sf_dir: str):
                 }
             )
         )
+        # is_size marks per-type presence rows vs pair rows — a dedicated
+        # flag instead of an etype_b == "" sentinel, which would fold a
+        # genuine empty-string event_type into the size map
         single = pd.DataFrame(
             {"etype_a": pres["event_type"], "etype_b": "", "n": pres["n"]}
         )
+        single["is_size"] = True
+        pairs = pairs.copy()
+        pairs["is_size"] = False
         out = pd.concat([pairs, single], ignore_index=True)
         out["n"] = out["n"].astype(np.int64)
         return out
@@ -970,14 +986,16 @@ def q_event_audience_overlap(sf_dir: str):
     )
     if parts.empty:
         return empty
-    folded = parts.groupby(["etype_a", "etype_b"], as_index=False).agg(n=("n", "sum"))
+    folded = parts.groupby(["etype_a", "etype_b", "is_size"], as_index=False).agg(
+        n=("n", "sum")
+    )
     sizes = dict(
         zip(
-            folded.loc[folded["etype_b"] == "", "etype_a"],
-            folded.loc[folded["etype_b"] == "", "n"].astype(int),
+            folded.loc[folded["is_size"], "etype_a"],
+            folded.loc[folded["is_size"], "n"].astype(int),
         )
     )
-    co = folded[folded["etype_b"] != ""].copy()
+    co = folded[~folded["is_size"]].copy()
     if co.empty:
         return empty
     na = co["etype_a"].map(sizes).to_numpy(np.int64)
@@ -1806,7 +1824,9 @@ def q_knn_label_vote(sf_dir: str):
     qdf = qdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
     qids = qdf["vec_id"].to_numpy(np.int64)
     qmat = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0  # all-zero query embedding → cosine 0, not NaN
+    qn = qmat / qnorms
     true_label = dict(zip(qids, qdf["label"].to_numpy()))
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -6799,10 +6819,16 @@ def q_bloom_pruned_lookup(sf_dir: str):
     if not shard_manifests(out_dir):  # empty corpus wrote no shards
         return empty_out
     _, skipped = pruned_shard_paths(out_dir, point_filter={"doc_id": lookup_ids})
-    if len(skipped) < 8:
+    # pruning floor scales with the shards ACTUALLY present: a small or
+    # skewed corpus can legitimately seal fewer than the nominal 16 shards,
+    # and k lookup ids can keep at most k shards plus a false-positive
+    # slack — only a shortfall beyond that means the filters aren't pruning
+    n_shards = len(shard_manifests(out_dir))
+    floor = max(0, n_shards - len(lookup_ids) - 5)
+    if len(skipped) < floor:
         raise RuntimeError(
-            f"bloom pruning skipped only {len(skipped)}/16 shards for a 3-id "
-            "lookup — the filters are not pruning"
+            f"bloom pruning skipped only {len(skipped)}/{n_shards} shards for a "
+            f"{len(lookup_ids)}-id lookup (floor {floor}) — the filters are not pruning"
         )
     pruned = read_sharded_parquet(out_dir, point_filter={"doc_id": lookup_ids})
 
@@ -7034,8 +7060,9 @@ def q_doc_containment(sf_dir: str):
     )
     if dropped:
         raise RuntimeError(
-            f"containment_self_join dropped {dropped} candidates — raise "
-            "max_block_size; an exact join must not drop"
+            f"containment_self_join dropped up to {dropped} candidates (an "
+            "upper bound — self-pairs and other-shingle re-derivations are "
+            "counted too) — raise max_block_size; an exact join must not drop"
         )
     out = edges.to_pandas()
     if out.empty:  # zero-row Datasets drop columns on to_pandas

@@ -113,6 +113,11 @@ def _candidate_partition(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
         if n_pref == 0:
             continue
         if m > cap:  # skew cap: deterministic truncation of the sorted dst side
+            # UPPER BOUND on lost candidates: n_pref × truncated-dst counts
+            # src==dst self-pairs and candidates this (src, dst) pair would
+            # re-derive from other shared shingles among the losses; the
+            # nonzero-flag contract (dropped > 0 ⇔ possible loss) is what
+            # downstream relies on, not the exact magnitude
             dropped += n_pref * (m - cap)
             g_ids_dst = g_ids[:cap]
         else:

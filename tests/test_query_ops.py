@@ -898,5 +898,12 @@ def test_round_half_away_matches_duckdb_on_dyadic_boundaries():
     got = round_half_away(np.array(vals, dtype=np.float64), 4)
     con = duckdb.connect()
     want = [con.execute("select round(?::DOUBLE, 4)", [v]).fetchone()[0] for v in vals]
-    con.close()
     assert got.tolist() == want
+    # one-ulp-below-.5 residual (ADVICE r4): floor(scaled + 0.5) would round
+    # the SUM up to 1.0 where std::round compares the exact fraction — pin
+    # the exact-comparison form at decimals=0, both signs
+    ulp_vals = [0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 2.5, -2.5]
+    got0 = round_half_away(np.array(ulp_vals, dtype=np.float64), 0)
+    want0 = [con.execute("select round(?::DOUBLE, 0)", [v]).fetchone()[0] for v in ulp_vals]
+    con.close()
+    assert got0.tolist() == want0
