@@ -102,6 +102,20 @@ class PagesERConfig:
     gate_low: float = 0.70
     gate_high: float = 0.85
     fallback_mode: str = "auto_approve"
+    # optional SimHash Hamming prefilter (r4 verdict lever): candidate pairs
+    # with simhash similarity below this threshold are dropped (counted in
+    # dropped_pairs) WITHOUT paying the exact-Jaccard intersection or the
+    # title kernel. This is an APPROXIMATION knob for junk-heavy corpora:
+    # a pair can only change decision if its true score could reach
+    # gate_low, which at the default weights needs jaccard ≥
+    # (gate_low − w_s·sim − w_t)/w_j — at sim < 0.55 that means J ≥ 0.67
+    # while E[sim | J=0.67] ≈ 0.73 (σ ≈ 0.054 over 64 bits), a > 3σ
+    # outlier. The serial oracle applies the IDENTICAL rule, so
+    # engine == oracle parity is exact with the knob on or off. Default
+    # OFF: on the dense seeded fixture 0.0% of candidate pairs fall below
+    # 0.8 similarity, so there is nothing to prune there (measured r5);
+    # real boilerplate-heavy web corpora are where it pays.
+    simhash_prefilter: float | None = None
     # optional distributed gray-zone validation (stages/validate) over
     # decision == "review" edges; off by default (reference parity: the
     # pipeline must be fully correct without it)

@@ -234,6 +234,16 @@ def run_serial_er(pages: pa.Table, cfg: PagesERConfig | None = None) -> OracleRe
     uf = UnionFind()
     approved = 0
     for left, right, key in candidate_pairs:
+        if (
+            cfg.simhash_prefilter is not None
+            and hamming_similarity64(feats[left].simhash, feats[right].simhash)
+            < cfg.simhash_prefilter
+        ):
+            # identical rule to the engine's vectorized prefilter
+            # (stages/score._pair_score_partition) — prefiltered pairs are
+            # dropped-and-counted, never scored
+            dropped += 1
+            continue
         s = score_pair(feats[left], feats[right], cfg)
         decision = gate_decision(s, cfg)
         edges.append(

@@ -337,6 +337,24 @@ def _pair_score_partition(tbl: pa.Table, cfg: PagesERConfig) -> pa.Table:
     sim_sim = 1.0 - _popcount64(
         np.bitwise_xor(sims[lidx].astype(np.uint64), sims[ridx].astype(np.uint64))
     ) / 64.0
+    if cfg.simhash_prefilter is not None:
+        # Hamming prefilter BEFORE the exact-Jaccard / title kernels (the
+        # two dominant per-pair costs) — same rule as the serial oracle
+        # (oracle/serial.py run_serial_er), counted into dropped_pairs.
+        # Count semantics: APPROXIMATE — a pair colliding in several bands
+        # is prefiltered (and counted) once per partition instance, where
+        # the oracle counts the unique pair once; and a partition whose
+        # pairs are ALL prefiltered emits zero rows so its count can't
+        # ride the dropped column. nonzero ⇔ pruning happened is the
+        # contract; the EDGE SET stays exactly oracle-equal either way
+        # (pinned by test_simhash_prefilter_parity_and_pruning).
+        keepm = sim_sim >= cfg.simhash_prefilter
+        dropped += int(n - keepm.sum())
+        if not keepm.all():
+            lidx, ridx, okey, sim_sim = lidx[keepm], ridx[keepm], okey[keepm], sim_sim[keepm]
+            n = len(lidx)
+            if n == 0:
+                return _EDGE_SCHEMA.empty_table()
     jac = _grouped_jaccard_flat(tvals, tstarts, tlens, lidx, ridx)
     jw = _jw_from_codes(tcodes[lidx], tcodes[ridx], tdict, tdict)
 

@@ -302,3 +302,39 @@ def test_cli_main_runs_pipeline(ray_session, tmp_path, capsys):
     result = json.loads(line)
     assert result["metrics"]["n_entities"] > 0
     assert set(result["timings"]) >= {"features", "edges", "labels", "entities"}
+
+
+def test_simhash_prefilter_parity_and_pruning(ray_session, fixture_paths, oracle):
+    """With the simhash prefilter ON (cfg.simhash_prefilter), the engine's
+    edges still equal the serial oracle's exactly — both apply the identical
+    drop-and-count rule — and a high threshold provably prunes pairs."""
+    from entity_resolution_engine_ray.functions.similarity import stable_hash64
+    from entity_resolution_engine_ray.pipelines.pages_er import run_pages_er
+
+    pages, base = oracle
+    cfg = PagesERConfig(simhash_prefilter=0.9)
+    ores = run_serial_er(pages, cfg)
+    out = os.path.join(OUTDIR, "prefilter")
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_pages_er(fixture_paths["pages"], out, cfg, resume=False)
+    edges = res["edges"].to_pandas()
+    got = {
+        (r.left_id, r.right_id): (r.block_key, round(r.score, 12), r.decision)
+        for r in edges.itertuples()
+    }
+    want = {
+        (stable_hash64(e["left_url"]), stable_hash64(e["right_url"])): (
+            e["block_key"],
+            round(e["score"], 12),
+            e["decision"],
+        )
+        for e in ores.edges
+    }
+    assert got == want
+    # at threshold 0.9 the fixture really loses pairs (sim spans ~0.8-1.0)
+    assert len(ores.edges) < len(base.edges)
+    assert ores.dropped_pairs > base.dropped_pairs
+    # engine counts prefiltered INSTANCES (once per band-partition the
+    # pair lands in) where the oracle counts unique pairs — so engine >=
+    # oracle, and both nonzero ⇔ pruning happened
+    assert res["metrics"]["dropped_pairs"] >= ores.dropped_pairs > base.dropped_pairs
