@@ -6,9 +6,20 @@
 
 PY ?= python
 
-.PHONY: ci lint typecheck compile test check check-sf0.1 bench
+.PHONY: ci lint typecheck compile test coverage security check check-sf0.1 bench
 
-ci: lint typecheck compile test
+ci: lint typecheck compile test coverage security
+
+# reference scripts/ci/coverage_gate.sh: real `coverage` (line-min 80) when
+# installed, else the static import-graph reachability fallback (100% of
+# package modules must be reachable from tests/bench/entry)
+coverage:
+	$(PY) scripts/ci/coverage_gate.py
+
+# reference scripts/ci/security.sh: bandit -lll + pip-audit when installed,
+# else the dependency-free AST scan of the same high-severity patterns
+security:
+	$(PY) scripts/ci/security.py
 
 lint:
 	@if command -v ruff >/dev/null 2>&1; then \

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Security gate (reference parity: scripts/ci/security.sh →
+pip-audit + bandit -lll, /root/reference/Makefile:38-43).
+
+Prefers the real tools when installed. In this sandbox (no pip installs,
+no network) it falls back to a dependency-free AST scan covering the
+high-severity patterns ``bandit -lll`` flags:
+
+- ``eval`` / ``exec`` on non-literal input
+- ``os.system`` / ``subprocess.*(..., shell=True)``
+- ``pickle.load(s)`` / ``marshal.load(s)`` (untrusted deserialization)
+- ``yaml.load`` without an explicit safe Loader
+- ``tempfile.mktemp`` (TOCTOU)
+- hardcoded secrets (password/secret/api_key/token assigned a string
+  literal)
+
+Zero findings required (an inline ``# sec: allow`` comment on the line
+acknowledges a reviewed false positive). pip-audit has no fallback —
+dependency CVEs can't be checked offline; the gate says so instead of
+pretending.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import shutil
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[2]
+SCAN = ["entity_resolution_engine_ray", "scripts", "bench.py", "__ray_entry__.py"]
+SECRET_NAMES = ("password", "passwd", "secret", "api_key", "apikey", "auth_token")
+
+
+def _findings_for(path: pathlib.Path) -> list[tuple[int, str]]:
+    src = path.read_text()
+    allow = {
+        i + 1 for i, line in enumerate(src.splitlines()) if "# sec: allow" in line
+    }
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as e:  # pragma: no cover - compile gate catches first
+        return [(e.lineno or 0, f"syntax error: {e.msg}")]
+    out: list[tuple[int, str]] = []
+
+    def add(node: ast.AST, msg: str) -> None:
+        line = getattr(node, "lineno", 0)
+        if line not in allow:
+            out.append((line, msg))
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            fn = node.func
+            dotted = ""
+            if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name):
+                dotted = f"{fn.value.id}.{fn.attr}"
+            name = fn.id if isinstance(fn, ast.Name) else dotted
+            if name in ("eval", "exec") and not (
+                node.args and isinstance(node.args[0], ast.Constant)
+            ):
+                add(node, f"{name}() on non-literal input")
+            if name == "os.system":
+                add(node, "os.system (shell injection surface)")
+            if dotted.startswith("subprocess.") or name == "Popen":
+                for kw in node.keywords:
+                    if (
+                        kw.arg == "shell"
+                        and isinstance(kw.value, ast.Constant)
+                        and kw.value.value is True
+                    ):
+                        add(node, f"{name}(shell=True)")
+            if dotted in ("pickle.load", "pickle.loads", "marshal.load", "marshal.loads"):
+                add(node, f"{dotted} (untrusted deserialization)")
+            if dotted == "yaml.load" and not any(kw.arg == "Loader" for kw in node.keywords):
+                add(node, "yaml.load without explicit Loader")
+            if dotted == "tempfile.mktemp":
+                add(node, "tempfile.mktemp (TOCTOU; use mkstemp)")
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if (
+                    isinstance(t, ast.Name)
+                    and t.id.lower() in SECRET_NAMES
+                    and isinstance(node.value, ast.Constant)
+                    and isinstance(node.value.value, str)
+                    and node.value.value
+                ):
+                    add(node, f"hardcoded secret in '{t.id}'")
+    return out
+
+
+def fallback_scan() -> int:
+    n = 0
+    for target in SCAN:
+        p = ROOT / target
+        files = [p] if p.suffix == ".py" else sorted(p.rglob("*.py"))
+        for f in files:
+            for line, msg in _findings_for(f):
+                print(f"{f.relative_to(ROOT)}:{line}: {msg}")
+                n += 1
+    print(
+        f"security gate (AST fallback): {n} high-severity findings "
+        "(pip-audit skipped: no network in this environment)"
+    )
+    return 1 if n else 0
+
+
+def main() -> int:
+    if shutil.which("bandit"):
+        rc = subprocess.call(
+            ["bandit", "-r", "entity_resolution_engine_ray", "-q", "-lll"], cwd=ROOT
+        )
+        if shutil.which("pip-audit"):
+            rc = rc or subprocess.call(["pip-audit"], cwd=ROOT)
+        return rc
+    return fallback_scan()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
