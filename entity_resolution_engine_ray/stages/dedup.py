@@ -20,7 +20,6 @@ from entity_resolution_engine_ray.functions.similarity import (
     lsh_band_keys,
     minhash_coefficients,
     minhash_signature,
-    shingle_hashes,
     simhash64,
     stable_hash64,
 )

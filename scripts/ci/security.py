@@ -26,7 +26,6 @@ import ast
 import pathlib
 import shutil
 import subprocess
-import sys
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
 SCAN = ["entity_resolution_engine_ray", "scripts", "bench.py", "__ray_entry__.py"]
