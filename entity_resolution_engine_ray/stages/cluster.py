@@ -205,6 +205,14 @@ def _lp_refine(labels_part: pa.Table, *cand_subparts: pa.Table):
     return out, int(ch.sum()), hooks
 
 
+# above this width the per-round candidate exchange switches from flat
+# (S split tasks × num_returns=P ⇒ O(S·P) driver refs) to the hierarchical
+# two-level form (group split then member split ⇒ O(S·G + 2P) refs) — see
+# _lp_run._subs_per_partition for the ref-count math
+_LP_TWO_LEVEL_MIN_P = 1024
+_LP_GROUP = 32  # partitions per group in the two-level exchange
+
+
 def _lp_partitions(n_directed_rows: int) -> int:
     """Labelprop width. NOT ``auto_partitions(n_rows)`` with the generic
     50k-row target: a labelprop ROUND has driver-side cost O(P × split
@@ -215,13 +223,16 @@ def _lp_partitions(n_directed_rows: int) -> int:
     64 at the same 160M directed edges ran it in 73 s). Target ~2M directed
     edge rows (~32 MB of int64 pairs) per partition — per-round tasks stay
     1–3 s of vectorized work — with the 1.5×CPU floor so small graphs still
-    fill the cluster, capped at 1024: beyond that the per-round ref fan-in
-    dominates and the next step is a hierarchical (two-level) candidate
-    exchange, not more partitions."""
+    fill the cluster. Above _LP_TWO_LEVEL_MIN_P the round exchange runs
+    hierarchically (two levels, O(S·G + 2P) refs/round instead of O(S·P)),
+    which keeps the driver viable to the 16,384 cap — ~32G directed edge
+    rows (≈0.5 TB of int64 pairs) before the cap binds; past that, shard
+    the corpus (incremental key_filter path) rather than widening one
+    labelprop."""
     from entity_resolution_engine_ray.stages.grouping import auto_partitions
 
     return min(
-        auto_partitions(n_directed_rows, rows_per_partition=2_000_000), 1024
+        auto_partitions(n_directed_rows, rows_per_partition=2_000_000), 16_384
     )
 
 
@@ -286,23 +297,57 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
         _coalesce_refs,
         _default_split_tasks,
         _split_block,
+        _split_block_groups,
+        _split_group_members,
     )
 
-    def _split_grouped(refs, key):
-        # coalesce candidate refs into bounded split groups — one split task
-        # PER REF would create O(P²) object refs per round (each split has
-        # num_returns=P) and drown the scheduler at high parallelism
-        return [
-            _split_block.options(num_returns=P).remote([key], P, *group)
-            for group in _coalesce_refs(list(refs), _default_split_tasks())
+    def _subs_per_partition(refs, key):
+        """Candidate refs → per-partition sub-ref lists (subs[p]).
+
+        Flat path (P ≤ _LP_TWO_LEVEL_MIN_P): S coalesced split tasks ×
+        num_returns=P ⇒ O(S·P) driver-held refs per round — fine to ~1024
+        partitions, scheduler-melting beyond (S ≈ 3P/coalesce candidate
+        refs at width P, so refs grow ~P²).
+
+        Two-level path (P > _LP_TWO_LEVEL_MIN_P): level 1 routes rows to
+        G = ceil(P/K) partition GROUPS (S tasks × G returns), level 2
+        splits each group into its K members (G tasks × K returns = P
+        refs), and each refine consumes exactly ONE sub-ref. Per-round
+        driver refs: S·G + P + P vs S·P flat — at P = 4096, K = 32,
+        S = 200 that is ~33.6k refs vs ~820k. Partition identity is
+        hash % P at both levels, so owners match the stationary
+        label/edge partitioning exactly."""
+        groups = _coalesce_refs(list(refs), _default_split_tasks())
+        if P <= _LP_TWO_LEVEL_MIN_P:
+            splits = [
+                _split_block.options(num_returns=P).remote([key], P, *group)
+                for group in groups
+            ]
+            if P == 1:
+                return [list(splits)]
+            return [[s[p] for s in splits] for p in range(P)]
+        K = _LP_GROUP
+        G = -(-P // K)
+        lvl1 = [
+            _split_block_groups.options(num_returns=G).remote([key], P, K, *group)
+            for group in groups
         ]
+        subs = []
+        for g in range(G):
+            Kg = min(K, P - g * K)
+            gsubs = [l[g] for l in lvl1] if G > 1 else list(lvl1)
+            ref = _split_group_members.options(num_returns=Kg).remote([key], P, K, g, *gsubs)
+            if Kg == 1:
+                subs.append([ref])
+            else:
+                subs.extend([r] for r in ref)
+        return subs
 
     def _refine_with(cand_refs, parts):
-        splits = _split_grouped(cand_refs, "dst")
+        subs = _subs_per_partition(cand_refs, "dst")
         new_parts, changed_refs, hook_refs = [], [], []
         for p in range(P):
-            subs = [s[p] for s in splits] if P > 1 else list(splits)
-            l_ref, c_ref, h_ref = _lp_refine.remote(parts[p], *subs)
+            l_ref, c_ref, h_ref = _lp_refine.remote(parts[p], *subs[p])
             new_parts.append(l_ref)
             changed_refs.append(c_ref)
             hook_refs.append(h_ref)
@@ -319,10 +364,9 @@ def _lp_run(edge_parts: list, labels_parts: list, P: int, max_iterations: int) -
         ]
         # 2. pointer jumping on the round-start labels: label(label(v))
         req_refs = [_lp_jump_request.remote(l) for l in labels_parts]
-        req_splits = _split_grouped(req_refs, "key")
+        req_subs = _subs_per_partition(req_refs, "key")
         for p in range(P):
-            subs = [s[p] for s in req_splits] if P > 1 else list(req_splits)
-            cand_refs.append(_lp_jump_answer.remote(labels_parts[p], *subs))
+            cand_refs.append(_lp_jump_answer.remote(labels_parts[p], *req_subs[p]))
         # 3. hooks from last round: stale sinks learn the new minima, so
         # their dependents re-link via the next jump — without hooking, a
         # minimum spreads one edge-hop per round and long chains stall

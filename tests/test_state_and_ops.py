@@ -1208,3 +1208,49 @@ def test_dedup_review_guards(ray_session):
             near_dup_edges(empty, **bad)
         with pytest.raises(ValueError, match="multiple of bands"):
             cross_corpus_near_dup_pairs(empty, empty, **bad)
+
+
+def test_labelprop_two_level_exchange_matches_flat(ray_session, monkeypatch):
+    """Hierarchical (two-level) candidate exchange == flat exchange == local
+    union-find, on a random graph wide enough that every group has several
+    member partitions. The threshold is monkeypatched low so the two-level
+    path actually runs (production engages it above P=1024)."""
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(5)
+    # chains + random unions over 400 nodes → nontrivial component shapes
+    src = rng.integers(0, 400, 600, dtype=np.int64)
+    dst = rng.integers(0, 400, 600, dtype=np.int64)
+    chain = np.arange(100, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "src": pa.array(np.r_[src, chain[:-1] + 1000], type=pa.int64()),
+            "dst": pa.array(np.r_[dst, chain[1:] + 1000], type=pa.int64()),
+        }
+    )
+
+    def comps(df):
+        groups = {}
+        for n, l in zip(df["node"], df["cluster_label"]):
+            groups.setdefault(l, set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    flat = cl.connected_components_labelprop_ids(rd.from_arrow(tbl), num_partitions=12)
+    flat_parts = comps(flat.to_pandas())
+    monkeypatch.setattr(cl, "_LP_TWO_LEVEL_MIN_P", 4)
+    monkeypatch.setattr(cl, "_LP_GROUP", 5)  # 12 partitions → groups of 5,5,2
+    two = cl.connected_components_labelprop_ids(rd.from_arrow(tbl), num_partitions=12)
+    two_parts = comps(two.to_pandas())
+    assert two_parts == flat_parts
+
+    # ground truth: local union-find
+    uf = cl._IntUnionFind()
+    for u, v in zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()):
+        uf.union(u, v)
+    want = {}
+    for n in set(tbl["src"].to_pylist()) | set(tbl["dst"].to_pylist()):
+        want.setdefault(uf.find(n), set()).add(n)
+    assert two_parts == {frozenset(g) for g in want.values()}
