@@ -113,6 +113,40 @@ def run_bench() -> dict:
         }
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # incremental-resolution rep: the recurring crawl workload — fold a 10%
+    # batch of NEW pages into a completed 90% corpus run (key_filter rescore
+    # of touched blocks only + checkpoint-resume tail). The corpus build is
+    # untimed; the fold is the metric. BENCH_INCREMENTAL=0 skips; defaults
+    # off above 200k pages (the corpus build would double large-bench time).
+    inc_rep = None
+    if (
+        os.environ.get("BENCH_INCREMENTAL", "1" if n_pages <= 200_000 else "0") == "1"
+        and os.environ.get("BENCH_SKIP_QUERIES") != "1"
+    ):
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from entity_resolution_engine_ray.pipelines.pages_er import (
+            run_pages_er_incremental,
+        )
+
+        tbl = pads.dataset(fix["pages"]).to_table()
+        n_old = int(tbl.num_rows * 0.9)
+        base = f"/tmp/er_bench_inc_{uuid.uuid4().hex[:8]}"
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(tbl.slice(0, n_old), f"{base}/old.parquet")
+        pq.write_table(tbl.slice(n_old), f"{base}/new.parquet")
+        del tbl
+        run_pages_er(f"{base}/old.parquet", f"{base}/runA")  # untimed corpus
+        t0 = time.perf_counter()
+        run_pages_er_incremental(f"{base}/runA", f"{base}/new.parquet", f"{base}/inc")
+        inc_rep = {
+            "corpus_pages": n_old,
+            "new_pages": n_pages - n_old,
+            "fold_sec": round(time.perf_counter() - t0, 3),
+        }
+        shutil.rmtree(base, ignore_errors=True)
+
     queries: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         for name, fn in QUERIES.items():
@@ -133,6 +167,7 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "rep_secs": reps,
         "llm_validated_rep": llm_rep,
+        "incremental_rep": inc_rep,
         "stage_timings": res["timings"],
         "queries": queries,
         "sf": sf,

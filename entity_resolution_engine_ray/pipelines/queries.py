@@ -6124,9 +6124,11 @@ def q_er_phonetic_blocking(sf_dir: str):
     indexing survey). Soundex code of the FIRST word of p_name; output one
     row per code with member count and the implied intra-block pair count
     C(n,2) — the cost/recall profile a blocking designer reads before
-    committing to the scheme. Rows-only (no SQL soundex in DuckDB); the
-    encoder itself is pinned against the published test vectors
-    (tests/test_functions.py) and the per-batch path is
+    committing to the scheme. Oracle-checked: Soundex is reproduced in
+    pure SQL string ops (see ORACLE_SQL — translate + per-digit run
+    collapse, fuzz-pinned equal to the Python encoder over 5k random
+    strings); the encoder itself is also pinned against the published
+    test vectors (tests/test_functions.py) and the per-batch path is
     dictionary-encode-first so only unique names are ever scanned
     (functions/phonetic.soundex_batch)."""
     from entity_resolution_engine_ray.functions.phonetic import soundex_batch
@@ -6165,9 +6167,10 @@ def q_er_one_to_one(sf_dir: str):
     1:1 matching with the distributed greedy algorithm — rounds of
     locally-dominant (mutual-best) acceptance that reproduce the serial
     (score desc, left, right) greedy scan exactly (Preis's locally
-    heaviest edges; stages/matching.one_to_one_match). Rows-only: a
-    sequential greedy scan has no SQL form; the distributed==serial pin
-    lives in tests/test_matching.py."""
+    heaviest edges; stages/matching.one_to_one_match). Oracle-checked:
+    the serial greedy scan is a recursive CTE (each step picks the best
+    remaining candidate with both endpoints unused — see ORACLE_SQL);
+    the distributed==serial pin also lives in tests/test_matching.py."""
     from entity_resolution_engine_ray.stages.evaluate import block_pairs
     from entity_resolution_engine_ray.stages.matching import one_to_one_match
 
@@ -9741,6 +9744,81 @@ ORACLE_SQL = {
                     ELSE NULL END AS weight
         FROM agg, tot
         ORDER BY pattern
+    """,
+    # American Soundex in pure SQL string ops (RE2 has no backreferences,
+    # so same-digit runs collapse one digit class at a time): letters-only
+    # upper first word → first letter + (first-letter digit ‖ tail with
+    # H/W deleted, consonants→digits, vowels→0) → collapse runs → drop the
+    # first-letter position → strip 0s → pad to 3. Fuzz-pinned equal to
+    # functions/phonetic.soundex over 5k random strings + the published
+    # vectors (Ashcraft/Tymczak/Pfister/...).
+    "er_phonetic_blocking": r"""
+        WITH w AS (
+          SELECT regexp_replace(upper(regexp_replace(p_name, '\s.*$', '')),
+                                '[^A-Z]', '', 'g') AS L
+          FROM part
+        ),
+        c AS (
+          SELECT CASE WHEN L = '' THEN '' ELSE
+            substr(L, 1, 1) ||
+            substr(
+              regexp_replace(
+                substr(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(
+                    translate(substr(L, 1, 1),
+                              'BFPVCGJKQSXZDTLMNRAEIOUY', '111122222222334556000000')
+                    || translate(translate(substr(L, 2), 'HW', ''),
+                                 'BFPVCGJKQSXZDTLMNRAEIOUY', '111122222222334556000000'),
+                    '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+                    '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g'),
+                  2),
+                '0', '', 'g')
+              || '000', 1, 3)
+          END AS code FROM w
+        )
+        SELECT code, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        FROM c GROUP BY code ORDER BY code
+    """,
+    # greedy 1:1 assignment as a recursive CTE: each recursion step picks
+    # the best remaining candidate (score desc, left, right) whose endpoints
+    # are not yet in the accumulated used-lists — exactly the serial greedy
+    # scan the distributed mutual-best rounds reproduce. O(steps × |cand|)
+    # with list_contains, fine at oracle scale (sf0.01/sf0.1). The
+    # common-prefix score counts prefix-equal positions i ∈ [1,40]
+    # (monotone, so the count IS the LCP length incl. the both-exhausted
+    # tail — same as the engine's padded-lane cumprod).
+    "er_one_to_one": r"""
+        WITH RECURSIVE keyed AS (
+            SELECT doc_id, substr(text, 1, 8) AS k, substr(text, 1, 40) AS pfx
+            FROM documents
+        ),
+        cand AS (
+            SELECT CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id ELSE b.doc_id END AS left_id,
+                   CASE WHEN a.doc_id % 2 = 0 THEN b.doc_id ELSE a.doc_id END AS right_id,
+                   CAST((SELECT count(*) FROM range(1, 41) t(i)
+                         WHERE substr(a.pfx, 1, CAST(i AS INT))
+                             = substr(b.pfx, 1, CAST(i AS INT))) AS DOUBLE) AS score
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 2 <> b.doc_id % 2
+        ),
+        sel AS (
+            SELECT 0 AS step, CAST(NULL AS BIGINT) AS left_id,
+                   CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS DOUBLE) AS score,
+                   CAST([] AS BIGINT[]) AS ul, CAST([] AS BIGINT[]) AS ur
+            UNION ALL
+            SELECT s.step + 1, c.left_id, c.right_id, c.score,
+                   list_append(s.ul, c.left_id), list_append(s.ur, c.right_id)
+            FROM sel s CROSS JOIN LATERAL (
+                SELECT * FROM cand c
+                WHERE NOT list_contains(s.ul, c.left_id)
+                  AND NOT list_contains(s.ur, c.right_id)
+                ORDER BY c.score DESC, c.left_id, c.right_id LIMIT 1
+            ) c
+        )
+        SELECT left_id, right_id, score FROM sel WHERE step > 0
+        ORDER BY left_id, right_id
     """,
     "er_sorted_neighborhood": r"""
         WITH r AS (
