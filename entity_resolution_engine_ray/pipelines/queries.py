@@ -503,16 +503,18 @@ def q_corpus_export(sf_dir: str):
     snip_ref = ray.put(snips)
 
     def prefilter(t: pa.Table) -> pa.Table:
+        from entity_resolution_engine_ray.stages.decontaminate import cached_matcher
+
         ntok = pc.cast(token_count(t["text"]), pa.int64())
         t = t.append_column("n_tokens", ntok)
         t = t.filter(pc.greater_equal(t["n_tokens"], 30))
         if t.num_rows == 0:
             return t
-        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        hits = np.zeros(t.num_rows, dtype=np.int64)
-        for s in ray.get(snip_ref):
-            hits += pc.match_substring(texts, s).to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(hits == 0))
+        # decontamination here only needs the BOOLEAN any-snippet mask —
+        # one grouped-alternation DFA pass (stages/decontaminate), not one
+        # kernel pass per snippet
+        hit = cached_matcher(snip_ref).hit_mask(t["text"])
+        return t.filter(pa.array(~hit))
 
     clean = docs.map_batches(prefilter, batch_format="pyarrow").materialize()
     clusters = minhash_near_dup_clusters(
@@ -1112,11 +1114,13 @@ def q_doc_decontaminate(sf_dir: str):
     snip_ref = ray.put(snips)
 
     def scan(t: pa.Table) -> pa.Table:
-        s_list = ray.get(snip_ref)  # node-local fetch, cached by the object store
-        counts = np.zeros(len(t), dtype=np.int64)
-        texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        for s in s_list:
-            counts += pc.match_substring(texts, s).to_numpy(zero_copy_only=False)
+        from entity_resolution_engine_ray.stages.decontaminate import cached_matcher
+
+        # grouped RE2-alternation automaton (Aho-Corasick equivalent),
+        # built once per worker process — one DFA pass per 512-snippet
+        # group instead of one kernel pass per snippet, exact distinct
+        # counts via the two-phase scan (stages/decontaminate)
+        counts = cached_matcher(snip_ref).hit_counts(t["text"])
         keep = counts > 0
         return pa.table(
             {
