@@ -467,7 +467,7 @@ def _edges_from_feats(feats, *, threshold, max_block_size, num_partitions, n_fat
     )
     # metadata-only count on the materialized features — skips the counting
     # pass over the exploded rows inside key_stats
-    hot, pairable = key_stats(slim, max_block_size, n_rows_hint=n_fat)
+    hot, pairable, n_pruned = key_stats(slim, max_block_size, n_rows_hint=n_fat)
 
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
     if pairable is not None:
@@ -483,11 +483,13 @@ def _edges_from_feats(feats, *, threshold, max_block_size, num_partitions, n_fat
     fat = fat.map_batches(
         _salt_batch, fn_kwargs={"hot": hot, "hash_col": "id"}, batch_format="pyarrow"
     )
-    # partition counts scale with the data (metadata-only count on the
-    # materialized features) AND the cluster (auto_partitions: 1.5x CPU
-    # floor, 65,536 cap) unless the caller pins an explicit count
+    # partition counts scale with the PRUNED row count (the rows that
+    # actually enter the exchange) AND the cluster; ~200k rows/partition —
+    # the fused-exchange cost model from the 1M sweep (pairs.key_stats
+    # docstring) — unless the caller pins an explicit count
     fat_parts = (
-        auto_partitions(n_fat)
+        auto_partitions(n_pruned if pairable is not None else n_fat,
+                        rows_per_partition=200_000)
         if num_partitions is None
         else int(np.clip(n_fat // 50_000 + 1, 4, num_partitions))
     )
@@ -1132,7 +1134,7 @@ def cross_corpus_near_dup_pairs(
     from entity_resolution_engine_ray.stages.score import _keep_block_keys
 
     slim = feats.select_columns(["id", "band_keys"]).map_batches(_explode, batch_format="pyarrow")
-    hot, pairable = key_stats(slim, max_block_size, n_rows_hint=feats.count() * bands)
+    hot, pairable, n_pruned = key_stats(slim, max_block_size, n_rows_hint=feats.count() * bands)
     fat = feats.map_batches(_explode_fat, batch_format="pyarrow")
     if pairable is not None:
         # singleton-bucket prune (output-preserving; see pairs.key_stats)
@@ -1147,7 +1149,8 @@ def cross_corpus_near_dup_pairs(
     )
     n_fat = feats.count() * bands
     fat_parts = (
-        auto_partitions(n_fat)
+        auto_partitions(n_pruned if pairable is not None else n_fat,
+                        rows_per_partition=200_000)
         if num_partitions is None
         else int(np.clip(n_fat // 50_000 + 1, 4, num_partitions))
     )

@@ -36,7 +36,7 @@ def hot_key_splits(
     """block_key → n_splits for buckets over the cap (driver-side small dict).
 
     Thin wrapper over ``key_stats`` for callers that only need the hot set."""
-    hot, _ = key_stats(
+    hot, _, _ = key_stats(
         block_rows_ds,
         cap,
         driver_row_limit=driver_row_limit,
@@ -53,7 +53,7 @@ def key_stats(
     n_rows_hint: int | None = None,
     want_pairable: bool = True,
     pairable_limit: int = 200_000_000,
-) -> tuple[dict[int, int], np.ndarray | None]:
+) -> tuple[dict[int, int], np.ndarray | None, int]:
     """One counting pass over (block_key) rows → (hot dict, pairable keys).
 
     ``hot``: block_key → n_splits for buckets over the cap (driver-side
@@ -80,7 +80,16 @@ def key_stats(
     over (multi-node scale path).
 
     ``n_rows_hint`` (e.g. pages × bands, known upstream) avoids a separate
-    counting pass over the exploded rows."""
+    counting pass over the exploded rows.
+
+    Returns ``(hot, pairable, n_pairable_rows)`` — the third element is the
+    TOTAL row count across multi-member keys, i.e. the number of fat rows
+    that survive the singleton prune. Callers size the pair exchange from
+    it: a measured 1M-page sweep (BASELINE r5) showed the old
+    50k-rows/partition target paying ~0.1 s of task/ref overhead per
+    partition (P=421: 107 s vs P=96: 50 s, identical edges), so the fused
+    exchange targets ~200k PRUNED rows per partition instead (0 when
+    ``want_pairable`` is False)."""
     n_rows = n_rows_hint if n_rows_hint is not None else block_rows_ds.count()
     if n_rows <= driver_row_limit:
 
@@ -111,6 +120,7 @@ def key_stats(
         hot: dict[int, int] = {}
         key_chunks: list[np.ndarray] = []
         n_pairable = 0
+        n_rows_multi = 0
         for batch in multi_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             ks = batch["k"].to_numpy(zero_copy_only=False)
             ns = batch["n"].to_numpy(zero_copy_only=False)
@@ -119,14 +129,15 @@ def key_stats(
                 hot[int(ks[i])] = n_splits_for(int(ns[i]), cap)
             if want_pairable:
                 n_pairable += len(ks)
+                n_rows_multi += int(ns.sum())
                 if n_pairable <= pairable_limit:
                     key_chunks.append(ks.astype(np.int64, copy=True))
         if not want_pairable or n_pairable > pairable_limit:
-            return hot, None
+            return hot, None, n_rows_multi
         pairable = (
             np.sort(np.concatenate(key_chunks)) if key_chunks else np.empty(0, dtype=np.int64)
         )
-        return hot, pairable
+        return hot, pairable, n_rows_multi
 
     counts = block_rows_ds.groupby("block_key").count()
     thresh = 2 if want_pairable else cap + 1
@@ -137,6 +148,7 @@ def key_stats(
     hot = {}
     key_chunks = []
     n_pairable = 0
+    n_rows_multi = 0
     for batch in multi.iter_batches(batch_format="pyarrow"):
         ks = batch["block_key"].to_numpy(zero_copy_only=False)
         ns = batch["count()"].to_numpy(zero_copy_only=False)
@@ -145,14 +157,15 @@ def key_stats(
             hot[int(ks[i])] = n_splits_for(int(ns[i]), cap)
         if want_pairable:
             n_pairable += len(ks)
+            n_rows_multi += int(ns.sum())
             if n_pairable <= pairable_limit:
                 key_chunks.append(ks.astype(np.int64, copy=True))
     if not want_pairable or n_pairable > pairable_limit:
-        return hot, None
+        return hot, None, n_rows_multi
     pairable = (
         np.sort(np.concatenate(key_chunks)) if key_chunks else np.empty(0, dtype=np.int64)
     )
-    return hot, pairable
+    return hot, pairable, n_rows_multi
 
 
 def _salt_batch(batch: pa.Table, hot: dict[int, int], hash_col: str = "url_hash") -> pa.Table:

@@ -426,24 +426,23 @@ def fused_edges_stage(
     enter the shuffle at all.
 
     ``num_partitions=None`` scales with BOTH the cluster and the data:
-    max(1.5 x cluster CPUs, fat rows / 50k), capped at 65,536 — a fixed
-    count would under-split a 256-node cluster and over-split a laptop
-    (measured at sf0.1 / 32 CPUs: 48 partitions beats 64 and 32,
-    interleaved best-of-3: 7.96 vs 8.11 vs 8.71 s)."""
+    max(1.5 × cluster CPUs, PRUNED fat rows / 200k), capped at 65,536 — a
+    fixed count would under-split a 256-node cluster and over-split a
+    laptop. The 200k-pruned-rows target replaces the old 50k-unpruned
+    target after a 1M-page sweep (BASELINE r5): each partition costs
+    ~0.1 s of fixed task/ref overhead in the chained exchange, so P=421
+    ran the stage in 107 s where P=96 ran it in 50 s with identical
+    edges; at sf0.1 the formula still lands on the 1.5×CPU floor (48,
+    the measured best there). Partition payload at the target is ~60 MB
+    of fat rows + in-flight pair arrays — well inside a worker heap; at
+    the 65,536 cap (~13G pruned rows ≈ 6×10⁸ pages) shard the corpus via
+    the incremental ``key_filter`` path instead."""
     from entity_resolution_engine_ray.stages.block import block_keys_stage, fat_block_rows_stage
     from entity_resolution_engine_ray.stages.exchange import hash_exchange_chained
     from entity_resolution_engine_ray.stages.pairs import _salt_batch, key_stats
 
     cfg = cfg or PagesERConfig()
     features_ds = features_ds.materialize()
-    if num_partitions is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_fat = features_ds.count() * cfg.bands  # metadata-only count
-        num_partitions = int(
-            np.clip(n_fat // 50_000 + 1, int(1.5 * cpus), 65_536)
-        )
     import ray
 
     keys_ds = block_keys_stage(features_ds)  # key-only explode: 8 bytes/row
@@ -456,11 +455,14 @@ def fused_edges_stage(
         fat = fat.map_batches(
             _keep_block_keys, fn_kwargs={"allowed_ref": allowed_ref}, batch_format="pyarrow"
         )
-    hot, pairable = key_stats(
+    hot, pairable, n_pruned = key_stats(
         keys_ds,
         cfg.max_block_size,
         n_rows_hint=features_ds.count() * cfg.bands,  # metadata-only count
     )
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = int(np.clip(n_pruned // 200_000 + 1, int(1.5 * cpus), 65_536))
     if pairable is not None:
         if len(pairable) == 0:
             # no bucket has ≥2 members ⇒ no candidate pairs at all; return a
