@@ -462,7 +462,10 @@ def fused_edges_stage(
     )
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_partitions = int(np.clip(n_pruned // 200_000 + 1, int(1.5 * cpus), 65_536))
+        # when the pairable set exceeded its broadcast limit the prune is
+        # skipped, so the exchange really carries n_fat rows — size for it
+        n_exchange = n_pruned if pairable is not None else features_ds.count() * cfg.bands
+        num_partitions = int(np.clip(n_exchange // 200_000 + 1, int(1.5 * cpus), 65_536))
     if pairable is not None:
         if len(pairable) == 0:
             # no bucket has ≥2 members ⇒ no candidate pairs at all; return a
