@@ -143,6 +143,15 @@ def run_pages_er(
             # labelprop above the threshold
             method = cfg.cluster_method
             if method == "auto":
+                # edge count stays the gate: an HLL node-count second
+                # chance was built and MEASURED at 1M pages (28M approved
+                # edges, ~0.8M nodes — driver map trivially fits) and the
+                # contraction path still LOST to labelprop, 34.3 s vs
+                # 15.8 s: _forest_partition's per-edge Python union-find
+                # costs more than labelprop's ~19 vectorized rounds. See
+                # cluster.approx_connected_nodes for the sketch (kept —
+                # it is the right gate for memory SAFETY, just not for
+                # speed).
                 method = (
                     "local"
                     if approved.count() <= cfg.local_cluster_edge_threshold

@@ -518,6 +518,50 @@ def _forest_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src": nodes[keep], "dst": roots[keep]})
 
 
+def approx_connected_nodes(edges_ds, p: int = 14) -> int:
+    """HyperLogLog estimate of the DISTINCT connected-node count of an
+    ids-only edge Dataset (left_id/right_id int64) — one streaming pass of
+    per-batch register partials (no shuffle, 16 KB per batch to the
+    driver), ±~1% at p=14.
+
+    Purpose: a memory-SAFETY gate for driver-side label maps (one int per
+    connected node). NOTE the measured speed result (r5): at 1M flagship
+    pages (28M approved edges, ~0.8M nodes) the contraction+driver path
+    this sketch could unlock still LOSES to labelprop, 34.3 s vs 15.8 s —
+    _forest_partition's per-edge Python union-find costs more than
+    labelprop's vectorized rounds — so the flagship keeps its edge-count
+    gate for SPEED and this estimator serves callers who need a
+    will-the-map-fit check. Ids are avalanche-mixed before the register
+    scan so NON-hashed integer ids (sequential doc ids) sketch correctly
+    too."""
+    from entity_resolution_engine_ray.functions.similarity import mix64
+    from entity_resolution_engine_ray.stages.sketch import _estimate, _registers
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lcol = "left_id" if "left_id" in t.schema.names else "src"
+        rcol = "right_id" if "right_id" in t.schema.names else "dst"
+        vals = np.concatenate(
+            [
+                t[lcol].to_numpy(zero_copy_only=False),
+                t[rcol].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        idx, rho = _registers(mix64(vals).astype(np.uint64), p)
+        r = np.zeros(m, dtype=np.int64)
+        np.maximum.at(r, idx, rho)
+        return pa.table({"regs": pa.array([r.astype(np.int8).tobytes()], type=pa.binary())})
+
+    for b in edges_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=1024, batch_format="pyarrow"
+    ):
+        for raw in b["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(raw, dtype=np.int8).astype(np.int64))
+    return int(_estimate(regs))
+
+
 def cluster_label_map(edges_ds, num_partitions: int | None = None, contraction_rounds: int = 2) -> dict[int, int]:
     """Distributed-contraction connected components → driver-side label map
     {node_hash: component_root_hash} (root = min member hash).

@@ -1254,3 +1254,21 @@ def test_labelprop_two_level_exchange_matches_flat(ray_session, monkeypatch):
     for n in set(tbl["src"].to_pylist()) | set(tbl["dst"].to_pylist()):
         want.setdefault(uf.find(n), set()).add(n)
     assert two_parts == {frozenset(g) for g in want.values()}
+
+
+def test_approx_connected_nodes_accuracy(ray_session):
+    """HLL connected-node estimate within a few % on hashed AND sequential
+    ids (the mix64 pre-scan makes non-uniform ids sketch correctly)."""
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_engine_ray.stages.cluster import approx_connected_nodes
+
+    rng = np.random.default_rng(6)
+    n_nodes = 30_000
+    src = rng.integers(0, n_nodes, 200_000, dtype=np.int64)
+    dst = rng.integers(0, n_nodes, 200_000, dtype=np.int64)
+    tbl = pa.table({"left_id": src, "right_id": dst})
+    est = approx_connected_nodes(rd.from_arrow(tbl))
+    true = len(np.unique(np.r_[src, dst]))
+    assert abs(est - true) / true < 0.05, (est, true)
